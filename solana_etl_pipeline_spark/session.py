@@ -1,0 +1,83 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Centralizes the engine's execution posture so every entry point (tests,
+bench, pipelines, the driver contract) runs with the same optimizer
+settings:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing),
+- non-ANSI SQL semantics: the reference relies on coerce-to-null numeric
+  casts (``pd.to_numeric(errors='coerce')``, reference
+  ``clean_data.py:318-320``); Spark 4 defaults ANSI on, so we pin it off
+  and additionally prefer ``try_cast``-style expressions in operators,
+- UTC session timezone: timestamps are stored/compared as UTC instants;
+  PST rendering (reference ``clean_data.py:27-34``) is a display-edge
+  concern handled by ``functions.timestamps``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to *any* session the engine touches
+# (including a driver-owned session handed to `__spark_entry__.queries`).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas interchange (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime SQL confs to an existing session.
+
+    Safe and idempotent; used on sessions we did not build (driver
+    contract) so correctness-critical semantics (ANSI off, UTC) hold.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-runtime conf on this build — leave builder-time value.
+            pass
+    return spark
+
+
+def build_session(
+    app_name: str = "solana-etl-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    for test/bench runs; on a real cluster, leave it unset and let
+    spark-submit own deployment. ``shuffle_partitions`` defaults to the
+    local core count for small scale factors — at 100 TB you would size
+    this to ~2-3x total executor cores (AQE coalesces the excess).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or (32 if cpus == "*" else int(cpus))),
+        )
+        # Local-mode niceties; harmless on a cluster.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)
