@@ -1,0 +1,22 @@
+"""Query registry: every driver-visible query, merged across modules.
+
+Each module contributes a ``QUERIES: dict[str, QuerySpec]``; this
+package merges them (names must be globally unique) so the driver
+adapter (``__spark_entry__.py``) and the bench harness (``bench.py``)
+see one flat registry.
+"""
+
+from __future__ import annotations
+
+from solana_etl_pipeline_spark.queries.base import QuerySpec
+from solana_etl_pipeline_spark.queries import reference as _reference
+
+QUERIES: dict[str, QuerySpec] = {}
+
+for _mod in (_reference,):
+    for _name, _spec in _mod.QUERIES.items():
+        if _name in QUERIES:  # pragma: no cover - registry bug guard
+            raise ValueError(f"duplicate query name: {_name}")
+        QUERIES[_name] = _spec
+
+__all__ = ["QUERIES", "QuerySpec"]
