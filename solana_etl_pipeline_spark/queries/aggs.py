@@ -1,0 +1,151 @@
+"""Advanced aggregation surface (SURVEY.md §2.4 gap row + §2.11):
+rollup / cube / grouping sets, exact percentiles, stddev/variance, and
+deterministic collect_set — none of which exist in the reference.
+
+All are single-pass hash aggregates (Expand + partial + final for the
+grouping-set family): map-side combine keeps the shuffle proportional
+to group count, not row count, at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.queries.base import QuerySpec
+from solana_etl_pipeline_spark.sources import load_table
+
+
+def agg_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (l_returnflag, l_linestatus): subtotals + grand
+    total, TPC-H Q1 flavored."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("sum_revenue"),
+        )
+    )
+
+
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (o_orderstatus, o_orderpriority): all 4 grouping
+    combinations in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-type, per-user, and grand-total
+    event counts (SQL surface; Spark's SQL API is first-class here)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
+def agg_percentiles_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) + sample stddev/variance per
+    event type. Exact ``percentile`` matches DuckDB's ``quantile_cont``
+    interpolation; at 100 TB swap in ``percentile_approx`` (t-digest
+    sketch, map-side combinable) — exact percentile needs a per-group
+    sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+    )
+
+
+def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic collect_set: per-user sorted distinct event types
+    as a joined string (collect_set order is nondeterministic, so sort
+    before serializing — the only hash-stable form)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "agg_rollup_returnflag": QuerySpec(
+        spark=agg_rollup_returnflag,
+        oracle="""
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_items,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS sum_revenue
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        doc="ROLLUP subtotal hierarchy (TPC-H Q1 flavor)",
+        tags=("§2.11", "A1"),
+    ),
+    "agg_cube_orders": QuerySpec(
+        spark=agg_cube_orders,
+        oracle="""
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        doc="CUBE over two dimensions",
+        tags=("§2.11",),
+    ),
+    "agg_grouping_sets": QuerySpec(
+        spark=agg_grouping_sets,
+        oracle="""
+            SELECT event_type, user_id,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """,
+        doc="Explicit GROUPING SETS",
+        tags=("§2.11",),
+    ),
+    "agg_percentiles_stddev": QuerySpec(
+        spark=agg_percentiles_stddev,
+        oracle="""
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS median_value,
+                   round(quantile_cont(value, 0.9), 6) AS p90_value,
+                   round(stddev_samp(value), 6) AS stddev_value,
+                   round(var_samp(value), 6) AS var_value
+            FROM events GROUP BY event_type
+        """,
+        doc="Exact percentiles + stddev/variance",
+        tags=("§2.11",),
+    ),
+    "agg_collect_set_sorted": QuerySpec(
+        spark=agg_collect_set_sorted,
+        oracle="""
+            SELECT user_id,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                     AS event_types,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        doc="Deterministic collect_set (sorted, serialized)",
+        tags=("§2.11", "A7"),
+    ),
+}

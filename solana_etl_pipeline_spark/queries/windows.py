@@ -1,0 +1,144 @@
+"""Window-function surface (SURVEY.md §2.5 — a reference gap).
+
+The reference has no window functions; SURVEY §2.5 names the natural
+reference-shaped use (top-k tokens per time bucket) which
+``window_topk_per_hour`` implements. The rest completes the §2.11
+surface: ranking, analytic offsets (lag/lead), and running frames.
+
+Scale posture: every window here partitions by a real key (hour bucket,
+user, segment) — state per partition is bounded and the shuffle is the
+same hash shuffle an aggregation would need. No unpartitioned
+``Window.orderBy`` (a single-task global sort) appears anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.queries.base import QuerySpec
+from solana_etl_pipeline_spark.sources import load_table
+
+
+def window_topk_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5's named example: top-3 events by value per hour via
+    ``row_number() over (partition by hour ordered by value desc)``."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("hour", hour)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("hour", "rn", "event_id", "user_id", "value")
+    )
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offset: per-user value delta vs previous event (lag)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("value") - F.lag("value", 1).over(w), 6
+        ).alias("value_delta"),
+        F.lead("event_id", 1).over(w).alias("next_event_id"),
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame spec: per-user running sum (unbounded preceding → current
+    row) and a trailing 3-row moving average."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trailing = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(running), 4).alias("running_value"),
+        F.round(F.avg("value").over(trailing), 6).alias("trailing_avg3"),
+    )
+
+
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: rank / dense_rank / ntile of customers by account
+    balance within their market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "window_topk_per_hour": QuerySpec(
+        spark=window_topk_per_hour,
+        oracle="""
+            SELECT * FROM (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS hour,
+                     row_number() OVER (
+                       PARTITION BY date_trunc('hour', ts)
+                       ORDER BY value DESC, event_id) AS rn,
+                     event_id, user_id, value
+              FROM events)
+            WHERE rn <= 3
+        """,
+        doc="Top-k per time bucket (SURVEY §2.5 named example)",
+        tags=("W", "O6"),
+    ),
+    "window_lag_delta": QuerySpec(
+        spark=window_lag_delta,
+        oracle="""
+            SELECT user_id, event_id,
+                   round(value - lag(value, 1) OVER w, 6) AS value_delta,
+                   lead(event_id, 1) OVER w AS next_event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        doc="lag/lead analytic offsets per user",
+        tags=("W",),
+    ),
+    "window_running_sum": QuerySpec(
+        spark=window_running_sum,
+        oracle="""
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                     AS running_value,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                     AS trailing_avg3
+            FROM events
+        """,
+        doc="Running-sum + moving-average frames",
+        tags=("W",),
+    ),
+    "window_rank_customers": QuerySpec(
+        spark=window_rank_customers,
+        oracle="""
+            SELECT c_mktsegment, c_custkey,
+                   rank() OVER w AS bal_rank,
+                   dense_rank() OVER w AS bal_dense_rank,
+                   ntile(4) OVER w AS bal_quartile
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey)
+        """,
+        doc="rank/dense_rank/ntile ranking family",
+        tags=("W",),
+    ),
+}
