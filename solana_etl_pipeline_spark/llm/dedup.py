@@ -1,0 +1,250 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash.
+
+Scale design (the part that matters at 100 TB):
+
+- **Exact** dedup is one hash aggregate on a 256-bit content digest —
+  shuffle is proportional to distinct contents, never all-pairs.
+- **MinHash near-dup** is the banded-LSH construction (Broder '97;
+  Leskovec/Rajaraman/Ullman ch.3): shingle → k min-hash permutations →
+  b bands of r rows → exact-match bucket join on (band, band-hash).
+  Candidate generation is a self-equi-join on bucket keys — the only
+  quadratic step is *within* a bucket, which is the whole point.
+  NEVER an all-pairs cross join.
+- **SimHash** (Charikar '02): 64-bit signature whose per-bit sign is
+  the weighted majority of token-hash bits; near-dups have small
+  Hamming distance. Candidates come from exact-match joins on 16-bit
+  signature bands (Hamming ≤ 3 ⇒ at least one of 4 bands identical).
+
+All signature math is built-in integer/array expressions — JVM-side,
+codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1: permutation-hash modulus (fits in a long
+#: with room for a*h+b before the mod).
+_P = 2_147_483_647
+
+
+def content_hash(*cols: Column) -> Column:
+    """256-bit content digest over the concatenated columns (with a
+    field separator so ("ab","c") != ("a","bc"))."""
+    return F.sha2(F.concat_ws("", *cols), 256)
+
+
+def exact_dedup_groups(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct
+    content with the surviving (minimum) id and the duplicate count.
+
+    ``dropDuplicates`` gives the same survivors nondeterministically;
+    min-id keep is the deterministic form an oracle can check.
+    """
+    return (
+        df.withColumn(
+            "content_hash", content_hash(*[F.col(c) for c in content_cols])
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _word_shingles(text: Column, shingle_len: int) -> Column:
+    """Word n-gram shingle set (distinct, lowercase)."""
+    words = F.split(F.lower(F.trim(text)), "\\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - shingle_len + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i, shingle_len))
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """(id, sig: array<int>) — MinHash signature per document.
+
+    One base hash per shingle (xxhash64 → [0, P)), then k universal
+    permutations ``h_i(x) = (a_i·x + b_i) mod P`` reduced with MIN —
+    k min-aggregates over one exploded column, map-side combinable,
+    so the shuffle carries only per-doc partial minima.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_len)).alias("sh"),
+    )
+    base = F.pmod(F.xxhash64("sh"), F.lit(_P))
+    mins = [
+        F.min(
+            F.pmod((2 * i + 1) * base + F.lit(982_451_653) * i, F.lit(_P))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = shingled.groupBy("_id").agg(*mins)
+    return sigs.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    Banded LSH: a pair collides if any band of r = k/b signature rows
+    matches exactly (collision prob ≈ 1-(1-j^r)^b). Candidates come
+    from a bucket equi-join; Jaccard is then *estimated* from the full
+    signatures (fraction of equal entries) — no second pass over text.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_len)
+
+    band_entries = sigs.select(
+        F.col(id_col),
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+    left = band_entries.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_hash",
+    )
+    right = band_entries.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_hash",
+    )
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a",
+                "sig_b",
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        candidates.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: long) — Charikar SimHash over word hashes.
+
+    Bit i of the signature is set iff the sum over tokens of
+    ±1 (according to bit i of the token's xxhash64) is positive.
+    64 conditional-sum aggregates, map-side combinable.
+    """
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = words.groupBy("_id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4
+    16-bit pieces (pigeonhole: hamming ≤ 3 ⇒ some band equal), join on
+    equal bands, verify with bit_count(xor)."""
+    sigs = simhash(df, id_col, text_col)
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the corpus, dot products via ``zip_with``/``aggregate``
+  higher-order expressions (JVM-side, no Python). This is the O(Q·N)
+  baseline and the correctness oracle for the approximate path.
+- ``lsh_cosine_topk`` — random-hyperplane LSH (sign-random-projection,
+  Charikar '02): each vector gets a p-bit signature; candidates are
+  vectors sharing a signature band with the query; exact cosine is
+  computed only within buckets. At 100 TB the bucket join replaces the
+  full scan — recall is tuned by (n_planes, n_bands).
+
+Hyperplanes are pseudo-random but fully deterministic: component d of
+plane p is ±1 by parity of xxhash64(p·4099 + d) — reproducible across
+runs and cluster sizes with no RNG state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (self-matches excluded). Output: (query_id, neighbor_id,
+    rank, cosine)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qvec"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    )
+    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_bucket_assignments(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_val): sign-random-projection signature split
+    into bands. A vector lands in ``n_bands`` buckets; similar vectors
+    collide in ≥1 band with high probability."""
+    assert n_planes % n_bands == 0
+    bits_per_band = n_planes // n_bands
+    vec = _as_double(F.col(vec_col))
+
+    def plane_bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: x
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(p) * 4099 + d), 2) == 0, 1.0
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, 1).otherwise(0)
+
+    bands = [
+        F.concat_ws(
+            "",
+            *[
+                plane_bit(b * bits_per_band + r).cast("string")
+                for r in range(bits_per_band)
+            ],
+        )
+        for b in range(n_bands)
+    ]
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*bands)).alias("band_idx", "band_val"),
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = corpus vectors sharing an
+    LSH band with the query; exact cosine ranks only those. Same output
+    shape as ``cosine_topk`` (ranks may differ where recall < 1)."""
+    qb = lsh_bucket_assignments(queries, id_col, vec_col, n_planes, n_bands)
+    cb = lsh_bucket_assignments(corpus, id_col, vec_col, n_planes, n_bands)
+    cand = (
+        qb.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qvec"),
+            "band_idx",
+            "band_val",
+        )
+        .join(
+            cb.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cvec"),
+                "band_idx",
+                "band_val",
+            ),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

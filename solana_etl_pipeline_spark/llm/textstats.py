@@ -1,0 +1,123 @@
+"""Text analysis operators: stats, token counts, language ID, quality
+scoring, document fingerprints.
+
+Everything is built-in string/array/higher-order expressions —
+single-pass, no shuffle, no Python — so the per-document cost is pure
+codegen'd CPU and the operators compose with any downstream groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small function-word list used by stats/quality/lang-id (shared with
+#: the DuckDB oracles — keep in sync with queries/llm.py).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "or", "is")
+
+#: BPE-ish pre-tokenization: letter runs, single digits, or single
+#: non-alphanumeric marks (GPT-2-style pre-tokenizer shape).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+#: Per-language marker words for the n-gram/marker language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+}
+
+_P = 2_147_483_647
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def text_stats(text: Column) -> dict[str, Column]:
+    """Per-document stats: chars, words, avg word length, stopword
+    ratio, punctuation ratio, digit ratio."""
+    words = _words(text)
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": F.round(
+            F.aggregate(
+                words, F.lit(0), lambda acc, w: acc + F.length(w)
+            )
+            / n_words,
+            6,
+        ),
+        "stopword_ratio": F.round(n_stop / n_words, 6),
+        "punct_ratio": F.round(
+            F.regexp_count(text, F.lit(r"[.,;:!?]")) / n_chars, 6
+        ),
+        "digit_ratio": F.round(
+            F.regexp_count(text, F.lit(r"[0-9]")) / n_chars, 6
+        ),
+    }
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    """Whitespace token count + BPE-ish regex token count."""
+    return {
+        "ws_tokens": F.size(_words(text)),
+        "bpe_tokens": F.regexp_count(text, F.lit(TOKEN_REGEX)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0, 100]: long enough, not stopword-soup,
+    not digit/punct-heavy. Weighted like the reference's risk blend
+    (``streamlit 1.3.txt:102``) so the banding operator applies."""
+    s = text_stats(text)
+    length_score = F.least(F.lit(100.0), s["n_words"] * 2.0)
+    stop_score = F.lit(100.0) - F.abs(s["stopword_ratio"] - 0.4) * 200.0
+    clean_score = F.lit(100.0) - (s["punct_ratio"] + s["digit_ratio"]) * 500.0
+    blended = 0.4 * length_score + 0.3 * stop_score + 0.3 * clean_score
+    return F.round(F.greatest(F.lit(0.0), F.least(F.lit(100.0), blended)), 6)
+
+
+def language_id(text: Column) -> Column:
+    """Marker-word language heuristic: score each language by marker
+    occurrences; highest score wins (ties broken alphabetically,
+    'und' = undetermined when no marker hits)."""
+    words = _words(text)
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # Wrap in reverse priority so the LAST when() applied — highest
+    # priority (dict order: en, es, de) — is evaluated first on ties.
+    for lang in reversed(list(scores)):
+        out = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(out)
+    return out
+
+
+def document_fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling fingerprint: Σ pos·(31·len(w)+ascii(w))
+    mod P over words — a polynomial-style content fingerprint that is
+    cheap, deterministic, and expressible in any SQL engine (unlike
+    engine-specific hash functions)."""
+    words = _words(text)
+    acc = F.aggregate(
+        words,
+        F.struct(F.lit(0).cast("long").alias("pos"), F.lit(0).cast("long").alias("val")),
+        lambda a, w: F.struct(
+            (a["pos"] + 1).alias("pos"),
+            F.pmod(
+                a["val"] + (a["pos"] + 1) * (31 * F.length(w) + F.ascii(w)),
+                F.lit(_P),
+            ).alias("val"),
+        ),
+        lambda a: a["val"],
+    )
+    return acc

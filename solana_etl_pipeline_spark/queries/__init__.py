@@ -11,6 +11,7 @@ from __future__ import annotations
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.queries import aggs as _aggs
 from solana_etl_pipeline_spark.queries import joins as _joins
+from solana_etl_pipeline_spark.queries import llm as _llm
 from solana_etl_pipeline_spark.queries import nested as _nested
 from solana_etl_pipeline_spark.queries import reference as _reference
 from solana_etl_pipeline_spark.queries import setops as _setops
@@ -19,7 +20,16 @@ from solana_etl_pipeline_spark.queries import windows as _windows
 
 QUERIES: dict[str, QuerySpec] = {}
 
-for _mod in (_reference, _joins, _windows, _setops, _sorts, _aggs, _nested):
+for _mod in (
+    _reference,
+    _joins,
+    _windows,
+    _setops,
+    _sorts,
+    _aggs,
+    _nested,
+    _llm,
+):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard
             raise ValueError(f"duplicate query name: {_name}")

@@ -1,0 +1,152 @@
+"""Unit tests for the LLM-data operators: planted near-duplicates for
+the LSH families (whose bucketing the SQL oracle can't express) and
+recall of the approximate similarity path vs its exact twin.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.llm.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    simhash_candidate_pairs,
+)
+from solana_etl_pipeline_spark.llm.multimodal import (
+    documents_as_assets,
+    featurize_assets,
+)
+from solana_etl_pipeline_spark.llm.similarity import cosine_topk, lsh_cosine_topk
+from solana_etl_pipeline_spark.llm.textstats import language_id
+from solana_etl_pipeline_spark.sources import load_table
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun and the birds sing in the tall green trees near "
+    "the old stone wall by the river bank"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """4 docs: 0/1 near-identical (one word changed), 2 exact copy of 0,
+    3 unrelated."""
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE.replace("lazy", "sleepy")),
+        Row(doc_id=2, text=BASE),
+        Row(
+            doc_id=3,
+            text=(
+                "completely different content about databases query "
+                "planners shuffle partitions and columnar execution "
+                "engines with vectorized operators and adaptive plans "
+                "running on large clusters of commodity machines today"
+            ),
+        ),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_finds_copies(spark, planted_docs):
+    groups = exact_dedup_groups(planted_docs, ["text"], "doc_id")
+    by_keep = {r.keep_id: r.n_copies for r in groups.collect()}
+    assert by_keep[0] == 2  # docs 0 and 2 identical, survivor is min id
+    assert by_keep[1] == 1
+    assert by_keep[3] == 1
+
+
+def test_minhash_finds_planted_near_dups(spark, planted_docs):
+    pairs = minhash_near_dup_pairs(
+        planted_docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+    found = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert found[(0, 2)] == 1.0  # exact copies: all signature entries equal
+    assert (0, 1) in found and found[(0, 1)] >= 0.5  # one-word edit
+    assert not any(3 in p for p in found)  # unrelated doc never pairs
+
+
+def test_simhash_candidates(spark, planted_docs):
+    pairs = simhash_candidate_pairs(planted_docs, "doc_id", "text", max_hamming=3)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert found[(0, 2)] == 0  # identical docs: identical signatures
+    assert not any(3 in p for p in found)
+
+
+def test_lsh_finds_planted_high_sim_neighbors(spark, sf_dir):
+    """SRP-LSH's actual guarantee: high-cosine pairs collide with high
+    probability. Plant an exact-duplicate neighbor (cosine 1.0, id+1000)
+    for each query vector — identical vectors share every band, so LSH
+    MUST return them at rank 1."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(planted)
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = lsh_cosine_topk(corpus, queries, k=5)
+    rank1 = {r.query_id: (r.neighbor_id, r.cosine) for r in approx.collect()
+             if r.rank == 1}
+    for qid in range(5):
+        assert rank1[qid][0] == qid + 1000
+        assert rank1[qid][1] == 1.0
+
+
+def test_lsh_cosine_vs_exact_sanity(spark, sf_dir):
+    """On the random fixture (near-neighbor cosine ≈ 0.4 — the hard,
+    low-signal regime for SRP-LSH) recall is modest by design; assert a
+    loose floor and the invariant that approx can never beat exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = lsh_cosine_topk(emb, queries, k=5).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(a & e) / len(e) >= 0.1
+    e1 = {r.query_id: r.cosine for r in exact if r.rank == 1}
+    for r in approx:
+        if r.rank == 1:
+            assert r.cosine <= e1[r.query_id] + 1e-9
+
+
+def test_language_id_markers(spark):
+    rows = [
+        Row(doc_id=0, text="the cat and the dog of the house"),
+        Row(doc_id=1, text="el gato y la casa de madrid"),
+        Row(doc_id=2, text="der hund und die katze"),
+        Row(doc_id=3, text="xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", language_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert out == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_multimodal_featurize_roundtrip(spark, planted_docs):
+    import hashlib
+
+    docs = planted_docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("test")
+    )
+    feats = featurize_assets(documents_as_assets(docs))
+    rows = {r.asset_id: r for r in feats.collect()}
+    expected = hashlib.sha256(BASE.encode()).hexdigest()
+    assert rows[0].digest == expected
+    assert rows[0].n_bytes == len(BASE.encode())
+    assert len(rows[0].feat) == 4
+    assert rows[0].feat[0] == int(expected[:2], 16) / 255.0
+
+
+def test_multimodal_decode_stubs_raise(spark, planted_docs):
+    from solana_etl_pipeline_spark.llm.multimodal import decode_image
+
+    docs = planted_docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("test")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(documents_as_assets(docs))
