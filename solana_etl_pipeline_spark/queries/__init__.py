@@ -16,6 +16,7 @@ from solana_etl_pipeline_spark.queries import nested as _nested
 from solana_etl_pipeline_spark.queries import reference as _reference
 from solana_etl_pipeline_spark.queries import setops as _setops
 from solana_etl_pipeline_spark.queries import sorts as _sorts
+from solana_etl_pipeline_spark.queries import streaming as _streaming
 from solana_etl_pipeline_spark.queries import windows as _windows
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -29,6 +30,7 @@ for _mod in (
     _aggs,
     _nested,
     _llm,
+    _streaming,
 ):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard

@@ -1,0 +1,80 @@
+"""Driver-visible streaming query (SURVEY.md §2.9).
+
+One end-to-end Structured Streaming pipeline the oracle CAN check:
+events → JSON landing dir → ``readStream`` → watermarked dedup →
+tumbling-window aggregate → ``availableNow`` drain into a memory sink.
+Processed in one batch (single landing file), nothing is late, so the
+result must equal the batch twin — the same oracle SQL as
+``events_hourly_rollup`` minus the distinct-user metric (distinct
+aggregation is unsupported in streaming; the streaming variant carries
+``approx_count_distinct`` instead, exercised in tests).
+
+The richer streaming surface (sliding/session windows, stateful
+applyInPandasWithState, checkpoint idempotence, watermark late-drop,
+cross-batch dedup) lives in tests/test_streaming.py — state-dependent
+behavior needs multi-batch orchestration no single SQL string models.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.queries.base import QuerySpec
+from solana_etl_pipeline_spark.schemas import EVENTS
+from solana_etl_pipeline_spark.sources import load_table
+from solana_etl_pipeline_spark.streaming.ingest import (
+    deduplicated,
+    landing_stream,
+    run_available_now,
+)
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land → stream → dedup → tumbling window, drained availableNow."""
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="spark_stream_q_")
+    landing = f"{work}/landing"
+    # one landing file → one micro-batch → watermark can't drop anything
+    ev.coalesce(1).write.mode("overwrite").json(landing)
+
+    stream = landing_stream(
+        spark, landing, EVENTS, max_files_per_trigger=None
+    )
+    deduped = deduplicated(
+        stream, keys=["user_id", "event_id"], watermark="24 hours"
+    )
+    windowed = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    table = run_available_now(
+        windowed, checkpoint_dir=f"{work}/checkpoint", output_mode="complete"
+    )
+    return spark.table(table)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "streaming_hourly_rollup": QuerySpec(
+        spark=streaming_hourly_rollup,
+        oracle="""
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        doc="End-to-end streaming pipeline: landing readStream → watermark "
+        "dedup → tumbling window (T1/T2/T4, batch-parity oracle)",
+        tags=("T1", "T2", "T4", "W"),
+    ),
+}

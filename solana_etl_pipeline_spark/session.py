@@ -30,6 +30,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Local/driver-session sizing: 32 shuffle partitions matches the
+    # local[32] core budget (AQE coalesces further). On a cluster,
+    # override to ~2-3x total executor cores at session build time.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

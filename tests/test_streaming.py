@@ -1,0 +1,229 @@
+"""Structured Streaming behavior tests (SURVEY.md §5): cross-batch
+dedup, checkpoint idempotence, watermark late-data policy, session /
+sliding windows, and the applyInPandasWithState operator — semantics
+the SQL oracle can't see because they depend on state across batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.schemas import EVENTS
+from solana_etl_pipeline_spark.streaming.ingest import (
+    run_available_now_to_parquet,
+    deduplicated,
+    hourly_window_counts,
+    landing_stream,
+    run_available_now,
+    session_window_counts,
+    sliding_window_counts,
+    stateful_running_totals,
+)
+
+
+def _write_landing_file(path: str, rows: list[dict], mtime: float) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def _event(eid: int, uid: int, ts: str, value: float = 1.0) -> dict:
+    return {
+        "event_id": eid,
+        "ts": ts,
+        "user_id": uid,
+        "event_type": "purchase",
+        "value": value,
+        "props": "{}",
+    }
+
+
+def test_cross_batch_dedup_and_idempotent_restart(spark, tmp_path):
+    """T4+T5: a duplicate (user_id, event_id) arriving in a LATER
+    micro-batch is dropped by state, and restarting from the same
+    checkpoint reprocesses nothing."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = time.time()
+    _write_landing_file(
+        str(landing / "f1.json"),
+        [
+            _event(1, 10, "2024-01-01T00:05:00.000Z"),
+            _event(2, 10, "2024-01-01T00:10:00.000Z"),
+        ],
+        now - 20,
+    )
+    _write_landing_file(
+        str(landing / "f2.json"),
+        [
+            _event(1, 10, "2024-01-01T00:05:00.000Z"),  # dup of batch 1
+            _event(3, 11, "2024-01-01T00:15:00.000Z"),
+        ],
+        now - 10,
+    )
+    stream = landing_stream(spark, str(landing), EVENTS, max_files_per_trigger=1)
+    deduped = deduplicated(stream, ["user_id", "event_id"], watermark="1 hour")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    run_available_now_to_parquet(deduped, out, ckpt)
+    got = {(r.user_id, r.event_id) for r in spark.read.parquet(out).collect()}
+    assert got == {(10, 1), (10, 2), (11, 3)}
+
+    # restart from same checkpoint: offsets say everything is processed,
+    # so the sink gains nothing (T5 idempotent skip)
+    stream2 = landing_stream(spark, str(landing), EVENTS, max_files_per_trigger=1)
+    deduped2 = deduplicated(stream2, ["user_id", "event_id"], watermark="1 hour")
+    run_available_now_to_parquet(deduped2, out, ckpt)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy: after the watermark advances past an event's
+    timestamp (minus the delay), a late-arriving duplicate-keyed or
+    fresh old row is dropped from the dedup operator's output."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run() -> set[int]:
+        stream = landing_stream(spark, str(landing), EVENTS)
+        deduped = deduplicated(
+            stream, ["user_id", "event_id"], watermark="10 minutes"
+        )
+        run_available_now_to_parquet(deduped, out, ckpt)
+        return {r.event_id for r in spark.read.parquet(out).collect()}
+
+    # run 1: recent events commit a watermark of 10:00 - 10min = 09:50
+    # into the checkpoint
+    _write_landing_file(
+        str(landing / "f1.json"),
+        [
+            _event(1, 1, "2024-01-01T10:00:00.000Z"),
+            _event(2, 1, "2024-01-01T09:58:00.000Z"),
+        ],
+        time.time() - 20,
+    )
+    assert run() == {1, 2}
+
+    # run 2 (same checkpoint → watermark restored): an event hours below
+    # the watermark is dropped as late; a fresh one passes
+    _write_landing_file(
+        str(landing / "f2.json"),
+        [
+            _event(3, 1, "2024-01-01T07:00:00.000Z"),  # too late
+            _event(4, 1, "2024-01-01T10:05:00.000Z"),  # fresh
+        ],
+        time.time() - 5,
+    )
+    ids = run()
+    assert 4 in ids and 1 in ids and 2 in ids
+    assert 3 not in ids  # dropped as late
+
+
+def test_streaming_window_matches_batch(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        _event(i, i % 3, f"2024-01-01T{10 + i % 4:02d}:{i % 50:02d}:00.000Z", 2.5)
+        for i in range(40)
+    ]
+    _write_landing_file(str(landing / "f1.json"), rows, time.time() - 5)
+    stream = landing_stream(spark, str(landing), EVENTS)
+    t = run_available_now(
+        hourly_window_counts(stream), str(tmp_path / "ckpt"), "complete"
+    )
+    got = {r.hour: (r.n_events, r.sum_value) for r in spark.table(t).collect()}
+    batch = spark.read.schema(EVENTS).json(str(landing))
+    expected = {
+        r.hour: (r.n_events, r.sum_value)
+        for r in batch.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_sliding_and_session_windows(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        _event(1, 1, "2024-01-01T10:05:00.000Z"),
+        _event(2, 1, "2024-01-01T10:20:00.000Z"),  # same session (gap 30m)
+        _event(3, 1, "2024-01-01T12:00:00.000Z"),  # new session
+        _event(4, 2, "2024-01-01T10:45:00.000Z"),
+    ]
+    _write_landing_file(str(landing / "f1.json"), rows, time.time() - 5)
+
+    stream = landing_stream(spark, str(landing), EVENTS)
+    t_slide = run_available_now(
+        sliding_window_counts(stream, size="2 hours", slide="1 hour"),
+        str(tmp_path / "ckpt1"),
+        "complete",
+    )
+    slide = {r.window_start: r.n_events for r in spark.table(t_slide).collect()}
+    # event at 10:05 falls in windows starting 09:00 and 10:00
+    assert slide["2024-01-01 09:00:00"] == 3
+    assert slide["2024-01-01 10:00:00"] == 3
+    assert slide["2024-01-01 12:00:00"] == 1
+
+    stream2 = landing_stream(spark, str(landing), EVENTS)
+    t_sess = run_available_now(
+        session_window_counts(stream2, gap="30 minutes"),
+        str(tmp_path / "ckpt2"),
+        "complete",
+    )
+    sessions = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.table(t_sess).collect()
+    }
+    assert sessions[(1, "2024-01-01 10:05:00")] == 2
+    assert sessions[(1, "2024-01-01 12:00:00")] == 1
+    assert sessions[(2, "2024-01-01 10:45:00")] == 1
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches; the
+    final update per user equals the batch aggregate."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = time.time()
+    _write_landing_file(
+        str(landing / "f1.json"),
+        [
+            _event(1, 1, "2024-01-01T10:00:00.000Z", 10.0),
+            _event(2, 2, "2024-01-01T10:01:00.000Z", 5.0),
+        ],
+        now - 20,
+    )
+    _write_landing_file(
+        str(landing / "f2.json"),
+        [_event(3, 1, "2024-01-01T10:02:00.000Z", 7.5)],
+        now - 10,
+    )
+    stream = landing_stream(spark, str(landing), EVENTS, max_files_per_trigger=1)
+    t = run_available_now(
+        stateful_running_totals(stream), str(tmp_path / "ckpt"), "update"
+    )
+    rows = spark.table(t).collect()
+    # update mode emits one row per user per batch; keep the max-count row
+    final: dict[int, tuple[int, float]] = {}
+    for r in rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    assert final[1] == (2, 17.5)
+    assert final[2] == (1, 5.0)
