@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.queries import aggs as _aggs
+from solana_etl_pipeline_spark.queries import functions_zoo as _functions_zoo
+from solana_etl_pipeline_spark.queries import io as _io
 from solana_etl_pipeline_spark.queries import joins as _joins
 from solana_etl_pipeline_spark.queries import llm as _llm
 from solana_etl_pipeline_spark.queries import nested as _nested
@@ -31,6 +33,8 @@ for _mod in (
     _nested,
     _llm,
     _streaming,
+    _io,
+    _functions_zoo,
 ):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard

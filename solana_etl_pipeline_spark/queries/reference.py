@@ -88,6 +88,27 @@ LIMIT 10
 # Projections / predicates (P1, P7, P8, P9)
 # ---------------------------------------------------------------------------
 
+def risk_scores_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship with ``approx_count_distinct`` (HLL++) — the 100 TB
+    escape hatch: map-side combinable, one pass, no (key, account)
+    shuffle. Rows-only (HLL estimates differ across engines); the exact
+    twin carries the oracle."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "holder", json_str(F.col("props"), "$.k")
+    )
+    scored = risk_scores(
+        ev,
+        key="user_id",
+        holder_col="holder",
+        buyer_col="holder",
+        buy_type_col="event_type",
+        buy_type_value="purchase",
+        excluded_keys=EXCLUDED_USER_IDS,
+        approximate=True,
+    )
+    return top_k_by_safety(scored, key="user_id", k=10)
+
+
 def events_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1+P8: narrow projection under an equality predicate.
 
@@ -209,6 +230,12 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_RISK_ORACLE,
         doc="Flagship per-key risk scoring + top-k (streamlit 1.3.txt:83-113,165-167)",
         tags=("A1", "A2", "A3", "A4", "A7", "F9", "F10", "F12", "P7", "P8", "O6"),
+    ),
+    "risk_scores_topk_approx": QuerySpec(
+        spark=risk_scores_topk_approx,
+        oracle=None,
+        doc="Flagship with HLL++ approx distinct counts (scale path; rows-only)",
+        tags=("A2", "A3", "X-scale"),
     ),
     "events_project_filter": QuerySpec(
         spark=events_project_filter,

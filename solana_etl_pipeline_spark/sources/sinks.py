@@ -1,0 +1,82 @@
+"""File sources & sinks (SURVEY.md §2.1 S4-S10).
+
+The reference hand-rolls every one of these against boto3 — paginated
+listings (S5/S9), one-object-per-record JSON puts (S4), StringIO CSV
+round-trips (S7/S8), and a 60-line incremental Parquet writer with
+manual schema harmonization (S10, ``clean_data.py:305-365``). Each maps
+to one Spark reader/writer call; the harmonize dance is
+``mergeSchema``/``unionByName``.
+
+Scale posture: writers take explicit ``partition_cols`` — at 100 TB the
+silver tables are partitioned by event date so per-day queries prune to
+1/365th of the scan; readers push filters and projections into the
+parquet footers (verified by `.explain` in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S4: JSON sink (newline-delimited objects, one dir per table —
+    replaces one-S3-object-per-record, ``my_websocket.py:31-45``)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """S5/S6: schema-enforced JSON directory scan. ``path_glob`` is the
+    reference's suffix predicate (P5, ``endswith('.json')``) pushed to
+    the listing, not a row filter."""
+    reader = spark.read.schema(schema)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7: CSV sink with header (``cleandata1.py:43-47``)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """S8/S9: schema-enforced CSV directory scan (header skipped by
+    contract, not inferred — inference is an extra full pass at scale)."""
+    reader = spark.read.schema(schema).option("header", True)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """S10: Parquet sink. Appends with a widened schema are legal —
+    the read side harmonizes (see :func:`read_parquet_merged`), which
+    replaces the reference's null-fill/reorder writer loop
+    (``clean_data.py:340-349``)."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """S11 + harmonize: ``mergeSchema=true`` unions all footer schemas;
+    files missing a column yield nulls — exactly the reference's
+    first-file-wins + null-fill semantics, but symmetric."""
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -31,14 +31,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     code always sees a proper ``TimestampType`` column.
     """
     if name == "events":
+        # Scope the legacy conf to this plan-time read: save & restore so
+        # a later read of a *different* nanos table in the same session
+        # still fails loudly instead of silently yielding LongType.
+        try:
+            previous = spark.conf.get(_NANOS_CONF, None)
+        except Exception:
+            previous = None
         try:
             spark.conf.set(_NANOS_CONF, "true")
         except Exception:
             pass  # conf may be fixed on exotic builds; read will tell us
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # truncate, don't round: DuckDB truncates ns->us the same way
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if isinstance(df.schema["ts"].dataType, LongType):
+                # truncate, don't round: DuckDB truncates ns->us the same
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            # force schema resolution while the conf is still set
+            df.schema
+        finally:
+            try:
+                if previous is None:
+                    spark.conf.unset(_NANOS_CONF)
+                else:
+                    spark.conf.set(_NANOS_CONF, previous)
+            except Exception:
+                pass
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

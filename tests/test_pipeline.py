@@ -1,0 +1,141 @@
+"""Bronze→silver pipeline tests: end-to-end build, dedup, partitioned
+write, partition pruning, and schema harmonization on append.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.pipelines.bronze_silver import (
+    build_silver,
+    read_silver,
+    silver_schema_columns,
+    write_silver,
+)
+from solana_etl_pipeline_spark.sources.sinks import (
+    read_parquet_merged,
+    write_parquet,
+)
+
+WRAPPED = json.dumps(
+    {
+        "metadata": {"token_name": "Tok", "token_symbol": "TK", "mint": "mintX"},
+        "transactions": [
+            {
+                "signature": "sig1",
+                "timestamp": 1700000000,
+                "tokenTransfers": [
+                    {"fromUserAccount": "a", "toUserAccount": "b",
+                     "tokenAmount": 1.0, "mint": "mintX",
+                     "tokenStandard": "Fungible"}
+                ],
+            },
+            {  # duplicate signature for the same mint -> dedup victim
+                "signature": "sig1",
+                "timestamp": 1700000300,
+                "tokenTransfers": [
+                    {"fromUserAccount": "a2", "toUserAccount": "b2",
+                     "tokenAmount": 2.0, "mint": "mintX",
+                     "tokenStandard": "Fungible"}
+                ],
+            },
+            {
+                "signature": "sig2",
+                "timestamp": 1700090000,  # next day -> second partition
+                "tokenTransfers": [
+                    {"fromUserAccount": "c", "toUserAccount": "d",
+                     "tokenAmount": 3.0, "mint": "mintX",
+                     "tokenStandard": "Fungible"}
+                ],
+            },
+        ],
+    }
+)
+
+WS_MSG = json.dumps(
+    {"mint": "mintW", "txType": "create", "solAmount": 0.5,
+     "name": "W", "symbol": "WS"}
+)
+
+
+def test_build_silver_merges_and_dedups(spark):
+    helius_raw = spark.createDataFrame([Row(raw=WRAPPED)])
+    ws_raw = spark.createDataFrame([Row(raw=WS_MSG)])
+    silver = build_silver(helius_raw, ws_raw)
+    rows = silver.collect()
+    assert len(rows) == 3  # sig1 kept once, sig2, websocket row
+    assert sorted(r.signature for r in rows) == ["", "sig1", "sig2"]
+    assert silver.columns == silver_schema_columns()
+
+
+def test_write_silver_partitions_and_prunes(spark, tmp_path):
+    helius_raw = spark.createDataFrame([Row(raw=WRAPPED)])
+    ws_raw = spark.createDataFrame([Row(raw=WS_MSG)])
+    silver = build_silver(helius_raw, ws_raw)
+    out = str(tmp_path / "silver")
+    write_silver(silver, out, mode="overwrite")
+
+    back = read_silver(spark, out)
+    assert back.count() == 3
+    # null-date (websocket) rows stay queryable
+    assert back.filter(F.col("event_date").isNull()).count() == 1
+
+    # 1700000000 is 2023-11-14 UTC; sig2 (1700090000) is 2023-11-15
+    pruned = back.filter(F.col("event_date") == "2023-11-14")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert {r.signature for r in pruned.collect()} == {"sig1"}
+
+
+def test_parquet_append_schema_harmonize(spark, tmp_path):
+    """S10/U2: appending files with different columns merges on read;
+    missing columns come back null (clean_data.py:340-349)."""
+    out = str(tmp_path / "t")
+    df1 = spark.createDataFrame([Row(a=1, b="x")])
+    df2 = spark.createDataFrame([Row(a=2, c=9.5)])
+    write_parquet(df1, out, mode="append")
+    write_parquet(df2, out, mode="append")
+    back = read_parquet_merged(spark, out)
+    assert set(back.columns) == {"a", "b", "c"}
+    rows = {r.a: r for r in back.collect()}
+    assert rows[1].b == "x" and rows[1].c is None
+    assert rows[2].b is None and rows[2].c == 9.5
+
+
+def test_grouped_map_matches_native_risk(spark, sf_dir):
+    """D2 parity: applyInPandas risk scores == native aggregate."""
+    from solana_etl_pipeline_spark.functions.jsonf import json_str
+    from solana_etl_pipeline_spark.operators.enrich import risk_scores_grouped_map
+    from solana_etl_pipeline_spark.operators.risk import risk_scores
+    from solana_etl_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "holder", json_str(F.col("props"), "$.k")
+    )
+    native = risk_scores(
+        ev, key="user_id", holder_col="holder", buyer_col="holder",
+        buy_type_col="event_type", buy_type_value="purchase",
+        excluded_keys=[0, 1],
+    )
+    grouped = risk_scores_grouped_map(
+        ev.filter(~F.col("user_id").isin([0, 1]))
+    )
+    n = {r.user_id: r for r in native.collect()}
+    g = {r.user_id: r for r in grouped.collect()}
+    assert set(n) == set(g)
+    for uid in n:
+        assert n[uid].unique_holders == g[uid].unique_holders
+        assert abs(n[uid].safety_score - g[uid].safety_score) < 1e-9
+
+
+def test_broadcast_enrich_defaults(spark):
+    from solana_etl_pipeline_spark.operators.enrich import broadcast_enrich
+
+    facts = spark.createDataFrame([Row(mint="a"), Row(mint="b")])
+    dim = spark.createDataFrame([Row(mint="a", token_name="Alpha")])
+    out = {r.mint: r.token_name for r in
+           broadcast_enrich(facts, dim, "mint", "token_name").collect()}
+    assert out == {"a": "Alpha", "b": "Unknown"}
