@@ -14,6 +14,7 @@ from solana_etl_pipeline_spark.queries import functions_zoo as _functions_zoo
 from solana_etl_pipeline_spark.queries import io as _io
 from solana_etl_pipeline_spark.queries import joins as _joins
 from solana_etl_pipeline_spark.queries import llm as _llm
+from solana_etl_pipeline_spark.queries import misc as _misc
 from solana_etl_pipeline_spark.queries import nested as _nested
 from solana_etl_pipeline_spark.queries import reference as _reference
 from solana_etl_pipeline_spark.queries import setops as _setops
@@ -35,6 +36,7 @@ for _mod in (
     _streaming,
     _io,
     _functions_zoo,
+    _misc,
 ):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard

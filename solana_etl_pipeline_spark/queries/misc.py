@@ -1,0 +1,161 @@
+"""Remaining operator coverage: as-of join, Python UDTF expansion (D3),
+negative-substring predicates (P6), and the string↔timestamp round-trip
+(F2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.functions.timestamps import format_ts, parse_ts
+from solana_etl_pipeline_spark.operators.asof import asof_join
+from solana_etl_pipeline_spark.queries.base import QuerySpec
+from solana_etl_pipeline_spark.sources import load_table
+
+
+def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks up the value of the same
+    user's most recent purchase at-or-before it (null if none yet)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.round("value", 6).alias("value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 6).alias("purchase_value")
+    )
+    joined = asof_join(
+        errors, purchases, key="user_id", ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("purchase_value_asof").alias("prior_purchase_value"),
+    )
+
+
+def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 general case: a Python UDTF (Spark 3.5+) expanding one
+    document into one row per 10-word chunk — the record-expanding
+    shape of ``process_helius_transaction`` (``clean_data.py:36-72``)
+    when no built-in explode applies. Arrow-evaluated; prefer
+    ``explode``/``posexplode`` wherever the expansion is expressible
+    as an array."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_words int")
+    class WordChunks:
+        def eval(self, text: str):
+            words = text.strip().lower().split()
+            for i in range(0, max(len(words), 1), 10):
+                yield i // 10, min(10, len(words) - i)
+
+    spark.udtf.register("word_chunks", WordChunks)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT c.chunk_idx,
+               count(*) AS n_chunks,
+               sum(c.chunk_words) AS total_words
+        FROM documents_udtf, LATERAL word_chunks(text) AS c
+        GROUP BY c.chunk_idx
+        """
+    )
+
+
+def negative_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: exclude rows whose payload contains a substring (the
+    reference's ``DEST_PREFIX in key`` exclusions) + suffix predicate
+    (P5) on a derived name."""
+    ev = load_table(spark, sf_dir, "events")
+    name = F.concat(F.col("event_type"), F.lit("/"), F.col("event_id"))
+    return (
+        ev.withColumn("name", name)
+        .filter(~F.col("props").contains('"k": 4'))
+        .filter(F.col("name").startswith("p"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: format → parse round-trip; seconds-grain timestamps must
+    survive exactly (the reference's store-as-string / re-parse cycle,
+    ``streamlit 1.3.txt:51``)."""
+    ev = load_table(spark, sf_dir, "events")
+    truncated = F.date_trunc("second", F.col("ts"))
+    rendered = format_ts(truncated)
+    reparsed = parse_ts(rendered)
+    return (
+        ev.select(
+            (reparsed == truncated).alias("roundtrip_exact"),
+        )
+        .groupBy("roundtrip_exact")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "asof_prior_purchase": QuerySpec(
+        spark=asof_prior_purchase,
+        oracle="""
+            SELECT e.user_id, e.event_id, round(e.value, 6) AS value,
+                   p.purchase_value AS prior_purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            ASOF LEFT JOIN (
+              SELECT user_id, ts, round(value, 6) AS purchase_value
+              FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        doc="As-of (nearest-prior) join via union+window, no range explosion",
+        tags=("§2.11", "W"),
+    ),
+    "udtf_word_chunks": QuerySpec(
+        spark=udtf_word_chunks,
+        oracle="""
+            WITH sized AS (
+              SELECT len(string_split(lower(trim(text)), ' ')) AS n_words
+              FROM documents),
+            chunks AS (
+              SELECT n_words,
+                     unnest(range(0, CAST(ceil(n_words / 10.0) AS BIGINT)))
+                       AS chunk_idx
+              FROM sized)
+            SELECT CAST(chunk_idx AS INT) AS chunk_idx,
+                   count(*) AS n_chunks,
+                   sum(least(10, n_words - 10 * chunk_idx)) AS total_words
+            FROM chunks GROUP BY 1
+        """,
+        doc="Python UDTF record expansion (D3 general case)",
+        tags=("D3",),
+    ),
+    "negative_substring_filter": QuerySpec(
+        spark=negative_substring_filter,
+        oracle="""
+            SELECT event_type, count(*) AS n_events
+            FROM events
+            WHERE props NOT LIKE '%"k": 4%'
+              AND (event_type || '/' || event_id) LIKE 'p%'
+            GROUP BY 1
+        """,
+        doc="Negative substring + prefix predicates (P5/P6)",
+        tags=("P5", "P6"),
+    ),
+    "timestamp_parse_roundtrip": QuerySpec(
+        spark=timestamp_parse_roundtrip,
+        oracle="""
+            SELECT strptime(strftime(date_trunc('second', ts),
+                                     '%Y-%m-%d %H:%M:%S'),
+                            '%Y-%m-%d %H:%M:%S')
+                     = date_trunc('second', ts) AS roundtrip_exact,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        doc="String↔timestamp round-trip at seconds grain (F2)",
+        tags=("F2", "F3"),
+    ),
+}

@@ -30,11 +30,15 @@ def read_json_dir(
     path: str,
     schema: StructType,
     path_glob: str | None = None,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """S5/S6: schema-enforced JSON directory scan. ``path_glob`` is the
     reference's suffix predicate (P5, ``endswith('.json')``) pushed to
-    the listing, not a row filter."""
-    reader = spark.read.schema(schema)
+    the listing, not a row filter. ``mode='DROPMALFORMED'`` is the
+    row-level form of the reference's skip-empty/corrupt-file guards
+    (P12, ``clean_data.py:315-328``): bad records drop instead of
+    crashing the batch."""
+    reader = spark.read.schema(schema).option("mode", mode)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     return reader.json(path)
