@@ -20,6 +20,7 @@ from solana_etl_pipeline_spark.queries import reference as _reference
 from solana_etl_pipeline_spark.queries import setops as _setops
 from solana_etl_pipeline_spark.queries import sorts as _sorts
 from solana_etl_pipeline_spark.queries import streaming as _streaming
+from solana_etl_pipeline_spark.queries import tpch as _tpch
 from solana_etl_pipeline_spark.queries import windows as _windows
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -37,6 +38,7 @@ for _mod in (
     _io,
     _functions_zoo,
     _misc,
+    _tpch,
 ):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard

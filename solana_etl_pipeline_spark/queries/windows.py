@@ -81,6 +81,30 @@ def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ``session_window``: per-user activity bursts separated by
+    ≥ 30 minutes (the oracle models it as gaps-and-islands — proof the
+    built-in matches the classical SQL construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_topk_per_hour": QuerySpec(
         spark=window_topk_per_hour,
@@ -140,5 +164,31 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="rank/dense_rank/ntile ranking family",
         tags=("W",),
+    ),
+    "window_sessionize_batch": QuerySpec(
+        spark=window_sessionize_batch,
+        oracle="""
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            islands AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked)
+            SELECT user_id,
+                   strftime(CAST(min(ts) AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM islands GROUP BY user_id, session_id
+        """,
+        doc="Batch session_window vs gaps-and-islands oracle",
+        tags=("W", "§2.11"),
     ),
 }

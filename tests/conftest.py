@@ -13,11 +13,13 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
     spark = build_session(
         app_name="solana-etl-pipeline-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
+        extra_confs={"spark.sql.warehouse.dir": warehouse},
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark

@@ -1,0 +1,118 @@
+"""Scale-mechanism tests: bucketed co-located joins (shuffle
+elimination), persist/cache reuse (T9/X6), and plan-shape audits
+(pushdown, broadcast) for the queries that must hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.queries import QUERIES
+from solana_etl_pipeline_spark.sources import load_table
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_explain(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key join WITHOUT an
+    Exchange — the co-location mechanism for repeated big-big joins."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    left = ev.select("event_id", "user_id", "value")
+    right = ev.select("event_id", "event_type")
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    (left.write.bucketBy(4, "event_id").sortBy("event_id")
+         .mode("overwrite").saveAsTable("b_left"))
+    (right.write.bucketBy(4, "event_id").sortBy("event_id")
+          .mode("overwrite").saveAsTable("b_right"))
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # small tables would otherwise broadcast; the point here is the
+        # big-big case, where bucketing must eliminate the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_left").join(spark.table("b_right"), "event_id")
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_persist_reuse(spark, sf_dir):
+    """T9/X6: an explicitly persisted intermediate is marked cached and
+    serves multiple downstream actions."""
+    ev = load_table(spark, sf_dir, "events")
+    snapshot = ev.filter(F.col("event_type") == "purchase").persist()
+    try:
+        n1 = snapshot.count()
+        n2 = snapshot.select(F.sum("value")).collect()[0][0]
+        assert n1 > 0 and n2 is not None
+        assert snapshot.storageLevel.useMemory
+        assert "InMemoryTableScan" in _executed_plan(snapshot.groupBy().count())
+    finally:
+        snapshot.unpersist()
+
+
+def test_scan_pushdown_projection_and_filter(spark, sf_dir):
+    """X1/X2: the narrow projection + equality predicate reach the
+    parquet scan (PushedFilters + pruned ReadSchema)."""
+    df = QUERIES["events_project_filter"].spark(spark, sf_dir)
+    plan = _optimized_explain(df)
+    assert "PushedFilters" in plan and "EqualTo(event_type,purchase)" in plan
+    assert "ReadSchema" in plan
+    # only the needed columns are read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("event_id", "user_id", "value", "event_type"):
+        assert col in read_schema
+    assert "props" not in read_schema and "ts" not in read_schema
+
+
+def test_q6_predicates_all_pushed(spark, sf_dir):
+    plan = _optimized_explain(
+        QUERIES["tpch_q6_forecast_revenue"].spark(spark, sf_dir)
+    )
+    assert "PushedFilters" in plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in plan
+
+
+def test_broadcast_joins_in_q5(spark, sf_dir):
+    plan = _executed_plan(
+        QUERIES["tpch_q5_local_supplier_volume"].spark(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    plan = _executed_plan(QUERIES["risk_scores_topk"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Audit every registered batch query plan: no accidental cartesian
+    or broadcast nested-loop joins (the llm cosine brute force is the
+    one sanctioned crossJoin — a broadcast of 5 query vectors)."""
+    sanctioned = {"llm_cosine_topk", "llm_lsh_cosine_topk"}
+    offenders = []
+    for name, spec in QUERIES.items():
+        if name in sanctioned or name.startswith("streaming"):
+            continue
+        if name.startswith(("sink_", "enrich_http")):
+            continue  # write temp dirs; plan shape covered elsewhere
+        plan = _executed_plan(spec.spark(spark, sf_dir))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
