@@ -22,7 +22,11 @@ from solana_etl_pipeline_spark.llm.multimodal import (
     documents_as_assets,
     featurize_assets,
 )
-from solana_etl_pipeline_spark.llm.similarity import cosine_topk, lsh_cosine_topk
+from solana_etl_pipeline_spark.llm.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from solana_etl_pipeline_spark.llm.textstats import (
     STOPWORDS,
     TOKEN_REGEX,
@@ -139,6 +143,21 @@ def llm_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
     return lsh_cosine_topk(emb, queries, k=5)
+
+
+def llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-5 (rows-only): codebook = the 8
+    highest-id vectors (deterministic stand-in for k-means centroids),
+    nprobe=1 cluster search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = F.broadcast(emb.groupBy().agg(F.max("vec_id").alias("m")))
+    centroids = (
+        emb.crossJoin(max_id)
+        .filter(F.col("vec_id") > F.col("m") - 8)
+        .select((F.col("m") - F.col("vec_id")).alias("cluster_id"), "embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    return ivf_cosine_topk(emb, queries, centroids, k=5)
 
 
 def llm_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,6 +352,12 @@ QUERIES: dict[str, QuerySpec] = {
         spark=llm_lsh_cosine_topk,
         oracle=None,
         doc="Hyperplane-LSH bucketed cosine top-k (rows-only; recall tested)",
+        tags=("§2.11",),
+    ),
+    "llm_ivf_cosine_topk": QuerySpec(
+        spark=llm_ivf_cosine_topk,
+        oracle=None,
+        doc="IVF (coarse-quantized) cosine top-k, nprobe=1 (rows-only)",
         tags=("§2.11",),
     ),
     "llm_multimodal_featurize": QuerySpec(

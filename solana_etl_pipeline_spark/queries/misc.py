@@ -99,6 +99,30 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def typed_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 typed form: ``from_json`` with a static schema over the raw
+    payload column (vs the ad-hoc ``get_json_object`` path) — missing
+    fields become typed nulls, the contract form of ``.get(k,
+    default)``."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "struct<k: bigint, missing: string>").alias("p")
+    )
+    return (
+        parsed.select(
+            F.col("p.k").alias("k"),
+            F.col("p.missing").isNull().alias("missing_is_null"),
+        )
+        .groupBy("missing_is_null")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "asof_prior_purchase": QuerySpec(
         spark=asof_prior_purchase,
@@ -144,6 +168,23 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Negative substring + prefix predicates (P5/P6)",
         tags=("P5", "P6"),
+    ),
+    "typed_props_parse": QuerySpec(
+        spark=typed_props_parse,
+        oracle="""
+            SELECT json_extract_string(props, '$.missing') IS NULL
+                     AS missing_is_null,
+                   count(*) AS n_events,
+                   sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS sum_k,
+                   min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS min_k,
+                   max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS max_k
+            FROM events GROUP BY 1
+        """,
+        doc="Typed from_json parse with static schema (S6 contract form)",
+        tags=("S6", "F13", "P10"),
     ),
     "timestamp_parse_roundtrip": QuerySpec(
         spark=timestamp_parse_roundtrip,

@@ -113,6 +113,26 @@ def test_lsh_cosine_vs_exact_sanity(spark, sf_dir):
             assert r.cosine <= e1[r.query_id] + 1e-9
 
 
+def test_ivf_finds_planted_neighbor_in_cluster(spark, sf_dir):
+    """IVF invariant: an exact-duplicate vector always lands in the
+    same cluster as its query, so nprobe=1 search must find it."""
+    from solana_etl_pipeline_spark.llm.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    queries = emb.filter(F.col("vec_id") < 3)
+    centroids = emb.filter(F.col("vec_id") >= 90).select(
+        (F.col("vec_id") - 90).alias("cluster_id"), "embedding"
+    )
+    out = ivf_cosine_topk(corpus, queries, centroids, k=5)
+    rank1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rank == 1}
+    for qid in range(3):
+        assert rank1[qid] == qid + 1000
+
+
 def test_language_id_markers(spark):
     rows = [
         Row(doc_id=0, text="the cat and the dog of the house"),

@@ -1,0 +1,112 @@
+"""Property-based invariants (SURVEY.md §5): algebraic laws that must
+hold for ANY input frame — filter-pushdown equivalence, union count
+additivity, dedup idempotence, cast-coerce totality.
+
+Hypothesis generates the row sets; one shared local session executes
+them. Examples are kept small (Spark job latency dominates), but the
+generators cover nulls, negatives, empty strings, and duplicates.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("v", DoubleType(), True),
+        StructField("s", StringType(), True),
+    ]
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=32)),
+        st.one_of(st.none(), st.sampled_from(["", "a", "b", "12x", "7"])),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(
+        [Row(k=k, v=v, s=s) for k, v, s in data], schema=SCHEMA
+    )
+
+
+@_SETTINGS
+@given(data=rows)
+def test_filter_commutes_with_projection(spark, data):
+    """filter→select ≡ select→filter (the law behind pushdown)."""
+    df = _df(spark, data)
+    a = df.filter(F.col("k") > 0).select("k", "v").collect()
+    b = df.select("k", "v").filter(F.col("k") > 0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@_SETTINGS
+@given(data1=rows, data2=rows)
+def test_union_count_additivity(spark, data1, data2):
+    df1, df2 = _df(spark, data1), _df(spark, data2)
+    assert df1.unionByName(df2).count() == df1.count() + df2.count()
+
+
+@_SETTINGS
+@given(data=rows)
+def test_dedup_idempotent(spark, data):
+    df = _df(spark, data)
+    once = df.dropDuplicates(["k"])
+    twice = once.dropDuplicates(["k"])
+    assert once.count() == twice.count()
+    assert once.count() == df.select("k").distinct().count()
+
+
+@_SETTINGS
+@given(data=rows)
+def test_cast_coerce_never_throws_and_nulls_bad(spark, data):
+    """F4: try_cast is total — dirty strings become null, never errors
+    (pd.to_numeric(errors='coerce') parity)."""
+    df = _df(spark, data)
+    out = df.select(
+        "s", F.col("s").try_cast("bigint").alias("n")
+    ).collect()
+    for r in out:
+        if r.s in ("7",):
+            assert r.n == 7
+        elif r.s in ("", "a", "b", "12x") or r.s is None:
+            assert r.n is None
+
+
+@_SETTINGS
+@given(data=rows)
+def test_exact_dedup_groups_partition_input(spark, data):
+    """llm exact dedup: group sizes sum to input size; survivors are
+    group minima."""
+    from solana_etl_pipeline_spark.llm.dedup import exact_dedup_groups
+
+    df = _df(spark, data).withColumn(
+        "sid", F.monotonically_increasing_id()
+    )
+    groups = exact_dedup_groups(
+        df.withColumn("s", F.coalesce("s", F.lit("<null>"))), ["s"], "sid"
+    ).collect()
+    assert sum(g.n_copies for g in groups) == df.count()

@@ -105,7 +105,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     """Audit every registered batch query plan: no accidental cartesian
     or broadcast nested-loop joins (the llm cosine brute force is the
     one sanctioned crossJoin — a broadcast of 5 query vectors)."""
-    sanctioned = {"llm_cosine_topk", "llm_lsh_cosine_topk"}
+    # cosine brute-force broadcasts 5 query vectors; IVF broadcasts an
+    # 8-row codebook — both are deliberate small-side cross joins
+    sanctioned = {"llm_cosine_topk", "llm_lsh_cosine_topk", "llm_ivf_cosine_topk"}
     offenders = []
     for name, spec in QUERIES.items():
         if name in sanctioned or name.startswith("streaming"):
