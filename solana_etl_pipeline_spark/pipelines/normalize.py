@@ -144,16 +144,38 @@ def dispatch_and_flatten(raw: DataFrame, json_col: str = "raw") -> DataFrame:
     """P11 structure dispatch: route each raw document by shape.
 
     The reference sniffs ``"metadata" in data`` vs ``isinstance(data,
-    list)`` (``clean_data.py:84,124,129-130``); here both schemas are
-    tried with ``from_json`` and the wrapped parse wins when its
-    ``metadata`` field materialized. One pass, no Python.
+    list)`` (``clean_data.py:84,124,129-130``). Here each document is
+    parsed against both schemas exactly once in a single projection —
+    a JSON object parses under HELIUS_WRAPPED, a JSON array under
+    ArrayType(HELIUS_TRANSACTION), and whichever materialized wins via
+    ``coalesce``. One narrow pass, no filter/union re-parse, no Python.
     """
-    is_wrapped = F.from_json(F.col(json_col), HELIUS_WRAPPED)[
-        "metadata"
-    ].isNotNull()
-    wrapped = flatten_wrapped_documents(raw.filter(is_wrapped), json_col)
-    bare = flatten_bare_transactions(raw.filter(~is_wrapped), json_col)
-    return wrapped.unionByName(bare)
+    parsed = raw.select(
+        F.from_json(F.col(json_col), HELIUS_WRAPPED).alias("w"),
+        F.from_json(F.col(json_col), ArrayType(HELIUS_TRANSACTION)).alias("b"),
+    )
+    md = F.col("w")["metadata"]
+    exploded = parsed.select(
+        md.alias("md"),
+        F.explode_outer(
+            F.coalesce(F.col("w")["transactions"], F.col("b"))
+        ).alias("tx"),
+    ).select(
+        "md", "tx", F.explode_outer(F.col("tx")["tokenTransfers"]).alias("transfer")
+    )
+    md, tx = F.col("md"), F.col("tx")
+    # wrapped docs get the fixed 'Helius' source label (clean_data.py:95);
+    # bare docs keep their own source field (clean_data.py:41)
+    source = F.when(md.isNotNull(), F.lit("Helius")).otherwise(_s(tx["source"]))
+    return exploded.select(
+        *_flatten_one_transaction(
+            tx,
+            token_name=md["token_name"],
+            token_symbol=md["token_symbol"],
+            mint_fallback=md["mint"],
+            source_label=source,
+        )
+    )
 
 
 def normalize_websocket_messages(raw: DataFrame, json_col: str = "raw") -> DataFrame:
