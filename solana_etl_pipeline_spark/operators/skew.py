@@ -1,0 +1,87 @@
+"""Skew mitigation: salted aggregation and salted joins (SURVEY.md §4;
+the 100 TB brief's "skewed keys hurt" clause).
+
+AQE's skew-join splitting (on by default, ``session.RUNTIME_CONFS``)
+handles most skew at runtime; explicit salting is the deterministic
+fallback when one key dominates so hard that even split partitions
+bottleneck (a viral mint, a null-heavy join key):
+
+- **Salted aggregation**: two-stage — partial aggregate on
+  (key, salt) spreads one hot key over N partitions, then a final
+  aggregate on key merges the partials. Works for any algebraic
+  aggregate (sum/count/min/max); the general decomposition the engine's
+  partial+final hash aggregate already does per-partition, made
+  explicit across the shuffle.
+- **Salted join**: fact side gets a random-but-deterministic salt in
+  [0, N); the (small) build side is replicated N× with every salt value
+  so each fact partition still finds its match. Trades N× build-side
+  duplication for an N-way split of the hot key's partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(key: Column, buckets: int) -> Column:
+    """Deterministic per-row salt in [0, buckets): hash of the full row
+    key plus a uniform spreader. xxhash64 of monotonically varying
+    columns is not available generically, so spread by key-hash XOR
+    partition-local row position proxy (rand is banned for determinism:
+    use hash of the key column + a secondary column when provided)."""
+    return F.pmod(F.xxhash64(key, F.monotonically_increasing_id()), buckets)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[str, str]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {sum, count, min, max}. Example::
+
+        salted_aggregate(ev, "user_id",
+                         {"n": ("value", "count"), "total": ("value", "sum")})
+    """
+    partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    merge_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for _, (_, fn) in aggs.items():
+        if fn not in partial_fns:
+            raise ValueError(f"unsupported aggregate: {fn}")
+
+    salted = df.withColumn("_salt", _salt(F.col(key), buckets))
+    partial = salted.groupBy(key, "_salt").agg(
+        *[
+            partial_fns[fn](F.col(src)).alias(f"_p_{out}")
+            for out, (src, fn) in aggs.items()
+        ]
+    )
+    return partial.groupBy(key).agg(
+        *[
+            merge_fns[fn](F.col(f"_p_{out}")).alias(out)
+            for out, (src, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    facts: DataFrame,
+    build: DataFrame,
+    key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the build
+    side across all salt values, join on (key, salt). The build side
+    must be the small one — it grows ``buckets``×."""
+    salted_facts = facts.withColumn("_salt", _salt(F.col(key), buckets))
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(buckets - 1))
+    ).alias("_salt")
+    replicated = build.select("*", salts)
+    out = salted_facts.join(replicated, [key, "_salt"], how)
+    return out.drop("_salt")
