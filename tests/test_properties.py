@@ -60,7 +60,11 @@ def test_filter_commutes_with_projection(spark, data):
     df = _df(spark, data)
     a = df.filter(F.col("k") > 0).select("k", "v").collect()
     b = df.select("k", "v").filter(F.col("k") > 0).collect()
-    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)
 
 
 @_SETTINGS
