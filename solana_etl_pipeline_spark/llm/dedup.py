@@ -120,9 +120,11 @@ def minhash_near_dup_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_len)
 
+    # Band rows carry ONLY (id, band_idx, band_hash) — never the full
+    # signature: the bucket join shuffles bands*|docs| skinny rows, and
+    # signatures re-join only for the (few) surviving candidate pairs.
     band_entries = sigs.select(
         F.col(id_col),
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -142,22 +144,23 @@ def minhash_near_dup_pairs(
     )
 
     left = band_entries.select(
-        F.col(id_col).alias("id_a"),
-        F.col("sig").alias("sig_a"),
-        "band_idx",
-        "band_hash",
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
     right = band_entries.select(
-        F.col(id_col).alias("id_b"),
-        F.col("sig").alias("sig_b"),
-        "band_idx",
-        "band_hash",
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
     )
-    candidates = (
+    pair_ids = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    candidates = pair_ids.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+        "id_b",
     )
 
     est = (
