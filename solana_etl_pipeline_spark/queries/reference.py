@@ -224,6 +224,72 @@ def events_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def risk_banding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-token verdict table (``streamlit
+    1.3.txt:115-151``): each risk metric banded HIGH/MEDIUM/LOW plus
+    the overall 3-way verdict — implementing the *intended* semantics
+    (the reference's >80 branch crashes on a missing dict key,
+    SURVEY.md §0 bug 2)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "holder", json_str(F.col("props"), "$.k")
+    )
+    scored = risk_scores(
+        ev,
+        key="user_id",
+        holder_col="holder",
+        buyer_col="holder",
+        buy_type_col="event_type",
+        buy_type_value="purchase",
+        excluded_keys=EXCLUDED_USER_IDS,
+    )
+    return scored.select(
+        "user_id",
+        risk_band(F.col("ownership_risk")).alias("ownership_band"),
+        risk_band(F.col("liquidity_risk")).alias("liquidity_band"),
+        risk_band(F.col("txn_concentration")).alias("concentration_band"),
+        risk_band(F.col("jeet_risk_score")).alias("overall_band"),
+        F.col("safety_score"),
+    )
+
+
+def token_detail_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's drill-down (``streamlit 1.3.txt:165-181``):
+    select the safest key, render its display label, and list its
+    newest 100 events — the full dashboard read path as one query."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "holder", json_str(F.col("props"), "$.k")
+    )
+    scored = risk_scores(
+        ev,
+        key="user_id",
+        holder_col="holder",
+        buyer_col="holder",
+        buy_type_col="event_type",
+        buy_type_value="purchase",
+        excluded_keys=EXCLUDED_USER_IDS,
+    )
+    top1 = F.broadcast(
+        top_k_by_safety(scored, key="user_id", k=1).select(
+            "user_id", "safety_score"
+        )
+    )
+    label = F.concat_ws(
+        " | ", F.concat(F.lit("user_"), F.col("user_id")), F.col("user_id")
+    )
+    return (
+        ev.join(top1, "user_id")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(100)
+        .select(
+            label.alias("label"),
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            "safety_score",
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "risk_scores_topk": QuerySpec(
         spark=risk_scores_topk,
@@ -236,6 +302,95 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=None,
         doc="Flagship with HLL++ approx distinct counts (scale path; rows-only)",
         tags=("A2", "A3", "X-scale"),
+    ),
+    "risk_banding_report": QuerySpec(
+        spark=risk_banding_report,
+        oracle="""
+            WITH agg AS (
+              SELECT user_id,
+                     count(DISTINCT json_extract_string(props, '$.k'))
+                       AS unique_holders,
+                     count(DISTINCT CASE WHEN event_type = 'purchase'
+                       THEN json_extract_string(props, '$.k') END)
+                       AS unique_buyers,
+                     count(*) AS total_events
+              FROM events WHERE user_id NOT IN (0, 1) GROUP BY user_id
+            ), scored AS (
+              -- raw (unrounded) components, matching operators/risk.py,
+              -- which rounds only at output; bands apply to the rounded
+              -- columns exactly as the Spark side does
+              SELECT user_id,
+                CASE WHEN unique_holders > 0
+                     THEN 100.0 / (1.0 + unique_holders)
+                     ELSE 100.0 END AS ownership_risk,
+                CASE WHEN unique_buyers > 0
+                     THEN 100.0 / (1.0 + unique_buyers)
+                     ELSE 100.0 END AS liquidity_risk,
+                total_events / (1.0 + unique_holders) AS txn_concentration
+              FROM agg
+            ), weighted AS (
+              SELECT *, 0.4 * ownership_risk + 0.4 * liquidity_risk
+                        + 0.2 * txn_concentration AS jeet_risk_score
+              FROM scored)
+            SELECT user_id,
+              CASE WHEN round(ownership_risk, 6) > 80 THEN 'HIGH'
+                   WHEN round(ownership_risk, 6) > 50 THEN 'MEDIUM'
+                   ELSE 'LOW' END AS ownership_band,
+              CASE WHEN round(liquidity_risk, 6) > 80 THEN 'HIGH'
+                   WHEN round(liquidity_risk, 6) > 50 THEN 'MEDIUM'
+                   ELSE 'LOW' END AS liquidity_band,
+              CASE WHEN round(txn_concentration, 6) > 80 THEN 'HIGH'
+                   WHEN round(txn_concentration, 6) > 50 THEN 'MEDIUM'
+                   ELSE 'LOW' END AS concentration_band,
+              CASE WHEN round(jeet_risk_score, 6) > 80 THEN 'HIGH'
+                   WHEN round(jeet_risk_score, 6) > 50 THEN 'MEDIUM'
+                   ELSE 'LOW' END AS overall_band,
+              round(greatest(0.0, 100.0 - jeet_risk_score), 6)
+                AS safety_score
+            FROM weighted
+        """,
+        doc="Per-key banded verdict table, intended semantics of the "
+        "reference's crashing >80 branch (streamlit 1.3.txt:115-151)",
+        tags=("F11", "F12", "A5"),
+    ),
+    "token_detail_view": QuerySpec(
+        spark=token_detail_view,
+        oracle="""
+            WITH agg AS (
+              SELECT user_id,
+                     count(DISTINCT json_extract_string(props, '$.k'))
+                       AS unique_holders,
+                     count(DISTINCT CASE WHEN event_type = 'purchase'
+                       THEN json_extract_string(props, '$.k') END)
+                       AS unique_buyers,
+                     count(*) AS total_events
+              FROM events WHERE user_id NOT IN (0, 1) GROUP BY user_id
+            ), weighted AS (
+              SELECT user_id,
+                0.4 * (CASE WHEN unique_holders > 0
+                       THEN 100.0 / (1.0 + unique_holders)
+                       ELSE 100.0 END)
+                + 0.4 * (CASE WHEN unique_buyers > 0
+                         THEN 100.0 / (1.0 + unique_buyers)
+                         ELSE 100.0 END)
+                + 0.2 * (total_events / (1.0 + unique_holders)) AS jeet
+              FROM agg
+            ), top1 AS (
+              SELECT user_id,
+                     round(greatest(0.0, 100.0 - jeet), 6) AS safety_score
+              FROM weighted
+              ORDER BY safety_score DESC, user_id LIMIT 1)
+            SELECT 'user_' || e.user_id || ' | ' || e.user_id AS label,
+                   e.event_id, e.event_type,
+                   round(e.value, 6) AS value,
+                   t.safety_score
+            FROM events e JOIN top1 t ON e.user_id = t.user_id
+            ORDER BY e.ts DESC, e.event_id
+            LIMIT 100
+        """,
+        doc="Dashboard drill-down: top-safety key, label, newest-100 "
+        "events (streamlit 1.3.txt:165-181)",
+        tags=("F7", "O7", "P8", "O2"),
     ),
     "events_project_filter": QuerySpec(
         spark=events_project_filter,

@@ -83,6 +83,37 @@ def test_cross_batch_dedup_and_idempotent_restart(spark, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """§2.11 surface: dropDuplicatesWithinWatermark — dedup keyed only
+    on business keys with state bounded by the watermark horizon (the
+    form recommended when event times of duplicates differ)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = time.time()
+    _write_landing_file(
+        str(landing / "f1.json"),
+        [_event(1, 5, "2024-01-01T01:00:00.000Z")],
+        now - 20,
+    )
+    _write_landing_file(
+        str(landing / "f2.json"),
+        [
+            # duplicate key, slightly different event time (a retry)
+            _event(1, 5, "2024-01-01T01:00:30.000Z"),
+            _event(2, 5, "2024-01-01T01:05:00.000Z"),
+        ],
+        now - 10,
+    )
+    stream = landing_stream(spark, str(landing), EVENTS, max_files_per_trigger=1)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_id"]
+    )
+    out = str(tmp_path / "out")
+    run_available_now_to_parquet(deduped, out, str(tmp_path / "ckpt"))
+    ids = [r.event_id for r in spark.read.parquet(out).collect()]
+    assert sorted(ids) == [1, 2]
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Late-data policy: after the watermark advances past an event's
     timestamp (minus the delay), a late-arriving duplicate-keyed or
