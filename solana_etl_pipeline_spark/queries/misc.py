@@ -99,6 +99,48 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): rows
+    with a null join key still pair with null-keyed dimension rows —
+    the §2.11 completeness case ordinary equi-joins drop."""
+    ev = load_table(spark, sf_dir, "events")
+    # key: k mod 5, but null for error events — guarantees null keys
+    keyed = ev.select(
+        F.when(
+            F.col("event_type") != "error",
+            F.get_json_object("props", "$.k").try_cast("bigint") % 5,
+        ).alias("k"),
+        "value",
+    )
+    dim = spark.createDataFrame(
+        [(None, "missing")] + [(i, f"bucket_{i}") for i in range(5)],
+        "k bigint, bucket string",
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed.k.eqNullSafe(dim.k))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def regexp_extract_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction (a SURVEY §2.8 gap row): parse the numeric id
+    out of the source tag with a capture group and aggregate on it."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"src(\d+)", 1).try_cast("bigint")
+    return (
+        docs.select(src_num.alias("src_num"), "n_chars")
+        .groupBy("src_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def typed_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 typed form: ``from_json`` with a static schema over the raw
     payload column (vs the ad-hoc ``get_json_object`` path) — missing
@@ -168,6 +210,39 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Negative substring + prefix predicates (P5/P6)",
         tags=("P5", "P6"),
+    ),
+    "nullsafe_join_counts": QuerySpec(
+        spark=nullsafe_join_counts,
+        oracle="""
+            WITH keyed AS (
+              SELECT CASE WHEN event_type <> 'error'
+                     THEN TRY_CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) % 5 END AS k,
+                     value
+              FROM events),
+            dim AS (
+              SELECT NULL::BIGINT AS k, 'missing' AS bucket
+              UNION ALL
+              SELECT i, 'bucket_' || i FROM generate_series(0, 4) AS t(i))
+            SELECT d.bucket, count(*) AS n_rows,
+                   round(sum(keyed.value), 4) AS sum_value
+            FROM keyed JOIN dim d ON keyed.k IS NOT DISTINCT FROM d.k
+            GROUP BY 1
+        """,
+        doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM)",
+        tags=("§2.11",),
+    ),
+    "regexp_extract_sources": QuerySpec(
+        spark=regexp_extract_sources,
+        oracle="""
+            SELECT TRY_CAST(regexp_extract(source, 'src(\\d+)', 1)
+                            AS BIGINT) AS src_num,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM documents GROUP BY 1
+        """,
+        doc="Regex capture-group extraction (SURVEY §2.8 gap)",
+        tags=("§2.11", "F5"),
     ),
     "typed_props_parse": QuerySpec(
         spark=typed_props_parse,

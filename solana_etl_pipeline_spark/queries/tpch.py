@@ -85,6 +85,46 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional counts (CASE inside SUM) per group —
+    line-status buckets by order priority class."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-revenue ratio — promo share of revenue in
+    a one-month window."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(
         spark=tpch_q1_pricing_summary,
@@ -140,5 +180,39 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="TPC-H Q6 scan-filter-agg, all predicates pushed",
         tags=("§2.11", "P8"),
+    ),
+    "tpch_q12_shipmode_priority": QuerySpec(
+        spark=tpch_q12_shipmode_priority,
+        oracle="""
+            SELECT l.l_linestatus,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        doc="TPC-H Q12 conditional counts per group",
+        tags=("§2.11", "F12"),
+    ),
+    "tpch_q14_promo_revenue": QuerySpec(
+        spark=tpch_q14_promo_revenue,
+        oracle="""
+            SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0.0 END)
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                     AS promo_revenue_pct,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        doc="TPC-H Q14 conditional-revenue ratio",
+        tags=("§2.11", "F9"),
     ),
 }
