@@ -182,6 +182,94 @@ def minhash_near_dup_pairs(
     )
 
 
+def ngram_jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard for given candidate pairs (id_a, id_b):
+    |A∩B| / |A∪B| over distinct word shingles.
+
+    This is the verify stage after any LSH candidate generator — cost
+    is proportional to candidate count × shingles, never corpus²: the
+    shingle join touches only pair members.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_len)).alias("sh"),
+    )
+    sizes = shingled.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a_sh = shingled.select(F.col("_id").alias("id_a"), "sh")
+    b_sh = shingled.select(F.col("_id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+    )
+    jaccard = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return out.select(
+        "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets
+    generate candidates (corpus self-join on band keys, never
+    all-pairs), exact cosine verifies against ``threshold``."""
+    from solana_etl_pipeline_spark.llm.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+        lsh_bucket_assignments,
+    )
+
+    buckets = lsh_bucket_assignments(emb, id_col, vec_col, n_planes, n_bands)
+    left = buckets.select(
+        F.col(id_col).alias("id_a"),
+        _as_double(F.col(vec_col)).alias("va"),
+        "band_idx",
+        "band_val",
+    )
+    right = buckets.select(
+        F.col(id_col).alias("id_b"),
+        _as_double(F.col(vec_col)).alias("vb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: long) — Charikar SimHash over word hashes.
 

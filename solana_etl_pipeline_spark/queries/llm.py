@@ -14,8 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.dedup import (
+    embedding_near_dup_pairs,
     exact_dedup_groups,
     minhash_near_dup_pairs,
+    ngram_jaccard_for_pairs,
     simhash_candidate_pairs,
 )
 from solana_etl_pipeline_spark.llm.multimodal import (
@@ -128,6 +130,29 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded candidates with Hamming ≤ 3 (rows-only)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard for each consecutive doc pair (doc_id,
+    doc_id+1) — a SQL-expressible candidate set so the verify stage
+    itself is oracle-checked (LSH candidate generation is covered by
+    the rows-only near-dup queries + planted tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    return ngram_jaccard_for_pairs(docs, pairs, "doc_id", "text")
+
+
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at 0.9 (rows-only: LSH
+    candidates; planted tests pin semantics). On the random fixture
+    this is usually empty — exactly right for distinct vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.9)
 
 
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +345,50 @@ QUERIES: dict[str, QuerySpec] = {
         spark=llm_simhash_near_dup,
         oracle=None,
         doc="SimHash band candidates, Hamming-verified (rows-only)",
+        tags=("§2.11",),
+    ),
+    "llm_ngram_jaccard": QuerySpec(
+        spark=llm_ngram_jaccard,
+        oracle="""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(text)), ' ')) AS w,
+                     generate_subscripts(
+                       string_split(lower(trim(text)), ' '), 1) AS pos
+              FROM documents),
+            shingles AS (
+              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+              FROM words a
+              JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+            sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+            pairs AS (
+              SELECT d1.doc_id AS id_a, d1.doc_id + 1 AS id_b
+              FROM documents d1
+              JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN shingles sa ON sa.doc_id = p.id_a
+              JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+              GROUP BY 1, 2)
+            SELECT p.id_a, p.id_b,
+                   round(coalesce(i.n_inter, 0) * 1.0
+                         / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6)
+                     AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN sizes za ON za.doc_id = p.id_a
+            JOIN sizes zb ON zb.doc_id = p.id_b
+        """,
+        doc="Exact n-gram Jaccard verify stage (SQL-expressible pair set)",
+        tags=("§2.11",),
+    ),
+    "llm_embedding_near_dup": QuerySpec(
+        spark=llm_embedding_near_dup,
+        oracle=None,
+        doc="Embedding-cosine near-dup via LSH buckets (rows-only)",
         tags=("§2.11",),
     ),
     "llm_cosine_topk": QuerySpec(

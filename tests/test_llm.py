@@ -133,6 +133,43 @@ def test_ivf_finds_planted_neighbor_in_cluster(spark, sf_dir):
         assert rank1[qid] == qid + 1000
 
 
+def test_ngram_jaccard_exact_values(spark, planted_docs):
+    """Exact Jaccard on known pairs: identical docs = 1.0; the one-word
+    edit changes exactly shingle_len=3 shingles of the 36 total."""
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.llm.dedup import ngram_jaccard_for_pairs
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=0, id_b=2), Row(id_a=0, id_b=1), Row(id_a=0, id_b=3)]
+    )
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_for_pairs(planted_docs, pairs,
+                                            "doc_id", "text").collect()}
+    assert out[(0, 2)] == 1.0
+    # one word changed in a w-word doc: 3 shingles differ per side
+    n = len(BASE.split())
+    total = n - 2  # distinct shingles per doc (all unique here)
+    inter = total - 3
+    expected = round(inter / (2 * total - inter), 6)
+    assert abs(out[(0, 1)] - expected) < 1e-6
+    assert out[(0, 3)] == 0.0
+
+
+def test_embedding_near_dup_finds_planted(spark, sf_dir):
+    from solana_etl_pipeline_spark.llm.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_dup_pairs(corpus, 0.95).collect()}
+    for qid in range(3):
+        assert pairs[(qid, qid + 1000)] == 1.0
+
+
 def test_language_id_markers(spark):
     rows = [
         Row(doc_id=0, text="the cat and the dog of the house"),
