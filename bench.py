@@ -24,6 +24,9 @@ from solana_etl_pipeline_spark.session import build_session
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # one long-lived JVM runs all ~70 queries; a larger heap keeps GC
+    # from taxing the later ones (overridable via env)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = build_session(app_name="solana-etl-pipeline-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
