@@ -226,6 +226,33 @@ def test_sliding_and_session_windows(spark, tmp_path):
     assert sessions[(2, "2024-01-01 10:45:00")] == 1
 
 
+def test_chained_streaming_queries(spark, tmp_path):
+    """T8: stage B readStreams stage A's sink — one DAG of chained
+    queries replaces the reference's subprocess chaining
+    (my_websocket.py:140). Landing JSON → bronze parquet (stream) →
+    bronze → hourly counts (stream)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        _event(i, i % 2, f"2024-01-01T{10 + i % 2:02d}:{i:02d}:00.000Z", 3.0)
+        for i in range(20)
+    ]
+    _write_landing_file(str(landing / "f1.json"), rows, time.time() - 5)
+
+    # stage A: landing -> bronze parquet
+    bronze = str(tmp_path / "bronze")
+    stage_a = landing_stream(spark, str(landing), EVENTS)
+    run_available_now_to_parquet(stage_a, bronze, str(tmp_path / "ckptA"))
+
+    # stage B: bronze -> windowed counts (readStream on A's sink)
+    stage_b = spark.readStream.schema(EVENTS).parquet(bronze)
+    t = run_available_now(
+        hourly_window_counts(stage_b), str(tmp_path / "ckptB"), "complete"
+    )
+    got = {r.hour: r.n_events for r in spark.table(t).collect()}
+    assert got == {"2024-01-01 10:00:00": 10, "2024-01-01 11:00:00": 10}
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     """applyInPandasWithState: state carries across micro-batches; the
     final update per user equals the batch aggregate."""
