@@ -1,0 +1,88 @@
+"""Silver → gold: the analytics tables the reference's dashboard reads
+(``streamlit 1.3.txt:83-113,165-167``), over the TRUE cleaned-
+transactions columns.
+
+``queries/reference.py`` exercises the same operators against the
+``events`` fixture for the oracle harness; this module is the
+production wiring: silver (15-col) in → per-mint risk scores + token
+names out, written as a partitioned gold table a dashboard polls
+(replacing the reference's 300 s cache TTL with plain re-read of a
+small table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.operators.enrich import broadcast_enrich
+from solana_etl_pipeline_spark.operators.risk import risk_scores, top_k_by_safety
+from solana_etl_pipeline_spark.sources.sinks import write_parquet
+
+#: The reference's excluded quote mints (wSOL/USDT/USDC,
+#: ``streamlit 1.3.txt:17-21``).
+EXCLUDED_MINTS = [
+    "So11111111111111111111111111111111111111112",
+    "Es9vMFrzaCERmJfrF4H2FYD4KCoNkY11McCe8BenwNYB",
+    "EPjFWdd5AufqSSqeM2qN1xzybapC8G4wEGGkZwyTDt1v",
+]
+
+
+def build_risk_gold(
+    silver: DataFrame,
+    token_names: DataFrame | None = None,
+    approximate: bool = False,
+) -> DataFrame:
+    """Per-mint risk table from the silver transactions table.
+
+    Column mapping to the reference's metrics: holders = distinct
+    ``to_account``; buyers = distinct ``from_account`` among SWAP-typed
+    rows; plus the first-seen token name per mint (A6). ``token_names``
+    is an optional (mint, token_name) dim — the DexScreener enrichment
+    — applied as a broadcast join with 'Unknown' default (J1/D1).
+    """
+    scored = risk_scores(
+        silver,
+        key="mint",
+        holder_col="to_account",
+        buyer_col="from_account",
+        buy_type_col="type",
+        buy_type_value="SWAP",
+        excluded_keys=EXCLUDED_MINTS,
+        approximate=approximate,
+    )
+    names = silver.groupBy("mint").agg(
+        F.min_by("token_name", "signature").alias("token_name")
+    )
+    gold = scored.join(names, "mint", "left")
+    if token_names is not None:
+        gold = gold.drop("token_name")
+        gold = broadcast_enrich(
+            gold, token_names, key="mint", value_col="token_name"
+        )
+    return gold
+
+
+def top_tokens(gold: DataFrame, k: int = 10) -> DataFrame:
+    """The dashboard's top-k safest tokens (``streamlit 1.3.txt:167``)."""
+    return top_k_by_safety(gold, key="mint", k=k)
+
+
+def write_gold(gold: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Gold tables are small (one row per mint): single coalesced file
+    per refresh, no partitioning needed."""
+    write_parquet(gold.coalesce(1), path, mode=mode)
+
+
+def refresh_gold(
+    spark: SparkSession,
+    silver_path: str,
+    gold_path: str,
+    token_names: DataFrame | None = None,
+) -> DataFrame:
+    """One dashboard refresh cycle: read silver, score, write gold."""
+    from solana_etl_pipeline_spark.pipelines.bronze_silver import read_silver
+
+    gold = build_risk_gold(read_silver(spark, silver_path), token_names)
+    write_gold(gold, gold_path)
+    return gold

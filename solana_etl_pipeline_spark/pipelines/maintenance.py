@@ -1,0 +1,54 @@
+"""Table maintenance: small-file compaction.
+
+Streaming sinks write one file per micro-batch per partition; at a 5 s
+trigger that is ~17k files/day/partition — the classic small-files
+problem that degrades every downstream scan (footer reads dominate).
+Compaction rewrites a table's files at a target size; run it as a
+periodic job against closed partitions (the reference's purge loop,
+``cleandata1.py:70-72``, reborn as maintenance instead of data loss).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def plan_target_files(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Estimate the post-compaction file count from the table's total
+    on-disk size (≥1)."""
+    # Hadoop FS API via the JVM: works for any supported filesystem
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    return max(1, int(total // target_bytes) + (1 if total % target_bytes else 0))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    partition_cols: list[str] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite ``path`` into ``out_path`` with ~``target_bytes`` files.
+
+    Writes to a NEW location then lets the caller swap directories —
+    never compacts in place (a failed in-place rewrite loses data).
+    Returns the target file count used.
+    """
+    n = plan_target_files(spark, path, target_bytes)
+    df = spark.read.parquet(path)
+    writer = df.repartition(n).write.mode("overwrite")
+    if partition_cols:
+        # repartition by partition columns so each output partition
+        # writes contiguous files
+        df2 = spark.read.parquet(path).repartition(n, *[F.col(c) for c in partition_cols])
+        writer = df2.write.mode("overwrite").partitionBy(*partition_cols)
+    writer.parquet(out_path)
+    return n
