@@ -33,6 +33,17 @@ def _words(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), "\\s+")
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for content-hash dedup: lowercase, strip
+    punctuation, collapse whitespace runs, trim. Near-identical
+    documents that differ only in case/punctuation/spacing collapse to
+    one hash — the standard pre-dedup normalization pass."""
+    lowered = F.lower(text)
+    no_punct = F.regexp_replace(lowered, r"[^\w\s]", "")
+    collapsed = F.regexp_replace(no_punct, r"\s+", " ")
+    return F.trim(collapsed)
+
+
 def text_stats(text: Column) -> dict[str, Column]:
     """Per-document stats: chars, words, avg word length, stopword
     ratio, punctuation ratio, digit ratio."""

@@ -16,6 +16,7 @@ from solana_etl_pipeline_spark.queries import joins as _joins
 from solana_etl_pipeline_spark.queries import llm as _llm
 from solana_etl_pipeline_spark.queries import misc as _misc
 from solana_etl_pipeline_spark.queries import nested as _nested
+from solana_etl_pipeline_spark.queries import quality as _quality
 from solana_etl_pipeline_spark.queries import reference as _reference
 from solana_etl_pipeline_spark.queries import setops as _setops
 from solana_etl_pipeline_spark.queries import sorts as _sorts
@@ -39,6 +40,7 @@ for _mod in (
     _functions_zoo,
     _misc,
     _tpch,
+    _quality,
 ):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard
