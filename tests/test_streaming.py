@@ -226,6 +226,42 @@ def test_sliding_and_session_windows(spark, tmp_path):
     assert sessions[(2, "2024-01-01 10:45:00")] == 1
 
 
+def test_clean_source_archives_consumed_files(spark, tmp_path):
+    """T6/S13: cleanSource moves files from COMPLETED batches out of
+    the landing dir (the reference's delete-after-consume, made
+    non-destructive); the final batch's file stays until a later batch
+    commits. Data delivery is unaffected."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    archive = str(tmp_path / "archive")
+    now = time.time()
+    for i in range(3):
+        _write_landing_file(
+            str(landing / f"f{i}.json"),
+            [_event(i, 1, "2024-01-01T00:00:00.000Z")],
+            now - 30 + i * 5,
+        )
+    stream = landing_stream(
+        spark,
+        str(landing),
+        EVENTS,
+        max_files_per_trigger=1,
+        clean_source="archive",
+        archive_dir=archive,
+    )
+    out = str(tmp_path / "out")
+    run_available_now_to_parquet(stream, out, str(tmp_path / "ckpt"))
+    time.sleep(2)  # archival runs as batches commit; give the last move a beat
+    assert spark.read.parquet(out).count() == 3  # delivery unaffected
+    remaining = set(os.listdir(landing))
+    archived = {
+        f for _, _, fs in os.walk(archive) for f in fs
+    } if os.path.exists(archive) else set()
+    # first two batches' files are out of the landing dir and archived
+    assert {"f0.json", "f1.json"} & remaining == set()
+    assert {"f0.json", "f1.json"} <= archived
+
+
 def test_chained_streaming_queries(spark, tmp_path):
     """T8: stage B readStreams stage A's sink — one DAG of chained
     queries replaces the reference's subprocess chaining
