@@ -141,6 +141,41 @@ def regexp_extract_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type with the summed value — the
+    wide-format reshape. Pivot values are enumerated explicitly (never
+    inferred: inference is an extra job and nondeterministic column
+    order at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["purchase", "click", "view", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 4))
+    )
+    # null -> 0.0 so the wide table is arithmetic-ready
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in types],
+    )
+
+
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: three metric columns become (metric, value) rows,
+    then a per-metric summary — the long-format reshape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+
+
 def typed_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 typed form: ``from_json`` with a static schema over the raw
     payload column (vs the ad-hoc ``get_json_object`` path) — missing
@@ -210,6 +245,42 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Negative substring + prefix predicates (P5/P6)",
         tags=("P5", "P6"),
+    ),
+    "pivot_event_values": QuerySpec(
+        spark=pivot_event_values,
+        oracle="""
+            SELECT user_id,
+                   coalesce(round(sum(CASE WHEN event_type = 'purchase'
+                            THEN value END), 4), 0.0) AS purchase,
+                   coalesce(round(sum(CASE WHEN event_type = 'click'
+                            THEN value END), 4), 0.0) AS click,
+                   coalesce(round(sum(CASE WHEN event_type = 'view'
+                            THEN value END), 4), 0.0) AS view,
+                   coalesce(round(sum(CASE WHEN event_type = 'signup'
+                            THEN value END), 4), 0.0) AS signup,
+                   coalesce(round(sum(CASE WHEN event_type = 'error'
+                            THEN value END), 4), 0.0) AS error
+            FROM events GROUP BY user_id
+        """,
+        doc="Pivot to wide format with explicit value list",
+        tags=("§2.11",),
+    ),
+    "unpivot_lineitem_metrics": QuerySpec(
+        spark=unpivot_lineitem_metrics,
+        oracle="""
+            WITH melted AS (
+              SELECT 'l_quantity' AS metric, l_quantity AS value
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', l_discount FROM lineitem)
+            SELECT metric, count(*) AS n_values,
+                   round(sum(value), 4) AS total
+            FROM melted GROUP BY metric
+        """,
+        doc="Unpivot/melt to long format + per-metric summary",
+        tags=("§2.11",),
     ),
     "nullsafe_join_counts": QuerySpec(
         spark=nullsafe_join_counts,

@@ -125,6 +125,45 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: outer-join aggregation histogram — customers bucketed
+    by how many orders they have, INCLUDING zero (the left join keeps
+    order-less customers; count(o_orderkey) ignores their nulls)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q22 shape: scalar subquery (global average) + anti join
+    (customers with no orders), expressed through the SQL API so
+    Catalyst plans a real ScalarSubquery + anti join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("c_q22")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("o_q22")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               count(*) AS n_custs,
+               round(sum(c_acctbal), 4) AS total_acctbal
+        FROM c_q22 c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM c_q22
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM o_q22 o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+        """
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(
         spark=tpch_q1_pricing_summary,
@@ -214,5 +253,33 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="TPC-H Q14 conditional-revenue ratio",
         tags=("§2.11", "F9"),
+    ),
+    "tpch_q13_customer_distribution": QuerySpec(
+        spark=tpch_q13_customer_distribution,
+        oracle="""
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                  FROM customer c
+                  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        doc="TPC-H Q13 outer-join aggregation histogram (zero-order bucket)",
+        tags=("§2.11",),
+    ),
+    "tpch_q22_global_sales_opportunity": QuerySpec(
+        spark=tpch_q22_global_sales_opportunity,
+        oracle="""
+            SELECT c_nationkey, count(*) AS n_custs,
+                   round(sum(c_acctbal), 4) AS total_acctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_nationkey
+        """,
+        doc="TPC-H Q22 scalar subquery + anti join",
+        tags=("§2.11",),
     ),
 }
