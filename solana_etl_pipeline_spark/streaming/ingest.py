@@ -182,6 +182,41 @@ def run_available_now(
     return name
 
 
+def foreach_batch_refresh(
+    stream: DataFrame,
+    refresh,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+):
+    """``foreachBatch`` — the sink-to-anything escape hatch: per
+    micro-batch, ``refresh(batch_df, batch_id)`` runs arbitrary batch
+    logic (merge into a gold table, upsert a store, call a service)
+    with exactly-once replay protection from the checkpoint (a retried
+    batch re-invokes refresh with the same batch_id — make it
+    idempotent on that id)."""
+    query = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+
+
+def with_observed_metrics(stream: DataFrame, name: str = "metrics") -> DataFrame:
+    """``observe()``: in-flight data-quality counters (rows, null keys,
+    value total) collected per micro-batch via QueryProgress — metrics
+    without a second pass over the data."""
+    return stream.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "null_keys"
+        ),
+        F.round(F.sum("value"), 4).alias("value_total"),
+    )
+
+
 def run_available_now_to_parquet(
     result: DataFrame,
     output_dir: str,
