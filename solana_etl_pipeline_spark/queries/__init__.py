@@ -22,6 +22,7 @@ from solana_etl_pipeline_spark.queries import setops as _setops
 from solana_etl_pipeline_spark.queries import sorts as _sorts
 from solana_etl_pipeline_spark.queries import streaming as _streaming
 from solana_etl_pipeline_spark.queries import tpch as _tpch
+from solana_etl_pipeline_spark.queries import tpch_deep as _tpch_deep
 from solana_etl_pipeline_spark.queries import windows as _windows
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -40,6 +41,7 @@ for _mod in (
     _functions_zoo,
     _misc,
     _tpch,
+    _tpch_deep,
     _quality,
 ):
     for _name, _spec in _mod.QUERIES.items():
