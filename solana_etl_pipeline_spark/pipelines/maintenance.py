@@ -52,3 +52,33 @@ def compact_parquet(
         writer = df2.write.mode("overwrite").partitionBy(*partition_cols)
     writer.parquet(out_path)
     return n
+
+
+def overwrite_day_partitions(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    day_col: str = "day",
+) -> None:
+    """Idempotent re-materialization of the day partitions present in
+    ``updates`` — dynamic partition overwrite replaces exactly those
+    directories and leaves every other partition untouched.
+
+    This is the backfill/late-restatement primitive at 100 TB: a
+    corrected day reruns as one job over that day's input, never a
+    full-table rewrite, and reruns converge to the same bytes (the
+    reference's delete-then-reupload loop, ``cleandata1.py:62-77``,
+    without its lost-update window). STATIC mode would silently drop
+    the untouched partitions; this helper scopes the conf flip and
+    restores it.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try:
+        (
+            updates.write.mode("overwrite")
+            .partitionBy(day_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -12,8 +12,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from solana_etl_pipeline_spark.operators.sketches import (
+    hll_daily_user_sketches,
+    hll_range_estimate,
+)
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
+
+
+def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style mergeable rollup: raw events → per-day HLL
+    sketches → range-union distinct-user estimate (see
+    ``operators/sketches.py``). Rows-only: sketch estimates have no SQL
+    oracle; ``tests/test_sketches.py`` pins rollup≡direct equality and
+    the error envelope vs exact count-distinct."""
+    daily = hll_daily_user_sketches(load_table(spark, sf_dir, "events"))
+    return hll_range_estimate(daily)
 
 
 def agg_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,6 +99,12 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_rollup_distinct_users": QuerySpec(
+        spark=sketch_rollup_distinct_users,
+        oracle=None,
+        doc="Mergeable per-day HLL sketch rollup → range distinct estimate",
+        tags=("§2.11", "A2"),
+    ),
     "agg_rollup_returnflag": QuerySpec(
         spark=agg_rollup_returnflag,
         oracle="""

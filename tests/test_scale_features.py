@@ -12,15 +12,12 @@ from solana_etl_pipeline_spark.queries import QUERIES
 from solana_etl_pipeline_spark.sources import load_table
 
 
-def _executed_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized_explain(df) -> str:
-    jvm = df.sparkSession._jvm
-    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from solana_etl_pipeline_spark.plans import (
+    assert_plan,
+    executed_plan as _executed_plan,
+    formatted_explain as _optimized_explain,
+    scan_info,
+)
 
 
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
@@ -118,3 +115,43 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_deep_tpch_topk_compiles_to_take_ordered(spark, sf_dir):
+    """Q3/Q10/Q18 end in limit-after-sort: must be a per-partition heap
+    merge (TakeOrderedAndProject), never a global Sort."""
+    for name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q10_returned_items",
+        "tpch_q18_large_orders",
+    ):
+        assert_plan(
+            QUERIES[name].spark(spark, sf_dir),
+            require=("TakeOrderedAndProject",),
+        )
+
+
+def test_q4_exists_plans_left_semi(spark, sf_dir):
+    """The EXISTS predicate must become a semi join (no row fanout
+    from duplicate matching lineitems)."""
+    plan = _executed_plan(QUERIES["tpch_q4_order_priority"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q21_decorrelates_to_semi_plus_anti(spark, sf_dir):
+    """EXISTS + NOT EXISTS over self-aliased lineitem: Catalyst must
+    plan one semi and one anti join, not a nested-loop re-scan."""
+    plan = _executed_plan(QUERIES["tpch_q21_waiting_supplier"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q19_shared_quantity_envelope_pushed(spark, sf_dir):
+    """The OR-clauses share a 1..30 l_quantity envelope; that bound
+    must reach the lineitem parquet scan even though the full
+    disjunction can only evaluate post-join."""
+    scans = scan_info(QUERIES["tpch_q19_disjunctive_filter"].spark(spark, sf_dir))
+    li_scans = [
+        s for s in scans if "l_quantity" in s.get("pushed_filters", "")
+    ]
+    assert li_scans, scans
