@@ -8,6 +8,11 @@ all-pairs, map-side-combinable aggregates, Arrow-batched Pandas UDFs
 only where bytes must cross into Python.
 """
 
+from solana_etl_pipeline_spark.llm.cluster import (
+    canonical_keep,
+    connected_components,
+    near_dup_dedup,
+)
 from solana_etl_pipeline_spark.llm.dedup import (
     exact_dedup_groups,
     minhash_near_dup_pairs,

@@ -20,6 +20,7 @@ from solana_etl_pipeline_spark.llm.dedup import (
     ngram_jaccard_for_pairs,
     simhash_candidate_pairs,
 )
+from solana_etl_pipeline_spark.llm.cluster import near_dup_dedup
 from solana_etl_pipeline_spark.llm.multimodal import (
     documents_as_assets,
     featurize_assets,
@@ -123,6 +124,23 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH pairs → connected
+    components → one canonical survivor per cluster
+    (``llm/cluster.py``), summarized per source. Rows-only: the
+    iterative component resolution isn't SQL-expressible; planted
+    transitive-cluster tests pin semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+    survivors = near_dup_dedup(docs, pairs, "doc_id")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_chars").alias("surviving_chars"),
     )
 
 
@@ -339,6 +357,12 @@ QUERIES: dict[str, QuerySpec] = {
         spark=llm_minhash_near_dup,
         oracle=None,
         doc="Banded MinHash-LSH near-dup pairs (rows-only; tests plant dups)",
+        tags=("§2.11",),
+    ),
+    "llm_near_dup_survivors": QuerySpec(
+        spark=llm_near_dup_survivors,
+        oracle=None,
+        doc="Fuzzy dedup end-to-end: pairs → components → canonical keep",
         tags=("§2.11",),
     ),
     "llm_simhash_near_dup": QuerySpec(

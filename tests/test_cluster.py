@@ -1,0 +1,83 @@
+"""Connected-components / canonical-keep tests (``llm/cluster.py``) —
+planted graphs with known components, including a long chain that
+forces multiple label-propagation rounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from solana_etl_pipeline_spark.llm.cluster import (
+    canonical_keep,
+    connected_components,
+    near_dup_dedup,
+)
+from solana_etl_pipeline_spark.llm.dedup import minhash_near_dup_pairs
+
+
+def _components_dict(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_two_components_resolve(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    got = _components_dict(connected_components(pairs))
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    """Path graph 1-2-...-8: min label must walk the full diameter."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+    )
+    got = _components_dict(connected_components(pairs))
+    assert got == {i: 1 for i in range(1, 9)}
+
+
+def test_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
+def test_canonical_keep_drops_transitive_dups(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 11)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    kept = canonical_keep(
+        corpus, connected_components(pairs), "doc_id"
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 2,3 fold into 1; 6 folds into 5; everything unpaired survives
+    assert ids == [1, 4, 5, 7, 8, 9, 10]
+    assert kept.columns == corpus.columns
+
+
+def test_end_to_end_near_dup_dedup_planted(spark):
+    """Three verbatim copies + one distinct doc: MinHash pairs the
+    copies (transitively), dedup keeps exactly one of them."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill every single afternoon"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base),
+            (4, "completely unrelated text about spark physical plans "
+                "and shuffle partitioning strategies at scale today"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.8
+    )
+    kept = near_dup_dedup(corpus, pairs, "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 4]
