@@ -245,22 +245,25 @@ def embedding_near_dup_pairs(
     )
 
     buckets = lsh_bucket_assignments(emb, id_col, vec_col, n_planes, n_bands)
-    left = buckets.select(
-        F.col(id_col).alias("id_a"),
-        _as_double(F.col(vec_col)).alias("va"),
-        "band_idx",
-        "band_val",
-    )
-    right = buckets.select(
-        F.col(id_col).alias("id_b"),
-        _as_double(F.col(vec_col)).alias("vb"),
-        "band_idx",
-        "band_val",
-    )
-    cand = (
-        left.join(right, ["band_idx", "band_val"])
+    # skinny band join: only (id, band_idx, band_val) shuffles — the
+    # 64-double vectors would otherwise ship n_bands copies each; they
+    # re-join below for just the surviving candidate pairs
+    bands_only = buckets.select(F.col(id_col), "band_idx", "band_val")
+    pair_ids = (
+        bands_only.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+        .join(
+            bands_only.select(F.col(id_col).alias("id_b"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cand = pair_ids.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")), "id_b"
     )
     cos = _dot(F.col("va"), F.col("vb")) / (
         _norm(F.col("va")) * _norm(F.col("vb"))

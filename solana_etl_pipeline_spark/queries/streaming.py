@@ -29,6 +29,7 @@ from solana_etl_pipeline_spark.streaming.ingest import (
     deduplicated,
     landing_stream,
     run_available_now,
+    sliding_window_counts,
 )
 
 
@@ -64,7 +65,45 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 sliding variant: 1 h windows every 30 min — each event lands
+    in exactly two overlapping windows. Same land → stream → drain
+    shape as the tumbling rollup; complete mode, single batch, so the
+    result equals the batch twin and the oracle enumerates both window
+    starts per event."""
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="spark_stream_sw_")
+    landing = f"{work}/landing"
+    ev.coalesce(1).write.mode("overwrite").json(landing)
+
+    stream = landing_stream(spark, landing, EVENTS, max_files_per_trigger=None)
+    windowed = sliding_window_counts(stream, size="1 hour", slide="30 minutes")
+    table = run_available_now(
+        windowed, checkpoint_dir=f"{work}/checkpoint", output_mode="complete"
+    )
+    return spark.table(table)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_sliding_windows": QuerySpec(
+        spark=streaming_sliding_windows,
+        oracle="""
+            WITH starts AS (
+              SELECT CAST(to_timestamp(
+                         CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                         - s.off
+                     ) AS TIMESTAMP) AS wstart
+              FROM events
+              CROSS JOIN (SELECT unnest([0, 1800]) AS off) s)
+            SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS n_events
+            FROM starts
+            GROUP BY 1
+        """,
+        doc="Streaming sliding windows (1h/30min) drained availableNow; "
+        "oracle enumerates the two covering window starts per event",
+        tags=("T2", "W"),
+    ),
     "streaming_hourly_rollup": QuerySpec(
         spark=streaming_hourly_rollup,
         oracle="""
