@@ -99,6 +99,58 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (``operators/skew.py``): identical
+    semantics to a plain GROUP BY — so it's oracle-paired — but the
+    first stage fans each hot key over 16 salt buckets, bounding any
+    single reducer's input at scale (the hot-key defense when AQE's
+    skew handling can't help, e.g. a single giant group)."""
+    from solana_etl_pipeline_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        "user_id",
+        {
+            "n_events": ("value", "count"),
+            "total_value": ("value", "sum"),
+            "max_value": ("value", "max"),
+        },
+    ).select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        "max_value",
+    )
+
+
+def skew_salted_join_priority_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Salted equi-join (``operators/skew.py::salted_join``): lineitem
+    facts salt-bucketed, the orders build side replicated ``buckets``×,
+    joined on (key, salt) — semantics identical to the plain join, so
+    oracle-paired. The shape for a hot fact key too big for one reducer
+    when the build side is replicable but not broadcast-small."""
+    from solana_etl_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "o_orderkey", buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
 def nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): rows
     with a null join key still pair with null-keyed dimension rows —
@@ -281,6 +333,33 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Unpivot/melt to long format + per-metric summary",
         tags=("§2.11",),
+    ),
+    "skew_salted_user_rollup": QuerySpec(
+        spark=skew_salted_user_rollup,
+        oracle="""
+            SELECT user_id,
+                   count(value) AS n_events,
+                   round(sum(value), 4) AS total_value,
+                   max(value) AS max_value
+            FROM events
+            GROUP BY user_id
+        """,
+        doc="Two-stage salted aggregation ≡ plain GROUP BY (skew defense)",
+        tags=("§4", "A1"),
+    ),
+    "skew_salted_join_priority_revenue": QuerySpec(
+        spark=skew_salted_join_priority_revenue,
+        oracle="""
+            SELECT o.o_orderpriority,
+                   count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        doc="Salted (key, salt) join ≡ plain equi-join (skew defense)",
+        tags=("§4", "J1"),
     ),
     "nullsafe_join_counts": QuerySpec(
         spark=nullsafe_join_counts,
