@@ -80,6 +80,36 @@ def featurize_assets(assets: DataFrame, dims: int = 4) -> DataFrame:
     return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+def resize_assets(assets: DataFrame, max_bytes: int = 1024) -> DataFrame:
+    """Downscale oversized payloads, pass small ones through unchanged —
+    the resize/transcode stage with its Spark-side plumbing real and
+    only the codec faked.
+
+    The deterministic fake "resize" truncates the payload to
+    ``max_bytes`` and records original/new sizes in ``meta`` (a real
+    pipeline swaps in PIL's ``thumbnail`` here; schema, batching, and
+    the metadata contract stay identical). Arrow-batched mapInPandas:
+    payload bytes cross into Python once per batch, never per row.
+    """
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            orig = [len(p) for p in pdf["payload"]]
+            pdf = pdf.copy()
+            pdf["payload"] = [p[:max_bytes] for p in pdf["payload"]]
+            pdf["meta"] = [
+                {
+                    **(dict(m) if m is not None else {}),
+                    "orig_bytes": str(o),
+                    "resized": "true" if o > max_bytes else "false",
+                }
+                for m, o in zip(pdf["meta"], orig)
+            ]
+            yield pdf
+
+    return assets.mapInPandas(resize, schema=assets.schema)
+
+
 def decode_image(assets: DataFrame) -> DataFrame:
     """Decode image payloads to (height, width, channels) + pixels.
 

@@ -207,3 +207,32 @@ def test_multimodal_decode_stubs_raise(spark, planted_docs):
     )
     with pytest.raises(NotImplementedError):
         decode_image(documents_as_assets(docs))
+
+
+def test_multimodal_resize_plumbing(spark, planted_docs):
+    """resize_assets: payloads cap at max_bytes, small ones pass
+    through byte-identical, meta records the decision, schema stable."""
+    from solana_etl_pipeline_spark.llm.multimodal import (
+        documents_as_assets,
+        resize_assets,
+    )
+
+    docs = planted_docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("test")
+    )
+    assets = documents_as_assets(docs)
+    out = resize_assets(assets, max_bytes=40)
+    assert out.schema == assets.schema
+    rows = {r["asset_id"]: r for r in out.collect()}
+    src = {r["asset_id"]: r for r in assets.collect()}
+    assert rows.keys() == src.keys()
+    for aid, r in rows.items():
+        orig = src[aid]["payload"]
+        assert len(r["payload"]) <= 40
+        assert r["meta"]["orig_bytes"] == str(len(orig))
+        if len(orig) <= 40:
+            assert bytes(r["payload"]) == bytes(orig)
+            assert r["meta"]["resized"] == "false"
+        else:
+            assert bytes(r["payload"]) == bytes(orig)[:40]
+            assert r["meta"]["resized"] == "true"
