@@ -23,6 +23,7 @@ from solana_etl_pipeline_spark.queries import sorts as _sorts
 from solana_etl_pipeline_spark.queries import streaming as _streaming
 from solana_etl_pipeline_spark.queries import tpch as _tpch
 from solana_etl_pipeline_spark.queries import tpch_deep as _tpch_deep
+from solana_etl_pipeline_spark.queries import tpch_derived as _tpch_derived
 from solana_etl_pipeline_spark.queries import windows as _windows
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -42,6 +43,7 @@ for _mod in (
     _misc,
     _tpch,
     _tpch_deep,
+    _tpch_derived,
     _quality,
 ):
     for _name, _spec in _mod.QUERIES.items():
