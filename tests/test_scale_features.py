@@ -155,3 +155,24 @@ def test_q19_shared_quantity_envelope_pushed(spark, sf_dir):
         s for s in scans if "l_quantity" in s.get("pushed_filters", "")
     ]
     assert li_scans, scans
+
+
+def test_derived_tpch_plan_shapes(spark, sf_dir):
+    """Q16's NOT IN must become an anti join (blocklist is provably
+    non-null → no null-aware BNLJ), Q20's nested IN a semi join, and
+    Q2's correlated min a window over the joined slice."""
+    assert_plan(
+        QUERIES["tpch_q16_parts_supplier_cnt"].spark(spark, sf_dir),
+        require=("LeftAnti",),
+        forbid=("BroadcastNestedLoopJoin", "CartesianProduct"),
+    )
+    assert_plan(
+        QUERIES["tpch_q20_promotion_suppliers"].spark(spark, sf_dir),
+        require=("LeftSemi",),
+        forbid=("CartesianProduct",),
+    )
+    assert_plan(
+        QUERIES["tpch_q2_min_cost_supplier"].spark(spark, sf_dir),
+        require=("Window",),
+        forbid=("CartesianProduct",),
+    )
