@@ -44,17 +44,51 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query timings go to a sidecar (and stderr above); the
+    # stdout JSON line must stay SHORT — the driver keeps only the tail
+    # of the output and a ~3.5 KB line with all ~100 queries gets
+    # truncated mid-line and fails to parse (BENCH_r02 "parsed": null).
+    with open("BENCH_FULL.json", "w") as fh:
+        json.dump({"total_sec": total, "sf": sf_val, "queries": timings}, fh)
+
+    headline = [
+        "risk_scores_topk",
+        "events_hourly_rollup",
+        "events_dedup_by_key",
+        "nested_helius_flatten",
+        "window_topk_per_hour",
+        "join_fact_revenue",
+        "llm_exact_dedup",
+        "llm_minhash_near_dup",
+        "llm_ngram_jaccard",
+        "llm_cosine_topk",
+        "streaming_hourly_rollup",
+        "enrich_risk_grouped_map",
+        "tpch_q1_pricing_summary",
+        "tpch_q9_product_profit",
+        "tpch_q18_large_orders",
+    ]
+    compact = {k: round(timings[k], 3) for k in headline if k in timings}
+    compact["tpch_all"] = round(
+        sum(v for k, v in timings.items() if k.startswith("tpch_")), 3
     )
+    compact["llm_all"] = round(
+        sum(v for k, v in timings.items() if k.startswith("llm_")), 3
+    )
+    compact["n_queries"] = len(timings)
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": compact,
+            "sf": sf_val,
+        }
+    )
+    assert len(line) < 1800, f"bench JSON line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

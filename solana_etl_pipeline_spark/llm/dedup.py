@@ -122,6 +122,13 @@ def minhash_near_dup_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_len)
+    # The signature table feeds three plan branches (band explode +
+    # both sides of the candidate re-join). Without materialization
+    # Spark recomputes the shingle-explode + 64-way min aggregate per
+    # branch — the dominant cost. Persist is the single-job form; at
+    # cluster scale you'd write signatures to a table once and reuse
+    # them across dedup runs.
+    sigs = sigs.persist()
 
     # Band rows carry ONLY (id, band_idx, band_hash) — never the full
     # signature: the bucket join shuffles bands*|docs| skinny rows, and
@@ -204,7 +211,7 @@ def ngram_jaccard_for_pairs(
     sets_df = df.select(
         F.col(id_col).alias("_id"),
         _word_shingles(F.col(text_col), shingle_len).alias("_sh"),
-    )
+    ).persist()  # feeds both sides of the pair join — compute shingles once
     out = pairs.join(
         sets_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
         "id_a",
@@ -248,7 +255,11 @@ def embedding_near_dup_pairs(
     # skinny band join: only (id, band_idx, band_val) shuffles — the
     # 64-double vectors would otherwise ship n_bands copies each; they
     # re-join below for just the surviving candidate pairs
-    bands_only = buckets.select(F.col(id_col), "band_idx", "band_val")
+    # persist: the 32 sign-projections per vector are interpreted
+    # higher-order expressions — compute once, not once per join side
+    bands_only = buckets.select(
+        F.col(id_col), "band_idx", "band_val"
+    ).persist()
     pair_ids = (
         bands_only.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
         .join(
@@ -308,7 +319,9 @@ def simhash_candidate_pairs(
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit pieces (pigeonhole: hamming ≤ 3 ⇒ some band equal), join on
     equal bands, verify with bit_count(xor)."""
-    sigs = simhash(df, id_col, text_col)
+    # persist: the 64-way conditional-sum aggregate feeds both sides of
+    # the band self-join below
+    sigs = simhash(df, id_col, text_col).persist()
     banded = sigs.select(
         id_col,
         "simhash",

@@ -24,13 +24,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt(key: Column, buckets: int) -> Column:
-    """Deterministic per-row salt in [0, buckets): hash of the full row
-    key plus a uniform spreader. xxhash64 of monotonically varying
-    columns is not available generically, so spread by key-hash XOR
-    partition-local row position proxy (rand is banned for determinism:
-    use hash of the key column + a secondary column when provided)."""
-    return F.pmod(F.xxhash64(key, F.monotonically_increasing_id()), buckets)
+def _salt(df: DataFrame, buckets: int) -> Column:
+    """Deterministic per-row salt in [0, buckets): xxhash64 over every
+    row column. Stable across stage retries and shuffle recomputes (the
+    SPARK-23207 hazard that rules out rand()/monotonically_increasing_id
+    — a salt that changes between task attempts can lose or duplicate
+    rows). Fully-identical duplicate rows share a salt, which only
+    costs spread when a hot key's rows are byte-identical; aggregation
+    stays correct either way."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), buckets)
 
 
 def salted_aggregate(
@@ -53,7 +55,7 @@ def salted_aggregate(
         if fn not in partial_fns:
             raise ValueError(f"unsupported aggregate: {fn}")
 
-    salted = df.withColumn("_salt", _salt(F.col(key), buckets))
+    salted = df.withColumn("_salt", _salt(df, buckets))
     partial = salted.groupBy(key, "_salt").agg(
         *[
             partial_fns[fn](F.col(src)).alias(f"_p_{out}")
@@ -78,7 +80,7 @@ def salted_join(
     """Skew-safe equi-join: salt the fact side, replicate the build
     side across all salt values, join on (key, salt). The build side
     must be the small one — it grows ``buckets``×."""
-    salted_facts = facts.withColumn("_salt", _salt(F.col(key), buckets))
+    salted_facts = facts.withColumn("_salt", _salt(facts, buckets))
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(buckets - 1))
     ).alias("_salt")

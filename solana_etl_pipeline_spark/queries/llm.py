@@ -268,8 +268,8 @@ QUERIES: dict[str, QuerySpec] = {
                          '{TOKEN_REGEX.replace("'", "''")}')) AS bpe_tokens
               FROM documents)
             SELECT source,
-                   sum(ws_tokens) AS total_ws_tokens,
-                   sum(bpe_tokens) AS total_bpe_tokens,
+                   CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+                   CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
                    round(avg(ws_tokens), 4) AS avg_ws_tokens
             FROM per_doc GROUP BY source
         """,
@@ -346,8 +346,8 @@ QUERIES: dict[str, QuerySpec] = {
                        string_split(lower(trim(text)), ' '), 1) AS pos
               FROM documents)
             SELECT doc_id,
-                   sum(pos * (31 * len(w) + ascii(w))) % 2147483647
-                     AS fingerprint
+                   CAST(sum(pos * (31 * len(w) + ascii(w))) % 2147483647
+                        AS BIGINT) AS fingerprint
             FROM words GROUP BY doc_id
         """,
         doc="Order-sensitive rolling document fingerprint",

@@ -280,7 +280,8 @@ QUERIES: dict[str, QuerySpec] = {
               FROM sized)
             SELECT CAST(chunk_idx AS INT) AS chunk_idx,
                    count(*) AS n_chunks,
-                   sum(least(10, n_words - 10 * chunk_idx)) AS total_words
+                   CAST(sum(least(10, n_words - 10 * chunk_idx)) AS BIGINT)
+                     AS total_words
             FROM chunks GROUP BY 1
         """,
         doc="Python UDTF record expansion (D3 general case)",
@@ -388,7 +389,7 @@ QUERIES: dict[str, QuerySpec] = {
             SELECT TRY_CAST(regexp_extract(source, 'src(\\d+)', 1)
                             AS BIGINT) AS src_num,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
         """,
         doc="Regex capture-group extraction (SURVEY §2.8 gap)",
@@ -400,8 +401,8 @@ QUERIES: dict[str, QuerySpec] = {
             SELECT json_extract_string(props, '$.missing') IS NULL
                      AS missing_is_null,
                    count(*) AS n_events,
-                   sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-                     AS sum_k,
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT)) AS BIGINT) AS sum_k,
                    min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                      AS min_k,
                    max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -95,7 +95,8 @@ QUERIES: dict[str, QuerySpec] = {
                 )}
               FROM events)
             {" UNION ALL ".join(
-                f"SELECT '{name}' AS constraint_name, {name} AS violations FROM counts"
+                f"SELECT '{name}' AS constraint_name, "
+                f"CAST({name} AS BIGINT) AS violations FROM counts"
                 for name in _EVENT_CONSTRAINTS
             )}
         """,

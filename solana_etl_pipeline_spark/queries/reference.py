@@ -418,7 +418,8 @@ QUERIES: dict[str, QuerySpec] = {
         oracle="""
             SELECT event_type,
                    count(*) AS n_events,
-                   sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
             FROM events GROUP BY event_type
         """,

@@ -224,10 +224,10 @@ QUERIES: dict[str, QuerySpec] = {
         spark=tpch_q12_shipmode_priority,
         oracle="""
             SELECT l.l_linestatus,
-                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'

@@ -166,8 +166,12 @@ def run_available_now(
 
     ``availableNow`` processes the full backlog in rate-limited batches
     then stops — the batch-like harness for streaming tests and the
-    driver contract. Re-running with the same checkpoint is a no-op
-    (T5: idempotent skip).
+    driver contract. The memory sink CANNOT recover from an existing
+    checkpoint (Spark raises "query does not support recovering from
+    checkpoint"), so a re-run with the same ``checkpoint_dir`` errors
+    rather than idempotently skipping — use
+    ``run_available_now_to_parquet`` for restart/idempotence semantics
+    (T5); this helper is for single-shot in-memory assertions only.
     """
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
     query = (

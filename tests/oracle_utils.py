@@ -60,13 +60,33 @@ def _canonical_rows(columns: list[str], rows: Iterable[tuple]) -> list[tuple]:
 
 
 def assert_matches_oracle(spark_df, con, sql: str, name: str = "?") -> None:
-    """Order-insensitive, column-name-sorted value comparison."""
+    """Order-insensitive, column-name-sorted value comparison.
+
+    Fetches the oracle via Arrow — the driver does the same, and Arrow
+    preserves DuckDB's HUGEINT/decimal128 aggregate types that plain
+    ``fetchall()`` silently collapses to Python int. A decimal column on
+    the oracle side serializes differently from Spark's int64 even when
+    values are equal, so it is an outright failure here.
+    """
+    import pyarrow as pa
+
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
 
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    tbl = con.execute(sql).arrow()
+    decimal_cols = [
+        f.name for f in tbl.schema if pa.types.is_decimal(f.type)
+    ]
+    assert not decimal_cols, (
+        f"{name}: oracle columns {decimal_cols} are DuckDB HUGEINT/decimal "
+        f"(sum/%% over integers) — CAST(... AS BIGINT) in the oracle SQL so "
+        f"both engines emit int64 (driver hashes Arrow types, not values)"
+    )
+    d_cols = tbl.column_names
+    _cols_data = [tbl.column(j).to_pylist() for j in range(tbl.num_columns)]
+    d_rows = [
+        tuple(col[i] for col in _cols_data) for i in range(tbl.num_rows)
+    ]
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
