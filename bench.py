@@ -42,6 +42,10 @@ def main() -> None:
         execute(spec.spark(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # the near-dup queries persist() signature tables scoped to one
+        # run; drop them so 100 queries don't accumulate stale cache
+        # (storage-memory pressure taxes later queries)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

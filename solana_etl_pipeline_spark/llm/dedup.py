@@ -57,7 +57,14 @@ def exact_dedup_groups(
 
 
 def _word_shingles(text: Column, shingle_len: int) -> Column:
-    """Word n-gram shingle set (distinct, lowercase)."""
+    """Word n-gram shingle set (distinct, lowercase).
+
+    Prefer :func:`shingle_sets` for DataFrame-level use: referencing
+    this expression directly re-inlines the ``split`` into every
+    lambda position (Catalyst only de-duplicates it across a project
+    boundary), recomputing the tokenization once per shingle — a
+    measured ~7× slowdown on the documents fixture.
+    """
     words = F.split(F.lower(F.trim(text)), "\\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - shingle_len + 1, F.lit(1)))
@@ -65,6 +72,34 @@ def _word_shingles(text: Column, shingle_len: int) -> Column:
         F.transform(
             idx, lambda i: F.concat_ws(" ", F.slice(words, i, shingle_len))
         )
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int
+) -> DataFrame:
+    """(_id, _sh: array<string>) — distinct word n-gram shingles.
+
+    Two projections on purpose: the word split materializes once per
+    row in the first, and the shingle lambda then reads the ``words``
+    attribute instead of re-evaluating ``split(lower(trim(text)))``
+    per shingle position (Catalyst's CollapseProject keeps multiply-
+    referenced non-cheap aliases in their own project)."""
+    words_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), "\\s+").alias("_words"),
+    )
+    w = F.col("_words")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(w) - shingle_len + 1, F.lit(1))
+    )
+    return words_df.select(
+        "_id",
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(w, i, shingle_len))
+            )
+        ).alias("_sh"),
     )
 
 
@@ -85,9 +120,13 @@ def minhash_signatures(
     which is interpreted per element), and partial aggregation folds
     map-side, so the shuffle carries only per-doc 64-long minima.
     """
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(_word_shingles(F.col(text_col), shingle_len)).alias("sh"),
+    # explode_outer, not explode: InferFiltersFromGenerate turns inner
+    # explode into a Filter(size(expr)>0) that re-inlines the whole
+    # shingle expression (split included) per row — measured ~8× on
+    # this step. The shingle array is never empty (greatest(...,1)
+    # index floor), so outer ≡ inner here.
+    shingled = shingle_sets(df, id_col, text_col, shingle_len).select(
+        "_id", F.explode_outer("_sh").alias("sh")
     )
     base = F.pmod(F.xxhash64("sh"), F.lit(_P))
     mins = [
@@ -135,7 +174,7 @@ def minhash_near_dup_pairs(
     # signatures re-join only for the (few) surviving candidate pairs.
     band_entries = sigs.select(
         F.col(id_col),
-        F.posexplode(
+        F.posexplode_outer(
             F.array(
                 *[
                     F.xxhash64(
@@ -208,9 +247,8 @@ def ngram_jaccard_for_pairs(
     and the intersect/union counts are per-row array expressions —
     no exploded shingle shuffle, no re-aggregation.
     """
-    sets_df = df.select(
-        F.col(id_col).alias("_id"),
-        _word_shingles(F.col(text_col), shingle_len).alias("_sh"),
+    sets_df = shingle_sets(
+        df, id_col, text_col, shingle_len
     ).persist()  # feeds both sides of the pair join — compute shingles once
     out = pairs.join(
         sets_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
@@ -295,7 +333,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     words = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("w"),
+        # outer: split() never yields an empty array, and inner explode
+        # would re-evaluate the split inside an inferred size()>0 filter
+        F.explode_outer(
+            F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+        ).alias("w"),
     ).withColumn("h", F.xxhash64("w"))
     bit_sums = [
         F.sum(
@@ -325,7 +367,7 @@ def simhash_candidate_pairs(
     banded = sigs.select(
         id_col,
         "simhash",
-        F.posexplode(
+        F.posexplode_outer(
             F.array(
                 *[
                     F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
