@@ -17,6 +17,15 @@ Scale design (the part that matters at 100 TB):
 
 All signature math is built-in integer/array expressions — JVM-side,
 codegen'd, no Python in the hot path.
+
+Caching contract: the pair generators (`minhash_near_dup_pairs`,
+`ngram_jaccard_for_pairs`, `embedding_near_dup_pairs`,
+`simhash_candidate_pairs`) ``persist()`` their signature/shingle
+intermediates because each feeds 2-3 plan branches; the cache is scoped
+to the SparkSession, not the call. Long-lived sessions running many
+unrelated dedup passes should ``spark.catalog.clearCache()`` between
+runs (``bench.py`` does, per query); at cluster scale you'd write the
+signature table out once and re-read it instead.
 """
 
 from __future__ import annotations
@@ -127,6 +136,17 @@ def minhash_signatures(
     # index floor), so outer ≡ inner here.
     shingled = shingle_sets(df, id_col, text_col, shingle_len).select(
         "_id", F.explode_outer("_sh").alias("sh")
+    )
+    # Null/empty text ⇒ a single degenerate shingle: split(NULL) is
+    # NULL, slice(NULL) is NULL, and concat_ws renders the NULL slice
+    # as '' — so every null- or empty-text doc would share the ''
+    # shingle, get identical signatures, and pair with each other.
+    # Drop '' (a real shingle from non-empty text is never '': words
+    # from split('\\s+') after trim are non-empty). A filter on the
+    # *generated* column does not trigger the InferFiltersFromGenerate
+    # re-inlining that filtering the array expression would.
+    shingled = shingled.filter(
+        F.col("sh").isNotNull() & (F.col("sh") != "")
     )
     base = F.pmod(F.xxhash64("sh"), F.lit(_P))
     mins = [
@@ -338,6 +358,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode_outer(
             F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
         ).alias("w"),
+    ).filter(
+        # split(NULL) is NULL ⇒ outer explode emits one w=NULL row per
+        # null-text doc (xxhash64(NULL) returns the seed), and empty
+        # text splits to [''] — either way all such docs would share
+        # one signature and pair with each other. Drop both degenerate
+        # tokens. Filtering the generated column avoids the
+        # InferFiltersFromGenerate split re-inlining.
+        F.col("w").isNotNull() & (F.col("w") != "")
     ).withColumn("h", F.xxhash64("w"))
     bit_sums = [
         F.sum(

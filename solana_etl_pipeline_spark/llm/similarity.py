@@ -86,6 +86,7 @@ def lsh_bucket_assignments(
     vec_col: str = "embedding",
     n_planes: int = 16,
     n_bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, band_idx, band_val): sign-random-projection signature split
     into bands. A vector lands in ``n_bands`` buckets; similar vectors
@@ -97,7 +98,14 @@ def lsh_bucket_assignments(
     equivalent evaluates ~dim·n_planes interpreted closures per row
     (measured 3× slower at 2k rows, and the gap grows linearly with
     row count). The plane matrix is regenerated from a fixed seed in
-    every task — deterministic with no RNG state shipped."""
+    every task — deterministic with no RNG state shipped.
+
+    ``dim`` pins the expected vector length (part of the index
+    definition, like the seed). When None it is inferred from the first
+    non-null vector of each Arrow batch; either way a null or
+    wrong-length vector yields a NULL signature (dropped by the
+    downstream bucket equi-join) rather than hashing against a
+    differently-shaped plane matrix."""
     assert n_planes % n_bands == 0
     bits_per_band = n_planes // n_bands
 
@@ -107,9 +115,19 @@ def lsh_bucket_assignments(
 
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        lengths = vecs.map(lambda v: -1 if v is None else len(v))
+        expect = dim
+        if expect is None:
+            valid_lens = lengths[lengths >= 0]
+            if valid_lens.empty:
+                return pd.Series([None] * len(vecs), dtype=object)
+            expect = int(valid_lens.iloc[0])
+        ok = lengths == expect
+        if not ok.any():
+            return pd.Series([None] * len(vecs), dtype=object)
+        m = np.stack(vecs[ok].to_numpy()).astype(np.float64)
         planes = np.random.RandomState(_SRP_SEED).standard_normal(
-            (m.shape[1], n_planes)
+            (expect, n_planes)
         )
         bits = (m @ planes) >= 0
         weights = 1 << np.arange(bits_per_band, dtype=np.int64)
@@ -120,7 +138,13 @@ def lsh_bucket_assignments(
             ],
             axis=1,
         )
-        return pd.Series(list(vals))
+        # (masked Series assignment of array values trips pandas'
+        # length-broadcast check — build the object list directly)
+        it = iter(vals)
+        return pd.Series(
+            [next(it) if flag else None for flag in ok.to_numpy()],
+            dtype=object,
+        )
 
     return df.select(
         F.col(id_col),

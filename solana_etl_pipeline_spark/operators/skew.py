@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 
 def _salt(df: DataFrame, buckets: int) -> Column:
@@ -31,8 +32,29 @@ def _salt(df: DataFrame, buckets: int) -> Column:
     — a salt that changes between task attempts can lose or duplicate
     rows). Fully-identical duplicate rows share a salt, which only
     costs spread when a hot key's rows are byte-identical; aggregation
-    stays correct either way."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), buckets)
+    stays correct either way.
+
+    Columns containing MapType anywhere in their type (including
+    nested in structs/arrays) are skipped: xxhash64 rejects maps at
+    analysis time (map equality/ordering is undefined). As long as one
+    hashable column varies within the hot key, the salt still spreads
+    it."""
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    hashable = [
+        F.col(f.name) for f in df.schema.fields if not _has_map(f.dataType)
+    ]
+    if not hashable:
+        raise ValueError("salting needs at least one non-map column to hash")
+    return F.pmod(F.xxhash64(*hashable), buckets)
 
 
 def salted_aggregate(

@@ -52,67 +52,118 @@ for _mod in (
         QUERIES[_name] = _spec
 
 # Driver-facing ordering. The verify harness checks a prefix of the
-# registry (r2 covered exactly the first 50 of 100), so the order is
-# score-bearing: the prefix below packs one representative query per
-# SURVEY §2 component family — scans/sinks, projections/predicates,
-# joins, aggregations, windows, set ops, scalar functions, streaming,
-# UDF/UDTF, and every LLM-data operator — before variants that
-# re-exercise an already-covered component. Remaining queries keep
-# module order after the prefix.
+# registry (r2 and r3 each covered exactly the first 50 of 100), so
+# the order is score-bearing. Rounds 2-3 front-loaded one query per
+# SURVEY §2 component family and those 50 are all driver-green
+# (CORRECTNESS_r03.json: 49 full matches + 1 rows-only by contract).
+# Round 4 rotates the prefix: the first 50 below are exactly the 50
+# queries that have never had a driver CORRECTNESS row — the whole
+# TPC-H suite, rollup/cube, window variants, quality/io, and the
+# remaining LSH paths — so that across rounds every registered query
+# is driver-witnessed. Oracle-paired queries lead; the 8 rows-only
+# ones close the prefix. The r3-green 50 follow in their r3 order.
 _PRIORITY = (
-    # reference parity + fixed-oracle flagships
+    # --- round-4 prefix: never-driver-checked queries ---
+    # TPC-H suite (§2.11 general join/agg/window surface)
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    # reference-parity variants
+    "events_hourly_rollup",
+    "events_value_banding",
+    "events_pst_rendering",
+    "token_detail_view",
+    # joins
+    "join_left_semi",
+    "join_fact_revenue",
+    # window variants
+    "window_lag_delta",
+    "window_running_sum",
+    "window_rank_customers",
+    # set ops / distinct
+    "setop_intersect",
+    "distinct_event_types",
+    # aggregation variants
+    "agg_rollup_returnflag",
+    "agg_cube_orders",
+    "agg_collect_set_sorted",
+    # nested / reshape / skew
+    "nested_dispatch_agg",
+    "unpivot_lineitem_metrics",
+    "skew_salted_user_rollup",
+    # quality / io
+    "data_quality_report",
+    "data_quality_split",
+    "normalized_exact_dedup",
+    # rows-only queries close the round-4 prefix
+    "llm_near_dup_survivors",
+    "llm_simhash_near_dup",
+    "llm_embedding_near_dup",
+    "llm_lsh_cosine_topk",
+    "llm_ivf_cosine_topk",
+    "risk_scores_topk_approx",
+    "sketch_rollup_distinct_users",
+    "sample_stratified",
+    # --- r3-green 50 (CORRECTNESS_r03 rows), in their r3 order ---
     "risk_scores_topk",
     "risk_banding_report",
     "events_json_extract_agg",
-    # nested-JSON silver path (S6, P2-P4, P11, F14-F17, J3)
     "nested_helius_flatten",
     "nested_explode_padding",
     "nested_tojson_roundtrip",
     "nested_array_access",
     "typed_props_parse",
-    # projections / predicates
     "events_project_filter",
     "events_not_in_filter",
     "negative_substring_filter",
-    # timestamp + string scalar functions
     "epoch_rendering_pst",
     "timestamp_parse_roundtrip",
     "string_functions_zoo",
     "regexp_extract_sources",
-    # joins (J1/J2 + §2.11 general joins, skew, as-of)
     "join_broadcast_lookup",
     "join_left_anti",
     "join_theta_range",
     "nullsafe_join_counts",
     "asof_prior_purchase",
     "skew_salted_join_priority_revenue",
-    # windows (§2.5)
     "window_topk_per_hour",
     "window_sessionize_batch",
-    # set ops
     "setop_union_harmonize",
     "setop_except_all",
-    # sorts / top-k
     "sort_topk_recent",
-    # aggregations
     "agg_first_latest_per_group",
     "agg_active_users_threshold",
     "events_dedup_by_key",
     "agg_grouping_sets",
     "agg_percentiles_stddev",
-    # streaming (T1/T2 + windows)
     "streaming_hourly_rollup",
     "streaming_sliding_windows",
-    # sinks (S4-S10)
     "sink_parquet_partitioned",
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
-    # UDF surface (D2-D4, S3)
     "enrich_risk_grouped_map",
     "enrich_http_lookup",
     "udtf_word_chunks",
     "pivot_event_values",
-    # LLM-data operators (every first-class component)
     "llm_exact_dedup",
     "llm_text_stats",
     "llm_token_count",
@@ -123,14 +174,6 @@ _PRIORITY = (
     "llm_cosine_topk",
     "llm_multimodal_featurize",
     "llm_minhash_near_dup",
-    # just past the r2 prefix: remaining fixed oracles + near-dup rest
-    "llm_near_dup_survivors",
-    "data_quality_report",
-    "tpch_q12_shipmode_priority",
-    "llm_simhash_near_dup",
-    "llm_embedding_near_dup",
-    "llm_lsh_cosine_topk",
-    "llm_ivf_cosine_topk",
 )
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -236,3 +236,56 @@ def test_multimodal_resize_plumbing(spark, planted_docs):
         else:
             assert bytes(r["payload"]) == bytes(orig)[:40]
             assert r["meta"]["resized"] == "true"
+
+
+def test_null_text_docs_never_pair(spark):
+    """Null-text docs must be excluded from signature-based pairing:
+    split(NULL) is NULL and xxhash64(NULL) returns the seed, so without
+    the explicit post-explode filters every null-text doc would share
+    one signature and pair with every other (ADVICE r3)."""
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=10, text=None),
+        Row(doc_id=11, text=None),
+        Row(doc_id=12, text=""),
+        Row(doc_id=13, text="   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    sim = simhash_candidate_pairs(df, "doc_id", "text", max_hamming=3)
+    sim_pairs = {(r.id_a, r.id_b) for r in sim.collect()}
+    assert sim_pairs == {(0, 1)}
+
+    mh = minhash_near_dup_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+    mh_pairs = {(r.id_a, r.id_b) for r in mh.collect()}
+    assert mh_pairs == {(0, 1)}
+
+
+def test_lsh_null_and_ragged_embeddings_dropped(spark):
+    """Null or wrong-length vectors get NULL band signatures (and thus
+    never collide) instead of crashing np.stack or silently hashing
+    against a differently-shaped plane matrix (ADVICE r3)."""
+    from solana_etl_pipeline_spark.llm.similarity import (
+        lsh_bucket_assignments,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=None),
+        Row(vec_id=3, embedding=[1.0, 0.0]),  # ragged length
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    buckets = lsh_bucket_assignments(df, dim=4)
+    got = buckets.collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.vec_id, []).append(r.band_val)
+    # identical vectors share identical band values
+    assert sorted(by_id[0]) == sorted(by_id[1])
+    assert all(v is not None for v in by_id[0])
+    # null and ragged vectors produce only NULL band values
+    assert by_id[2] == [None] and by_id[3] == [None]
