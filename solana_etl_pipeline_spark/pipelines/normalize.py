@@ -144,15 +144,23 @@ def dispatch_and_flatten(raw: DataFrame, json_col: str = "raw") -> DataFrame:
     """P11 structure dispatch: route each raw document by shape.
 
     The reference sniffs ``"metadata" in data`` vs ``isinstance(data,
-    list)`` (``clean_data.py:84,124,129-130``). Here each document is
-    parsed against both schemas exactly once in a single projection —
-    a JSON object parses under HELIUS_WRAPPED, a JSON array under
-    ArrayType(HELIUS_TRANSACTION), and whichever materialized wins via
-    ``coalesce``. One narrow pass, no filter/union re-parse, no Python.
+    list)`` (``clean_data.py:84,124,129-130``) — i.e. the bare shape is
+    a JSON *array*, the wrapped shape a JSON *object*. That is decidable
+    from the first non-space character, so each document pays exactly
+    ONE ``from_json`` behind a ``when`` routed on it (CaseWhen branch
+    values evaluate lazily; the r3 version parsed every doc against
+    BOTH schemas and the dual parse dominated the two biggest nested
+    queries at ~2× the necessary cost). One narrow pass, no
+    filter/union re-parse, no Python.
     """
+    is_array = F.startswith(F.ltrim(F.col(json_col)), F.lit("["))
     parsed = raw.select(
-        F.from_json(F.col(json_col), HELIUS_WRAPPED).alias("w"),
-        F.from_json(F.col(json_col), ArrayType(HELIUS_TRANSACTION)).alias("b"),
+        F.when(
+            ~is_array, F.from_json(F.col(json_col), HELIUS_WRAPPED)
+        ).alias("w"),
+        F.when(
+            is_array, F.from_json(F.col(json_col), ArrayType(HELIUS_TRANSACTION))
+        ).alias("b"),
     )
     md = F.col("w")["metadata"]
     exploded = parsed.select(

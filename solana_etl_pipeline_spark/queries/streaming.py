@@ -38,8 +38,12 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="spark_stream_q_")
     landing = f"{work}/landing"
-    # one landing file → one micro-batch → watermark can't drop anything
-    ev.coalesce(1).write.mode("overwrite").json(landing)
+    # Natural write parallelism (one file per scan partition). With no
+    # maxFilesPerTrigger cap, availableNow drains ALL landing files in
+    # ONE micro-batch, so the watermark only advances after every row
+    # is in — deterministic regardless of file count (multi-file parity
+    # is pinned by tests/test_streaming.py).
+    ev.write.mode("overwrite").json(landing)
 
     stream = landing_stream(
         spark, landing, EVENTS, max_files_per_trigger=None
@@ -74,7 +78,9 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="spark_stream_sw_")
     landing = f"{work}/landing"
-    ev.coalesce(1).write.mode("overwrite").json(landing)
+    # no coalesce: availableNow + complete mode drain all files in one
+    # batch (see streaming_hourly_rollup)
+    ev.write.mode("overwrite").json(landing)
 
     stream = landing_stream(spark, landing, EVENTS, max_files_per_trigger=None)
     windowed = sliding_window_counts(stream, size="1 hour", slide="30 minutes")

@@ -397,3 +397,58 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
             final[r.user_id] = (r.n_events, r.total_value)
     assert final[1] == (2, 17.5)
     assert final[2] == (1, 5.0)
+
+
+def test_multifile_landing_single_batch_parity(spark, tmp_path):
+    """The driver-visible streaming queries land files with natural
+    write parallelism (no coalesce(1)). availableNow with no
+    maxFilesPerTrigger cap must drain a MULTI-file landing dir in one
+    micro-batch, so the watermarked dedup + window result still equals
+    the batch twin — even when late rows live in a different file than
+    the rows that advance the watermark."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # file 1: the newest hours; file 2: rows >24h older (would be
+    # watermark-dropped if file 1 were processed in an earlier batch)
+    new_rows = [
+        _event(i, i % 3, f"2024-01-05T{10 + i % 4:02d}:{i % 50:02d}:00.000Z")
+        for i in range(20)
+    ]
+    old_rows = [
+        _event(100 + i, i % 3, f"2024-01-01T{8 + i % 2:02d}:{i % 50:02d}:00.000Z")
+        for i in range(20)
+    ]
+    dup_rows = [dict(r) for r in new_rows[:5]]  # cross-file duplicates
+    _write_landing_file(str(landing / "f1.json"), new_rows, time.time() - 9)
+    _write_landing_file(str(landing / "f2.json"), old_rows, time.time() - 6)
+    _write_landing_file(str(landing / "f3.json"), dup_rows, time.time() - 3)
+
+    stream = landing_stream(spark, str(landing), EVENTS, max_files_per_trigger=None)
+    deduped = deduplicated(stream, keys=["user_id", "event_id"], watermark="24 hours")
+    t = run_available_now(
+        hourly_window_counts(deduped), str(tmp_path / "ckpt"), "complete"
+    )
+    got = {r.hour: (r.n_events, r.sum_value) for r in spark.table(t).collect()}
+
+    batch = (
+        spark.read.schema(EVENTS)
+        .json(str(landing))
+        .dropDuplicates(["user_id", "event_id"])
+    )
+    expected = {
+        r.hour: (r.n_events, r.sum_value)
+        for r in batch.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == expected
+    # every input row (minus the 5 duplicates) survived: nothing was
+    # late-dropped, proving the drain really was one batch
+    assert sum(n for n, _ in got.values()) == 40
