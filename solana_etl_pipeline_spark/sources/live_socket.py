@@ -1,0 +1,181 @@
+"""Live WebSocket → landing-dir shim (SURVEY.md §2.1 S1, reference
+``my_websocket.py:62-69``: subscribe, receive JSON messages forever,
+persist one file per message).
+
+This closes the "no actual wss:// subscriber exists" gap while keeping
+the engine decoupled: the socket client only *feeds*
+:func:`~solana_etl_pipeline_spark.sources.message_stream.write_messages_to_landing`;
+Spark still reads the landing directory and never holds the socket.
+
+The container has no websocket library, so the client is a minimal
+RFC 6455 implementation over ``asyncio`` streams — text frames,
+ping/pong, close, client-side masking, 7/16/64-bit payload lengths.
+That is the full surface the reference uses (``websocket.WebSocketApp``
+with JSON text messages). No TLS here: production ``wss://`` would wrap
+the stream with ``ssl.SSLContext`` via ``asyncio.open_connection(...,
+ssl=...)``; tests run ``ws://`` against an in-process fake server.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import hashlib
+import json
+import os
+import struct
+from collections.abc import AsyncIterator
+from urllib.parse import urlparse
+
+from solana_etl_pipeline_spark.sources.message_stream import (
+    write_messages_to_landing,
+)
+
+#: RFC 6455 §1.3 handshake GUID (a protocol constant, not a secret).
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+# opcodes (RFC 6455 §5.2)
+OP_TEXT = 0x1
+OP_CLOSE = 0x8
+OP_PING = 0x9
+OP_PONG = 0xA
+
+
+def _accept_key(key: str) -> str:
+    digest = hashlib.sha1((key + _WS_GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def encode_frame(payload: bytes, opcode: int, mask: bool) -> bytes:
+    """One FIN frame. Clients MUST mask (RFC 6455 §5.3); servers must
+    not."""
+    head = bytes([0x80 | opcode])
+    mask_bit = 0x80 if mask else 0
+    n = len(payload)
+    if n < 126:
+        head += bytes([mask_bit | n])
+    elif n < 1 << 16:
+        head += bytes([mask_bit | 126]) + struct.pack(">H", n)
+    else:
+        head += bytes([mask_bit | 127]) + struct.pack(">Q", n)
+    if not mask:
+        return head + payload
+    key = os.urandom(4)
+    masked = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    return head + key + masked
+
+
+async def read_frame(reader: asyncio.StreamReader) -> tuple[int, bytes]:
+    """→ (opcode, payload). Unmasks if the mask bit is set."""
+    b0, b1 = await reader.readexactly(2)
+    opcode = b0 & 0x0F
+    masked = bool(b1 & 0x80)
+    n = b1 & 0x7F
+    if n == 126:
+        (n,) = struct.unpack(">H", await reader.readexactly(2))
+    elif n == 127:
+        (n,) = struct.unpack(">Q", await reader.readexactly(8))
+    key = await reader.readexactly(4) if masked else None
+    payload = await reader.readexactly(n)
+    if key:
+        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    return opcode, payload
+
+
+async def websocket_connect(
+    uri: str,
+) -> tuple[asyncio.StreamReader, asyncio.StreamWriter]:
+    """Open + upgrade: HTTP/1.1 Upgrade handshake, validating the
+    server's Sec-WebSocket-Accept echo."""
+    u = urlparse(uri)
+    if u.scheme not in ("ws", "wss"):
+        raise ValueError(f"not a websocket uri: {uri}")
+    ssl_ctx = None
+    if u.scheme == "wss":
+        import ssl
+
+        ssl_ctx = ssl.create_default_context()
+    port = u.port or (443 if u.scheme == "wss" else 80)
+    reader, writer = await asyncio.open_connection(u.hostname, port, ssl=ssl_ctx)
+    key = base64.b64encode(os.urandom(16)).decode()
+    path = u.path or "/"
+    request = (
+        f"GET {path} HTTP/1.1\r\n"
+        f"Host: {u.hostname}:{port}\r\n"
+        "Upgrade: websocket\r\n"
+        "Connection: Upgrade\r\n"
+        f"Sec-WebSocket-Key: {key}\r\n"
+        "Sec-WebSocket-Version: 13\r\n\r\n"
+    )
+    writer.write(request.encode())
+    await writer.drain()
+    status = await reader.readline()
+    if b"101" not in status:
+        raise ConnectionError(f"handshake rejected: {status!r}")
+    accept = None
+    while True:
+        line = await reader.readline()
+        if line in (b"\r\n", b""):
+            break
+        name, _, value = line.decode().partition(":")
+        if name.strip().lower() == "sec-websocket-accept":
+            accept = value.strip()
+    if accept != _accept_key(key):
+        raise ConnectionError("bad Sec-WebSocket-Accept")
+    return reader, writer
+
+
+async def websocket_messages(
+    uri: str,
+    subscriptions: list[dict] | None = None,
+    max_messages: int | None = None,
+) -> AsyncIterator[dict]:
+    """Subscribe-then-receive, the reference's ``on_open``/``on_message``
+    loop (``my_websocket.py:47-60``): send each subscription as a JSON
+    text frame, then yield one dict per received text frame. Answers
+    ping with pong; a close frame (or EOF) ends the stream."""
+    reader, writer = await websocket_connect(uri)
+    try:
+        for sub in subscriptions or []:
+            writer.write(
+                encode_frame(json.dumps(sub).encode(), OP_TEXT, mask=True)
+            )
+        await writer.drain()
+        served = 0
+        while max_messages is None or served < max_messages:
+            try:
+                opcode, payload = await read_frame(reader)
+            except (asyncio.IncompleteReadError, ConnectionResetError):
+                break
+            if opcode == OP_CLOSE:
+                writer.write(encode_frame(payload, OP_CLOSE, mask=True))
+                await writer.drain()
+                break
+            if opcode == OP_PING:
+                writer.write(encode_frame(payload, OP_PONG, mask=True))
+                await writer.drain()
+                continue
+            if opcode != OP_TEXT:
+                continue
+            served += 1
+            yield json.loads(payload.decode())
+    finally:
+        writer.close()
+
+
+async def run_live_ingest(
+    uri: str,
+    landing_dir: str,
+    subscriptions: list[dict] | None = None,
+    max_messages: int | None = None,
+    prefix: str = "msg",
+) -> int:
+    """The full live path: socket → one-file-per-message landing dir
+    (which ``spark.readStream.json(landing_dir)`` then consumes with
+    checkpointed exactly-once). Returns files written. ``max_messages``
+    bounds the run for tests/drains; None = until the server closes."""
+    return await write_messages_to_landing(
+        websocket_messages(uri, subscriptions, max_messages),
+        landing_dir,
+        prefix=prefix,
+    )

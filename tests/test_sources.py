@@ -127,3 +127,114 @@ def test_rest_batch_source(spark):
     assert {r.signature for r in rows if r.mint == "a"} == {
         "a-sig0", "a-sig1", "a-sig2"
     }
+
+
+class _ApiHandler:
+    """Local http.server exercising the default transport: pagination,
+    one-shot 429 with Retry-After, and a permanently-broken key."""
+
+    @staticmethod
+    def make(state):
+        import http.server
+        import json as _json
+        from urllib.parse import parse_qs, urlparse
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *args):  # keep pytest output clean
+                pass
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                qs = parse_qs(u.query)
+                # /api/addresses/{key}/transactions
+                parts = u.path.strip("/").split("/")
+                key = parts[parts.index("addresses") + 1]
+                state["requests"].append(self.path)
+                if key == "broken":
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                if key == "throttled" and not state["throttle_done"]:
+                    state["throttle_done"] = True
+                    self.send_response(429)
+                    self.send_header("Retry-After", "0")
+                    self.end_headers()
+                    return
+                page = int(qs.get("page", ["0"])[0])
+                pages = {0: 3, 1: 2}  # page sizes; page 2 is empty
+                n = pages.get(page, 0)
+                body = _json.dumps(
+                    [
+                        {"mint": key, "signature": f"{key}-p{page}-{i}"}
+                        for i in range(n)
+                    ]
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+        return Handler
+
+
+def test_http_fetcher_pagination_and_backoff(spark):
+    import http.server
+    import threading
+
+    from solana_etl_pipeline_spark.sources.rest import http_json_fetcher
+
+    state = {"requests": [], "throttle_done": False}
+    server = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _ApiHandler.make(state)
+    )
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    sleeps: list[float] = []
+    try:
+        fetcher = http_json_fetcher(
+            f"http://127.0.0.1:{port}/api/addresses/{{key}}/transactions",
+            paginate=True,
+            max_retries=2,
+            backoff_base_sec=0.01,
+            sleeper=sleeps.append,
+        )
+        # pagination: 3 + 2 rows, stops at the empty page
+        rows = fetcher("mintA")
+        assert [r["signature"] for r in rows] == [
+            "mintA-p0-0", "mintA-p0-1", "mintA-p0-2",
+            "mintA-p1-0", "mintA-p1-1",
+        ]
+        assert sleeps == []
+
+        # one 429 then success: Retry-After: 0 wins over backoff
+        rows = fetcher("throttled")
+        assert len(rows) == 5
+        assert sleeps == [0.0]
+
+        # permanent 500: exponential backoff then a clear error
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="after 3 attempts"):
+            fetcher("broken")
+        assert sleeps[1:] == [0.01, 0.02]
+
+        # and the transport slots straight into the S2 source
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        df = fetch_batch_to_dataframe(
+            spark,
+            ["mintA", "mintB"],
+            fetcher,
+            StructType(
+                [
+                    StructField("mint", StringType()),
+                    StructField("signature", StringType()),
+                ]
+            ),
+        )
+        assert df.count() == 10
+        assert df.filter(df.mint == "mintB").count() == 5
+    finally:
+        server.shutdown()
+        server.server_close()
