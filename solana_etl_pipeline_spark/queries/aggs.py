@@ -23,11 +23,30 @@ from solana_etl_pipeline_spark.sources import load_table
 def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style mergeable rollup: raw events → per-day HLL
     sketches → range-union distinct-user estimate (see
-    ``operators/sketches.py``). Rows-only: sketch estimates have no SQL
-    oracle; ``tests/test_sketches.py`` pins rollup≡direct equality and
-    the error envelope vs exact count-distinct."""
-    daily = hll_daily_user_sketches(load_table(spark, sf_dir, "events"))
-    return hll_range_estimate(daily)
+    ``operators/sketches.py``).
+
+    The sketch estimate itself has no SQL oracle, so the query carries
+    its own banding: it also computes the EXACT distinct count and
+    emits ``est_within_5pct`` (HLL_4 at lgConfigK=12 has ~1.6%
+    standard error, so 5% is a >3-sigma envelope). The oracle asserts
+    that flag is true plus the exact values — making the sketch path
+    driver-checkable instead of rows-only (r3 verdict item 8). The
+    1-row × 1-row crossJoin is a deliberate scalar combine, not a data
+    join. ``tests/test_sketches.py`` additionally pins rollup≡direct
+    sketch equality."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = hll_daily_user_sketches(ev)
+    est = hll_range_estimate(daily)
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_users",
+        "n_events",
+        "n_days",
+        (
+            F.abs(F.col("distinct_users_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_within_5pct"),
+    )
 
 
 def agg_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,8 +120,15 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QuerySpec] = {
     "sketch_rollup_distinct_users": QuerySpec(
         spark=sketch_rollup_distinct_users,
-        oracle=None,
-        doc="Mergeable per-day HLL sketch rollup → range distinct estimate",
+        oracle="""
+            SELECT count(DISTINCT user_id) AS exact_users,
+                   count(*) AS n_events,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_days,
+                   TRUE AS est_within_5pct
+            FROM events
+        """,
+        doc="Mergeable per-day HLL sketch rollup → range distinct estimate, "
+        "self-banded vs exact (est_within_5pct must hold for the match)",
         tags=("§2.11", "A2"),
     ),
     "agg_rollup_returnflag": QuerySpec(

@@ -103,8 +103,14 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     or broadcast nested-loop joins (the llm cosine brute force is the
     one sanctioned crossJoin — a broadcast of 5 query vectors)."""
     # cosine brute-force broadcasts 5 query vectors; IVF broadcasts an
-    # 8-row codebook — both are deliberate small-side cross joins
-    sanctioned = {"llm_cosine_topk", "llm_lsh_cosine_topk", "llm_ivf_cosine_topk"}
+    # 8-row codebook; the sketch rollup combines two 1-row scalar
+    # aggregates — all deliberate small-side cross joins
+    sanctioned = {
+        "llm_cosine_topk",
+        "llm_lsh_cosine_topk",
+        "llm_ivf_cosine_topk",
+        "sketch_rollup_distinct_users",
+    }
     offenders = []
     for name, spec in QUERIES.items():
         if name in sanctioned or name.startswith("streaming"):
