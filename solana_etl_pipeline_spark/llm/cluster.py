@@ -46,15 +46,35 @@ def connected_components(
         .dropDuplicates(["src", "dst"])
     )
     if checkpoint:
-        # materialize once: every iteration (and its convergence count)
+        # materialize once: every iteration (and its convergence probe)
         # re-reads edges — without this, an expensive upstream pair
         # generator (MinHash-LSH) recomputes per round
         edges = edges.localCheckpoint(eager=True)
+
+    # Round 1 folded into initialization: with identity starting labels
+    # the edge⋈label join is a no-op, so the first propagation is just
+    # min(self, neighbors) — one groupBy, no join.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .dropDuplicates(["id"])
-        .withColumn("component", F.col("id"))
+        edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+        .union(
+            edges.select(F.col("src").alias("id"), F.col("src").alias("component"))
+        )
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
     )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=False)
+
+    # Convergence probe: per vertex the label is min(self ∪ neighbors),
+    # so it only ever DECREASES — the label sum is strictly monotone
+    # until fixpoint, and one scalar aggregate per round replaces a
+    # new-vs-old join. decimal(38,0) so huge id sums can't overflow.
+    def _label_sum(df: DataFrame) -> int:
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # each vertex adopts the min of its own label and its
         # neighbors' labels
@@ -69,16 +89,14 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "prev"), "id")
-            .filter(F.col("component") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
+            # eager=False: the probe below is the materializing action,
+            # so checkpoint + convergence test cost ONE job per round
+            new_labels = new_labels.localCheckpoint(eager=False)
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
