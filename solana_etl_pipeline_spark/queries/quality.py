@@ -73,14 +73,42 @@ def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling per language (seeded `sampleBy`) — the
-    training-mix knob. Rows-only: seeded sampling is deterministic
-    within Spark but not reproducible by another engine; the per-
-    stratum proportion bound is asserted in tests."""
+    """Stratified sampling per language (seeded ``sampleBy``) — the
+    training-mix knob.
+
+    Seeded sampling is deterministic within Spark but not reproducible
+    by another engine, so the sampled count itself can't be
+    oracle-matched; instead the query emits, per stratum, the exact
+    population plus ``within_band`` — the realized sample proportion
+    within ±4 binomial standard deviations (+1/N continuity slack) of
+    the requested fraction. The oracle asserts populations and TRUE
+    bands: a broken sampler (wrong fraction, wrong stratum routing)
+    fails the driver check, while seed-level variation cannot."""
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "es": 0.25, "de": 0.25, "fr": 0.1, "zh": 0.1}
-    sampled = docs.sampleBy("lang", fractions, seed=42)
-    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    sampled_counts = (
+        docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    population = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_population")
+    )
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col("lang")]
+    p_hat = F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_population")
+    tol = 4 * F.sqrt(frac * (1 - frac) / F.col("n_population")) + (
+        1 / F.col("n_population")
+    )
+    return (
+        population.join(sampled_counts, "lang", "left")
+        .select(
+            "lang",
+            "n_population",
+            (F.abs(p_hat - frac) <= tol).alias("within_band"),
+        )
+    )
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -129,9 +157,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sample_stratified": QuerySpec(
         spark=sample_stratified,
-        oracle=None,
-        doc="Seeded stratified sampling per language (rows-only; "
-        "proportions asserted in tests)",
+        oracle="""
+            SELECT lang,
+                   count(*) AS n_population,
+                   TRUE AS within_band
+            FROM documents GROUP BY lang
+        """,
+        doc="Seeded stratified sampling per language, self-banded: "
+        "realized proportions within 4 binomial sigma of requested",
         tags=("§2.11",),
     ),
 }

@@ -89,10 +89,21 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 def risk_scores_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship with ``approx_count_distinct`` (HLL++) — the 100 TB
-    escape hatch: map-side combinable, one pass, no (key, account)
-    shuffle. Rows-only (HLL estimates differ across engines); the exact
-    twin carries the oracle."""
+    """Flagship's ``approx_count_distinct`` (HLL++) escape hatch — at
+    100 TB the exact per-key COUNT(DISTINCT) shuffles every (key,
+    account) pair; HLL++ is map-side combinable, one pass.
+
+    Driver-checkable via self-banding (like
+    ``sketch_rollup_distinct_users``): ONE hash aggregate computes the
+    exact and approximate counts side by side, the top-10 selection
+    orders by the EXACT safety score (deterministic, SQL-expressible),
+    and each row carries ``holders_est_ok``/``buyers_est_ok`` —
+    approx within max(3, 15%) of exact: HLL++ default rsd is 5%, so
+    15% is a 3-sigma envelope, with an absolute floor for tiny counts
+    where one register collision is a big relative error. The oracle
+    asserts the exact columns plus both flags TRUE — a broken
+    estimator (off by orders of magnitude) fails the driver check,
+    normal estimation noise cannot."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "holder", json_str(F.col("props"), "$.k")
     )
@@ -104,9 +115,33 @@ def risk_scores_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         buy_type_col="event_type",
         buy_type_value="purchase",
         excluded_keys=EXCLUDED_USER_IDS,
-        approximate=True,
     )
-    return top_k_by_safety(scored, key="user_id", k=10)
+    approx = (
+        ev.filter(~F.col("user_id").isin(EXCLUDED_USER_IDS))
+        .groupBy("user_id")
+        .agg(
+            F.approx_count_distinct("holder").alias("approx_holders"),
+            F.approx_count_distinct(
+                F.when(F.col("event_type") == "purchase", F.col("holder"))
+            ).alias("approx_buyers"),
+        )
+    )
+
+    def _ok(approx_col: str, exact_col: str):
+        return F.abs(F.col(approx_col) - F.col(exact_col)) <= F.greatest(
+            F.lit(3.0), 0.15 * F.col(exact_col)
+        )
+
+    top = top_k_by_safety(scored.join(approx, "user_id"), key="user_id", k=10)
+    return top.select(
+        "user_id",
+        "unique_holders",
+        "unique_buyers",
+        "total_events",
+        "safety_score",
+        _ok("approx_holders", "unique_holders").alias("holders_est_ok"),
+        _ok("approx_buyers", "unique_buyers").alias("buyers_est_ok"),
+    )
 
 
 def events_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,8 +334,43 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "risk_scores_topk_approx": QuerySpec(
         spark=risk_scores_topk_approx,
-        oracle=None,
-        doc="Flagship with HLL++ approx distinct counts (scale path; rows-only)",
+        oracle="""
+            WITH agg AS (
+              SELECT user_id,
+                     count(DISTINCT json_extract_string(props, '$.k'))
+                       AS unique_holders,
+                     count(DISTINCT CASE WHEN event_type = 'purchase'
+                       THEN json_extract_string(props, '$.k') END)
+                       AS unique_buyers,
+                     count(*) AS total_events
+              FROM events WHERE user_id NOT IN (0, 1) GROUP BY user_id
+            ), scored AS (
+              SELECT *,
+                CASE WHEN unique_holders > 0
+                     THEN 100.0 / (1.0 + unique_holders) ELSE 100.0 END
+                  AS ownership_risk,
+                CASE WHEN unique_buyers > 0
+                     THEN 100.0 / (1.0 + unique_buyers) ELSE 100.0 END
+                  AS liquidity_risk,
+                total_events / (1.0 + unique_holders) AS txn_concentration
+              FROM agg
+            ), weighted AS (
+              SELECT *,
+                0.4 * ownership_risk + 0.4 * liquidity_risk
+                  + 0.2 * txn_concentration AS jeet
+              FROM scored
+            )
+            SELECT user_id, unique_holders, unique_buyers, total_events,
+                   round(greatest(0.0, 100.0 - jeet), 6) AS safety_score,
+                   TRUE AS holders_est_ok,
+                   TRUE AS buyers_est_ok
+            FROM weighted
+            ORDER BY safety_score DESC, user_id
+            LIMIT 10
+        """,
+        doc="Flagship's HLL++ approx-distinct scale path, self-banded: "
+        "exact columns drive the top-k, flags assert approx within "
+        "max(2, 5%) of exact",
         tags=("A2", "A3", "X-scale"),
     ),
     "risk_banding_report": QuerySpec(
