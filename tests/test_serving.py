@@ -1,0 +1,106 @@
+"""Serving-layer tests: the dashboard surface over silver→gold
+(``streamlit 1.3.txt`` parity — views, banded verdicts, TTL cache,
+HTTP refresh page)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+from pyspark.sql import Row
+
+from solana_etl_pipeline_spark.pipelines.bronze_silver import (
+    build_silver,
+    write_silver,
+)
+from solana_etl_pipeline_spark.serving import Dashboard, TTLCache, serve_http
+from tests.test_gold import _wrapped_doc
+
+
+def _silver_fixture(spark, tmp_path) -> str:
+    docs = [
+        _wrapped_doc(
+            "mintDiverse",
+            [f"s{i}" for i in range(4)],
+            [(f"buyer{i}", f"holder{i}") for i in range(4)],
+        ),
+        _wrapped_doc(
+            "mintConc", [f"c{i}" for i in range(4)], [("whale", "whale")] * 4
+        ),
+    ]
+    helius_raw = spark.createDataFrame([Row(raw=d) for d in docs])
+    ws_raw = spark.createDataFrame(
+        [Row(raw=json.dumps({"mint": "mintWs", "txType": "create"}))]
+    )
+    path = str(tmp_path / "silver")
+    write_silver(build_silver(helius_raw, ws_raw), path, mode="overwrite")
+    return path
+
+
+def test_ttl_cache_reloads_after_expiry():
+    now = [0.0]
+    loads = []
+    cache = TTLCache(ttl_sec=300.0, clock=lambda: now[0])
+    for t in (0.0, 100.0, 299.0, 300.0, 550.0, 600.0):
+        now[0] = t
+        cache.get(lambda: loads.append(t))
+    # loaded at 0, re-loaded at 300 and 600 — never inside a TTL window
+    assert loads == [0.0, 300.0, 600.0]
+
+
+def test_dashboard_views_and_verdicts(spark, tmp_path):
+    silver_path = _silver_fixture(spark, tmp_path)
+    dash = Dashboard(spark, silver_path, working_set_rows=1000)
+
+    top = dash.top_safest(k=2)
+    assert top[0]["mint"] == "mintDiverse"  # diverse holders => safest
+
+    txns = dash.recent_transactions(100)
+    assert len(txns) == 9  # 4 + 4 helius rows + 1 websocket row
+    # ts-descending ordering (nulls last is fine; check non-null prefix)
+    stamps = [t["ts"] for t in txns if t["ts"] is not None]
+    assert stamps == sorted(stamps, reverse=True)
+
+    detail = dash.token_detail("mintConc")
+    card = detail["card"]
+    assert card["risk_verdict"] in ("HIGH", "MEDIUM", "LOW")
+    # one whale doing everything => concentrated, risky
+    assert card["safety_score"] < 60
+    assert len(detail["transactions"]) == 4
+
+    text = dash.overview_text()
+    assert "mintDiverse" in text and "Top 10 safest" in text
+
+
+def test_dashboard_ttl_and_refresh(spark, tmp_path):
+    now = [0.0]
+    silver_path = _silver_fixture(spark, tmp_path)
+    dash = Dashboard(
+        spark, silver_path, working_set_rows=1000,
+        data_ttl_sec=300.0, clock=lambda: now[0],
+    )
+    first = dash._snapshot()
+    now[0] = 100.0
+    assert dash._snapshot() is first  # cached inside TTL
+    now[0] = 400.0
+    assert dash._snapshot() is not first  # expired -> reloaded
+    reloaded = dash._snapshot()
+    dash.refresh()
+    assert dash._snapshot() is not reloaded  # explicit invalidation
+
+
+def test_serve_http_renders_overview(spark, tmp_path):
+    silver_path = _silver_fixture(spark, tmp_path)
+    dash = Dashboard(spark, silver_path, working_set_rows=1000)
+    server = serve_http(dash, port=0, refresh_sec=7)
+    try:
+        port = server.server_address[1]
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30
+        ).read().decode()
+        assert 'http-equiv="refresh" content="7"' in html
+        assert "mintDiverse" in html
+        assert "<table>" in html
+    finally:
+        server.shutdown()
+        server.server_close()
