@@ -95,11 +95,32 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9: nation/year profit for red parts — revenue minus derived
-    supply cost, joined on the composite (partkey, suppkey) key."""
-    ps = derived_partsupp(spark, sf_dir)
-    li = load_table(spark, sf_dir, "lineitem")
+    supply cost, joined on the composite (partkey, suppkey) key.
+
+    The partsupp side is derived from the RED-filtered fact rather
+    than all of lineitem: cost is key arithmetic, so ps rows for
+    non-red parts can never survive the join — semantically identical
+    (same oracle), but the distinct-pair shuffle and the composite-key
+    join shrink by the part-filter selectivity (~25×). The general
+    lesson: when a derived dimension is only consumed through a
+    filtered fact, derive it from the filtered fact."""
+    li_all = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%red%")
+    )
+    li = li_all.join(F.broadcast(part), li_all.l_partkey == part.p_partkey)
+    ps = (
+        li.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .withColumn(
+            "ps_supplycost",
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7) % 10000)
+            / 100.0
+            + 1.0,
+        )
     )
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -108,8 +129,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps_supplycost"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(
+        li.join(
             ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
