@@ -1,0 +1,183 @@
+"""Term-relevance ranking over the ``documents`` corpus: TF-IDF and BM25.
+
+A training-data pipeline needs lexical relevance scoring for corpus
+curation (topic filtering, query-based subset extraction, boosting
+rare-vocabulary documents). The reference has no ranking surface
+(its text handling stops at ``clean_data.py``'s field extraction), so
+this module is part of the SURVEY §2.11 engine surface: both scorers
+are pure DataFrame compositions — tokenize with built-in ``split``,
+two hash aggregations (term frequency, document frequency), one
+equi-join on the term, and a window top-k. No Python UDFs anywhere.
+
+Scale posture (100 TB): the token explode is the dominant cost and is
+map-side only; ``tf`` shuffles on ``(doc, term)`` and ``df`` on
+``term`` — both are classic partial-aggregate-friendly hash aggs.
+The df side is a term dictionary (bounded by vocabulary, not corpus
+size), joined back on ``term``; Catalyst/AQE broadcasts it when small.
+Scalar corpus stats (N, avgdl) ride a 1-row broadcast crossJoin.
+The final per-document top-k is a window over the doc key — bounded
+state per key, no global sort.
+
+Determinism: scores are derived from exact integer counts (tf, df,
+dl, N) through a fixed expression shape, so Spark and the DuckDB
+oracle agree bit-for-bit before the final ``round``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# BM25 constants (Robertson et al.; the standard Okapi defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (doc, token): lower-cased whitespace tokens.
+
+    ``explode_outer`` + non-empty filter keeps null/empty text from
+    silently dropping the document on the inner-explode path (the
+    same ``InferFiltersFromGenerate`` dodge as llm/dedup.py).
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode_outer(
+                F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` — the smoothed idf
+    (sklearn's ``smooth_idf`` formulation) so a term present in every
+    document still gets a positive weight; important here because
+    corpus-curation vocabularies are often tiny.
+
+    Returns ``(doc_id, term, rank, tfidf)`` with ``rank`` 1..k,
+    ties broken by term ascending.
+    """
+    toks = _tokens(df, id_col, text_col)
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = toks.select("doc", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )  # 1-row scalar; broadcast combine below is not a data cartesian
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "term",
+            "rank",
+            F.round("tfidf", 4).alias("tfidf"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents for a keyword query under Okapi BM25.
+
+    ``idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the
+    non-negative Lucene variant); per-term contribution
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Only documents containing at least one query term appear.
+    Returns ``(doc_id, rank, bm25)``; ties broken by doc id.
+    """
+    toks = _tokens(df, id_col, text_col)
+    qt = [t.lower() for t in query_terms]
+    # Document length and corpus stats come from ALL tokens...
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.select(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # ...while tf/df only ever see the |query|-bounded term subset, so
+    # everything after this filter is tiny regardless of corpus size.
+    qtoks = toks.filter(F.col("term").isin(qt))
+    tf = qtoks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = qtoks.select("doc", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    contrib = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))  # 1-row scalar combine
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    scores = contrib.groupBy("doc").agg(F.sum("part").alias("score"))
+    # TakeOrderedAndProject first (distributed top-k), THEN rank the k
+    # survivors — a bare global row_number window would funnel every
+    # scored document through one partition.
+    top = scores.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("doc").alias("doc_id"),
+        "rank",
+        F.round("score", 4).alias("bm25"),
+    )
+
+
+def idf_smooth(n_docs: int, df: int) -> float:
+    """Python twin of the smoothed idf, for tests."""
+    return math.log((n_docs + 1.0) / (df + 1.0)) + 1.0
+
+
+def idf_bm25(n_docs: int, df: int) -> float:
+    """Python twin of the BM25 idf, for tests."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)

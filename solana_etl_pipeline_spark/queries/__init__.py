@@ -17,6 +17,7 @@ from solana_etl_pipeline_spark.queries import llm as _llm
 from solana_etl_pipeline_spark.queries import misc as _misc
 from solana_etl_pipeline_spark.queries import nested as _nested
 from solana_etl_pipeline_spark.queries import quality as _quality
+from solana_etl_pipeline_spark.queries import ranking as _ranking
 from solana_etl_pipeline_spark.queries import reference as _reference
 from solana_etl_pipeline_spark.queries import setops as _setops
 from solana_etl_pipeline_spark.queries import sorts as _sorts
@@ -45,6 +46,7 @@ for _mod in (
     _tpch_deep,
     _tpch_derived,
     _quality,
+    _ranking,
 ):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard

@@ -1,0 +1,113 @@
+"""Ranking queries: TF-IDF top terms and BM25 keyword search
+(SURVEY §2.11 LLM-data surface; no reference counterpart — the
+reference's text handling stops at field extraction,
+clean_data.py:92-113).
+
+Both are fully SQL-expressible, so both carry DuckDB oracles; scores
+derive from exact integer counts through mirrored expression shapes
+(see llm/ranking.py) so the engines agree before the final round().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from solana_etl_pipeline_spark.llm.ranking import bm25_topk, tfidf_top_terms
+from solana_etl_pipeline_spark.queries.base import QuerySpec
+from solana_etl_pipeline_spark.sources import load_table
+
+# Fixture-present query terms (documents use a small synthetic
+# vocabulary; these three appear with differing frequencies).
+BM25_QUERY = ["customer", "vector", "spark"]
+
+
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed keyword query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERY, "doc_id", "text", k=20)
+
+
+_TOKS_SQL = """
+  toks AS (
+    SELECT doc_id,
+           unnest(string_split(lower(trim(text)), ' ')) AS term
+    FROM documents),
+  toks2 AS (
+    SELECT doc_id, term FROM toks
+    WHERE term IS NOT NULL AND term <> '')
+"""
+
+QUERIES: dict[str, QuerySpec] = {
+    "llm_tfidf_top_terms": QuerySpec(
+        spark=llm_tfidf_top_terms,
+        oracle=f"""
+            WITH {_TOKS_SQL},
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks2 GROUP BY 1, 2),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM toks2 GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                       AS tfidf
+              FROM tf JOIN dfreq USING (term), n),
+            ranked AS (
+              SELECT doc_id, term,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS rank,
+                     tfidf
+              FROM scored)
+            SELECT doc_id, term, rank, round(tfidf, 4) AS tfidf
+            FROM ranked WHERE rank <= 3
+        """,
+        doc="Top-3 TF-IDF terms per document (smoothed idf)",
+        tags=("§2.11",),
+    ),
+    "llm_bm25_search": QuerySpec(
+        spark=llm_bm25_search,
+        oracle=f"""
+            WITH {_TOKS_SQL},
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1),
+            stats AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qt AS (
+              SELECT doc_id, term FROM toks2
+              WHERE term IN ('customer', 'vector', 'spark')),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+            contrib AS (
+              SELECT tf.doc_id,
+                     ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                       AS part
+              FROM tf
+              JOIN dfreq USING (term)
+              JOIN dl USING (doc_id), stats s),
+            scores AS (
+              SELECT doc_id, sum(part) AS score FROM contrib GROUP BY 1),
+            ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+                     score
+              FROM scores)
+            SELECT doc_id, rank, round(score, 4) AS bm25
+            FROM ranked WHERE rank <= 20
+        """,
+        doc="Okapi BM25 top-20 documents for a fixed keyword query",
+        tags=("§2.11",),
+    ),
+}

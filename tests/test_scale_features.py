@@ -110,6 +110,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "llm_lsh_cosine_topk",
         "llm_ivf_cosine_topk",
         "sketch_rollup_distinct_users",
+        # ranking: N / avgdl ride 1-row broadcast scalar combines
+        "llm_tfidf_top_terms",
+        "llm_bm25_search",
     }
     offenders = []
     for name, spec in QUERIES.items():
