@@ -1,0 +1,88 @@
+"""Corpus-curation operators: PII redaction and sequence packing.
+
+Two ops every LLM training-data pipeline needs before text reaches a
+tokenizer (no reference counterpart — SURVEY §2.11 surface):
+
+- **PII redaction**: regex-scrub emails, URLs, and base58 wallet
+  addresses (thematically, Solana pubkeys) to typed placeholder
+  tokens. Pure ``regexp_replace`` chains — JVM-side, whole-stage
+  codegen, trivially data-parallel at any scale.
+- **Sequence packing**: assign documents to fixed token-budget packs
+  (context windows) by contiguous fill — a running token sum per
+  stream partitioned by ``source``, ``pack = floor(start / budget)``.
+  One window per source key: partition-parallel, bounded state, no
+  global sort. (Greedy bin-packing would need per-partition state;
+  contiguous fill is the shuffle-free approximation large pipelines
+  actually use for streaming corpora.)
+
+Patterns use only RE2-compatible syntax so the DuckDB oracle can run
+the exact same regexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# RE2-safe patterns (work identically under Java regex and DuckDB/RE2).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+# Base58 (no 0, O, I, l), Solana pubkey length band.
+ADDR_RE = r"\b[1-9A-HJ-NP-Za-km-z]{32,44}\b"
+
+_REDACTIONS = ((EMAIL_RE, "<EMAIL>"), (URL_RE, "<URL>"), (ADDR_RE, "<ADDR>"))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email/URL/base58-address with its placeholder."""
+    out = text
+    for pattern, token in _REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts on the raw text (for audit reports)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)),
+        "n_urls": F.regexp_count(text, F.lit(URL_RE)),
+        "n_addrs": F.regexp_count(text, F.lit(ADDR_RE)),
+    }
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    stream_col: str = "source",
+) -> DataFrame:
+    """Assign docs to token-budget packs by contiguous fill.
+
+    Within each ``stream_col`` partition (ordered by ``id_col``) a
+    running token total places each document in the pack where it
+    starts: ``pack_id = floor((cum - tokens) / budget)``. Returns one
+    row per (stream, pack) with ``n_docs`` and ``sum_tokens``.
+    """
+    toks = df.select(
+        F.col(stream_col).alias("stream"),
+        F.col(id_col).alias("doc"),
+        F.size(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), " ")
+        ).alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("tokens").over(w)).withColumn(
+        "pack_id",
+        F.floor((F.col("cum") - F.col("tokens")) / F.lit(float(budget))).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("stream", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("sum_tokens"),
+    )

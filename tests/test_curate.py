@@ -1,0 +1,78 @@
+"""Unit tests for corpus curation: PII redaction on crafted strings
+and contiguous-fill sequence packing on a hand-built stream.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.llm.curate import (
+    pack_sequences,
+    pii_counts,
+    redact_pii,
+)
+
+WALLET = "5Kd3NBUAdUnhyzenEwVLy9pBKxSwXvE9FMPyR4UK"  # 40 base58 chars
+
+
+@pytest.fixture(scope="module")
+def pii_rows(spark):
+    rows = [
+        Row(i=0, text=f"dm bob.smith+x@mail.co or https://a.io/t?q=1 pay {WALLET} now"),
+        Row(i=1, text="no pii here at all"),
+        Row(i=2, text="two mails a@b.io c@d.org and http://plain.url"),
+        # too-short (31) base58 run must NOT be redacted
+        Row(i=3, text="ref " + WALLET[:31] + " ok"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_redaction_replaces_all_kinds(pii_rows):
+    out = pii_rows.select("i", redact_pii(F.col("text")).alias("clean")).collect()
+    got = {r.i: r.clean for r in out}
+    assert got[0] == "dm <EMAIL> or <URL> pay <ADDR> now"
+    assert got[1] == "no pii here at all"
+    assert got[2] == "two mails <EMAIL> <EMAIL> and <URL>"
+    assert "<ADDR>" not in got[3]  # below the 32-char address band
+
+
+def test_pii_counts_per_kind(pii_rows):
+    counts = pii_counts(F.col("text"))
+    out = pii_rows.select(
+        "i", *[c.alias(n) for n, c in counts.items()]
+    ).collect()
+    got = {r.i: (r.n_emails, r.n_urls, r.n_addrs) for r in out}
+    assert got[0] == (1, 1, 1)
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (2, 1, 0)
+    assert got[3] == (0, 0, 0)
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    # stream s: token lengths 3,3,3 with budget 4 ->
+    # doc 0 starts at 0 (pack 0), doc 1 starts at 3 (pack 0),
+    # doc 2 starts at 6 (pack 1).
+    rows = [
+        Row(source="s", doc_id=0, text="a b c"),
+        Row(source="s", doc_id=1, text="d e f"),
+        Row(source="s", doc_id=2, text="g h i"),
+        Row(source="t", doc_id=3, text="x"),
+    ]
+    out = pack_sequences(
+        spark.createDataFrame(rows), "doc_id", "text", budget=4
+    ).collect()
+    got = {(r.stream, r.pack_id): (r.n_docs, r.sum_tokens) for r in out}
+    assert got[("s", 0)] == (2, 6)
+    assert got[("s", 1)] == (1, 3)
+    assert got[("t", 0)] == (1, 1)
+
+
+def test_pack_sequences_null_text_counts_zeroish(spark):
+    df = spark.createDataFrame(
+        [("s", 0, None)], "source string, doc_id int, text string"
+    )
+    out = pack_sequences(df, "doc_id", "text", budget=4).collect()
+    # split('', ' ') -> [''] : one (empty) token, never a crash
+    assert out[0].n_docs == 1
