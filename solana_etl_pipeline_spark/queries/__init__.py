@@ -60,12 +60,13 @@ for _mod in (
 # the order is score-bearing. Rounds 2-3 front-loaded one query per
 # SURVEY §2 component family and those 50 are all driver-green
 # (CORRECTNESS_r03.json: 49 full matches + 1 rows-only by contract).
-# Round 4 rotates the prefix: the first 50 below are exactly the 50
-# queries that have never had a driver CORRECTNESS row — the whole
-# TPC-H suite, rollup/cube, window variants, quality/io, and the
-# remaining LSH paths — so that across rounds every registered query
-# is driver-witnessed. Oracle-paired queries lead; the 8 rows-only
-# ones close the prefix. The r3-green 50 follow in their r3 order.
+# Round 4 rotates the prefix to queries with no driver CORRECTNESS
+# row yet: the whole TPC-H suite, rollup/cube, window variants,
+# quality/io, the r4 self-banded oracles, and the four r4
+# ranking/curation queries — so that across rounds every
+# oracle-paired query is driver-witnessed. Oracle-paired queries
+# fill positions 1-49; one rows-only LSH witness closes the 50. The
+# r3-green 50 follow in their r3 order.
 _PRIORITY = (
     # --- round-4 prefix: never-driver-checked queries ---
     # TPC-H suite (§2.11 general join/agg/window surface)
@@ -118,15 +119,25 @@ _PRIORITY = (
     "data_quality_report",
     "data_quality_split",
     "normalized_exact_dedup",
-    # rows-only queries close the round-4 prefix
+    # self-banded oracles (gained oracles in r4, never witnessed)
+    "risk_scores_topk_approx",
+    "sketch_rollup_distinct_users",
+    "sample_stratified",
+    # new-in-r4 oracle-paired ranking/curation queries
+    "llm_tfidf_top_terms",
+    "llm_bm25_search",
+    "llm_pii_redact",
+    "llm_pack_sequences",
+    # one rows-only witness for the LSH family closes the prefix at
+    # exactly 50; the remaining 4 rows-only LSH variants (simhash,
+    # embedding, lsh/ivf topk) sit just past it — their driver check
+    # would be the weak runs-with-rows form anyway and each is
+    # pytest-pinned (planted dups + recall-vs-exact).
     "llm_near_dup_survivors",
     "llm_simhash_near_dup",
     "llm_embedding_near_dup",
     "llm_lsh_cosine_topk",
     "llm_ivf_cosine_topk",
-    "risk_scores_topk_approx",
-    "sketch_rollup_distinct_users",
-    "sample_stratified",
     # --- r3-green 50 (CORRECTNESS_r03 rows), in their r3 order ---
     "risk_scores_topk",
     "risk_banding_report",
