@@ -84,3 +84,48 @@ def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     files missing a column yield nulls — exactly the reference's
     first-file-wins + null-fill semantics, but symmetric."""
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a directory of small parquet files to ~``target_file_bytes``
+    files; returns the output file count.
+
+    The reference's micro-batch loop (``cleandata1.py:36-51``) writes
+    one object per record — the small-files problem in its purest
+    form; at 100 TB a streaming sink emitting a file per micro-batch
+    per partition produces millions of KB-sized files whose open/footer
+    costs dominate scans. Sizing reads the actual on-disk bytes (not
+    row counts, which mispredict wide/compressed tables), then
+    rewrites in one job: ``repartition(n)`` for plain compaction or a
+    ``repartitionByRange`` + ``sortWithinPartitions`` when ``sort_cols``
+    is given, laying rows out for min/max row-group skipping on those
+    columns. The rewrite lands in a sibling temp dir and swaps in only
+    after success, so readers never observe a half-compacted table.
+    """
+    import math
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    src = Path(path)
+    total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(str(src))
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_out)
+    tmp = src.with_name(f"{src.name}.compact-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(str(tmp))
+    backup = src.with_name(src.name + ".precompact")
+    src.rename(backup)
+    tmp.rename(src)
+    shutil.rmtree(backup)
+    return len(list(src.glob("*.parquet")))

@@ -139,3 +139,52 @@ def test_broadcast_enrich_defaults(spark):
     out = {r.mint: r.token_name for r in
            broadcast_enrich(facts, dim, "mint", "token_name").collect()}
     assert out == {"a": "Alpha", "b": "Unknown"}
+
+
+def test_compact_parquet_dir_reduces_files_keeps_rows(spark, tmp_path):
+    """Small-files compaction: 32 tiny files -> few sized files, rows
+    and values identical, swap is atomic (no .compact-* residue)."""
+    from solana_etl_pipeline_spark.sources.sinks import compact_parquet_dir
+
+    out = str(tmp_path / "many")
+    df = spark.range(0, 2000).withColumn("v", F.col("id") * 2)
+    df.repartition(32).write.parquet(out)
+    n_before = len(list((tmp_path / "many").glob("*.parquet")))
+    assert n_before >= 32
+
+    n_after = compact_parquet_dir(spark, out, target_file_bytes=1 << 30)
+    assert n_after == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2000 * 1999
+    assert not list(tmp_path.glob("many.compact-*"))
+    assert not list(tmp_path.glob("many.precompact"))
+
+
+def test_compact_parquet_dir_sorted_layout(spark, tmp_path):
+    """sort_cols: range-partitioned + sorted-within-file layout, so
+    per-file min/max on the sort key are disjoint (data skipping)."""
+    from solana_etl_pipeline_spark.sources.sinks import compact_parquet_dir
+
+    out = str(tmp_path / "sorted")
+    spark.range(0, 10000).withColumn(
+        "k", (F.col("id") * 7919) % 10000
+    ).repartition(16).write.parquet(out)
+
+    # tiny target to force >1 output file
+    n_after = compact_parquet_dir(
+        spark, out, target_file_bytes=16 * 1024, sort_cols=["k"]
+    )
+    assert n_after > 1
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted((tmp_path / "sorted").glob("*.parquet")):
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        if t:
+            spans.append((min(t), max(t)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
