@@ -11,6 +11,7 @@ from __future__ import annotations
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.queries import aggs as _aggs
 from solana_etl_pipeline_spark.queries import curation as _curation
+from solana_etl_pipeline_spark.queries import export as _export
 from solana_etl_pipeline_spark.queries import functions_zoo as _functions_zoo
 from solana_etl_pipeline_spark.queries import io as _io
 from solana_etl_pipeline_spark.queries import joins as _joins
@@ -49,6 +50,7 @@ for _mod in (
     _quality,
     _ranking,
     _curation,
+    _export,
 ):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard
