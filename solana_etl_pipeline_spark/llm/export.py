@@ -43,13 +43,25 @@ def corpus_filter(
     min_quality: float = 50.0,
 ) -> DataFrame:
     """Training-worthiness gate: predicted language, quality floor,
-    and exact-dedup survivors (min id per distinct text)."""
+    and exact-dedup survivors (min id per distinct text).
+
+    Returns the surviving rows with a ``quality`` column attached —
+    the score rides along so downstream stages never re-evaluate the
+    (wide) text-stats expression tree. The dedup semi-join keys on
+    ``sha2(text)`` rather than the text itself: shuffle rows carry a
+    32-byte digest instead of whole documents (same design as
+    ``exact_dedup_groups``; identical result up to sha256 collisions).
+    """
     text = F.col(text_col)
-    gated = df.filter(
-        (language_id(text) == lang) & (quality_score(text) > min_quality)
+    gated = (
+        df.withColumn("quality", quality_score(text))
+        .withColumn("_lang", language_id(text))
+        .filter((F.col("_lang") == lang) & (F.col("quality") > min_quality))
+        .drop("_lang")
+        .withColumn("_key", F.sha2(text, 256))
     )
-    keepers = gated.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    return gated.join(keepers, [text_col, id_col], "left_semi")
+    keepers = gated.groupBy("_key").agg(F.min(id_col).alias(id_col))
+    return gated.join(keepers, ["_key", id_col], "left_semi").drop("_key")
 
 
 def shard_key(id_col: Column, n_shards: int) -> Column:

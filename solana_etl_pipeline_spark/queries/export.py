@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.export import KNUTH, assign_shards, corpus_filter
-from solana_etl_pipeline_spark.llm.textstats import STOPWORDS, quality_score
+from solana_etl_pipeline_spark.llm.textstats import STOPWORDS
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
 
@@ -24,7 +24,7 @@ def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = corpus_filter(docs, "doc_id", "text", lang="en", min_quality=50.0)
     kept_stats = kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.round(F.avg(quality_score(F.col("text"))), 4).alias("avg_quality"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
     totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
