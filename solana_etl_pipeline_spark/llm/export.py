@@ -9,13 +9,18 @@ trainer can stream.
   lie at scale) + quality floor + exact-dedup survivor selection, all
   composed from the existing operators. One aggregation per stage;
   the dedup semi-join shuffles on the content key only.
-- **Shard assignment**: ``shard = (doc_id * KNUTH) mod n_shards`` — a
-  multiplicative-hash pseudo-shuffle that is deterministic, uniform
-  for sequential ids, engine-portable (plain BIGINT arithmetic, so
-  the DuckDB oracle can replay it exactly — unlike xxhash64), and
-  stateless: any worker can recompute any document's shard. Within a
-  shard, documents are ordered by the same product for an
-  order-decorrelated read sequence.
+- **Shard assignment**: ``scramble = (doc_id mod P) * K mod P`` with
+  ``P`` a large prime — a mod-prime multiplicative scramble (a full
+  permutation of [0, P) for any K coprime with P), then
+  ``shard = scramble mod n_shards`` and intra-shard order by the
+  scramble value. Plain BIGINT arithmetic that never exceeds
+  ``P^2 < 2^63``, so it is deterministic, engine-portable (the
+  DuckDB oracle replays it exactly — unlike xxhash64), and
+  stateless: any worker can recompute any document's shard. NOTE: a
+  plain ``(id * K) mod n_shards`` without the prime reduction is a
+  trap — for power-of-two shard counts any odd K is ≡ some small
+  residue, e.g. Knuth's 2654435761 ≡ 1 (mod 8), collapsing the
+  "hash" to ``id mod n_shards`` and the order to plain id order.
 - **Shard writer**: one parquet directory partitioned by ``shard`` —
   at scale each shard is written by the tasks that own its partition
   after a single hash shuffle, and trainers read ``shard=K/``
@@ -29,9 +34,11 @@ from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.textstats import language_id, quality_score
 
-# Knuth's multiplicative constant (2^32 / phi), coprime with any
-# power-of-two shard count; products of 2^31-scale ids stay far under
-# the 2^63 BIGINT ceiling, so Spark ANSI mode and DuckDB agree.
+# Mod-prime scramble parameters: P is the classic 1e9+7 prime, K is
+# Knuth's multiplicative constant reduced into [0, P). (K % P) * (id
+# % P) stays under P^2 ~ 1e18 < 2^63, so Spark ANSI mode and DuckDB
+# compute identical BIGINT products with no overflow on either side.
+SHARD_P = 1_000_000_007
 KNUTH = 2654435761
 
 
@@ -45,37 +52,51 @@ def corpus_filter(
     """Training-worthiness gate: predicted language, quality floor,
     and exact-dedup survivors (min id per distinct text).
 
-    Returns the surviving rows with a ``quality`` column attached —
-    the score rides along so downstream stages never re-evaluate the
-    (wide) text-stats expression tree. The dedup semi-join keys on
-    ``sha2(text)`` rather than the text itself: shuffle rows carry a
-    32-byte digest instead of whole documents (same design as
-    ``exact_dedup_groups``; identical result up to sha256 collisions).
+    Returns the surviving rows with a ``quality`` column attached
+    (overwriting any pre-existing ``quality`` column — it is part of
+    this operator's output contract) — the score rides along so
+    downstream stages never re-evaluate the (wide) text-stats
+    expression tree. The dedup semi-join keys on
+    :func:`~solana_etl_pipeline_spark.llm.dedup.content_hash` rather
+    than the text itself: shuffle rows carry a 32-byte digest instead
+    of whole documents (same design as ``exact_dedup_groups``;
+    identical result up to sha256 collisions).
     """
+    from solana_etl_pipeline_spark.llm.dedup import content_hash
+
     text = F.col(text_col)
     gated = (
         df.withColumn("quality", quality_score(text))
         .withColumn("_lang", language_id(text))
         .filter((F.col("_lang") == lang) & (F.col("quality") > min_quality))
         .drop("_lang")
-        .withColumn("_key", F.sha2(text, 256))
+        .withColumn("_key", content_hash(text))
     )
     keepers = gated.groupBy("_key").agg(F.min(id_col).alias(id_col))
     return gated.join(keepers, ["_key", id_col], "left_semi").drop("_key")
 
 
+def shard_scramble(id_col: Column) -> Column:
+    """The mod-prime multiplicative scramble: a permutation of
+    [0, SHARD_P) for ids below SHARD_P, decorrelated from id order."""
+    return F.pmod(
+        F.pmod(id_col.cast("bigint"), F.lit(SHARD_P)) * F.lit(KNUTH % SHARD_P),
+        F.lit(SHARD_P),
+    )
+
+
 def shard_key(id_col: Column, n_shards: int) -> Column:
     """Deterministic, engine-portable shard assignment."""
-    return F.pmod(id_col.cast("bigint") * F.lit(KNUTH), F.lit(n_shards))
+    return F.pmod(shard_scramble(id_col), F.lit(n_shards))
 
 
 def assign_shards(
     df: DataFrame, id_col: str = "doc_id", n_shards: int = 8
 ) -> DataFrame:
-    """Add ``shard`` and an intra-shard ``shard_pos`` read order."""
+    """Add ``shard`` and an intra-shard ``shard_pos`` read order
+    (ordered by the scramble value, i.e. decorrelated from id order)."""
     sharded = df.withColumn("shard", shard_key(F.col(id_col), n_shards))
-    order = F.col(id_col).cast("bigint") * F.lit(KNUTH)
-    w = Window.partitionBy("shard").orderBy(order)
+    w = Window.partitionBy("shard").orderBy(shard_scramble(F.col(id_col)))
     return sharded.withColumn("shard_pos", F.row_number().over(w))
 
 

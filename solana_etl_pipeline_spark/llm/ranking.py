@@ -36,11 +36,18 @@ BM25_B = 0.75
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per (doc, token): lower-cased whitespace tokens.
+    """One row per (doc, token): lower-cased space-split tokens (the
+    literal-space split is the whitespace convention every oracle in
+    this repo mirrors with DuckDB ``string_split(..., ' ')``).
 
-    ``explode_outer`` + non-empty filter keeps null/empty text from
-    silently dropping the document on the inner-explode path (the
-    same ``InferFiltersFromGenerate`` dodge as llm/dedup.py).
+    Null/empty-text documents contribute no token rows — they are
+    dropped by the non-empty filter. ``explode_outer`` instead of
+    ``explode`` is purely the ``InferFiltersFromGenerate`` plan-shape
+    dodge from llm/dedup.py (an inner explode re-infers the generator
+    filter into both join sides); it does not change row semantics
+    here. Consequence for callers: BM25's n_docs/avgdl are computed
+    over token-bearing documents only, while tfidf_top_terms takes
+    its smoothed-idf N from ``df.count()`` including empty documents.
     """
     return (
         df.select(

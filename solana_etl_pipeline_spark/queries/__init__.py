@@ -125,16 +125,20 @@ _PRIORITY = (
     "risk_scores_topk_approx",
     "sketch_rollup_distinct_users",
     "sample_stratified",
-    # new-in-r4 oracle-paired ranking/curation queries
+    # new-in-r4 oracle-paired ranking/curation/export queries; the
+    # corpus-filter funnel closes the prefix at exactly 50 — all 50
+    # oracle-paired, all never driver-witnessed before this round.
     "llm_tfidf_top_terms",
     "llm_bm25_search",
     "llm_pii_redact",
     "llm_pack_sequences",
-    # one rows-only witness for the LSH family closes the prefix at
-    # exactly 50; the remaining 4 rows-only LSH variants (simhash,
-    # embedding, lsh/ivf topk) sit just past it — their driver check
-    # would be the weak runs-with-rows form anyway and each is
+    "llm_corpus_filter",
+    # position 51+: llm_export_shards is the one oracle-paired query
+    # that misses this round's 50-slot prefix (rotate it in first
+    # next round); then the rows-only LSH variants — their driver
+    # check would be the weak runs-with-rows form anyway and each is
     # pytest-pinned (planted dups + recall-vs-exact).
+    "llm_export_shards",
     "llm_near_dup_survivors",
     "llm_simhash_near_dup",
     "llm_embedding_near_dup",

@@ -115,7 +115,8 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=f"""
             WITH toks AS (
               SELECT source, doc_id,
-                     len(string_split(lower(trim(text)), ' ')) AS tokens
+                     len(string_split(lower(trim(coalesce(text, ''))), ' '))
+                       AS tokens
               FROM documents),
             packed AS (
               SELECT source, tokens,

@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from solana_etl_pipeline_spark.llm.export import KNUTH, assign_shards, corpus_filter
+from solana_etl_pipeline_spark.llm.export import (
+    KNUTH,
+    SHARD_P,
+    assign_shards,
+    corpus_filter,
+)
 from solana_etl_pipeline_spark.llm.textstats import STOPWORDS
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
@@ -127,13 +132,18 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_export_shards": QuerySpec(
         spark=llm_export_shards,
         oracle=f"""
-            WITH sharded AS (
+            WITH scrambled AS (
               SELECT doc_id,
-                     (doc_id * {KNUTH}) % {N_SHARDS} AS shard,
+                     ((doc_id % {SHARD_P}) * {KNUTH % SHARD_P})
+                       % {SHARD_P} AS scr
+              FROM documents),
+            sharded AS (
+              SELECT doc_id,
+                     scr % {N_SHARDS} AS shard,
                      row_number() OVER (
-                       PARTITION BY (doc_id * {KNUTH}) % {N_SHARDS}
-                       ORDER BY doc_id * {KNUTH}) AS shard_pos
-              FROM documents)
+                       PARTITION BY scr % {N_SHARDS}
+                       ORDER BY scr) AS shard_pos
+              FROM scrambled)
             SELECT shard, count(*) AS n_docs,
                    min(doc_id) AS min_id, max(doc_id) AS max_id,
                    CAST(sum(doc_id * shard_pos) AS BIGINT) AS order_checksum

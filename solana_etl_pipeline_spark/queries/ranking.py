@@ -12,13 +12,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from solana_etl_pipeline_spark.llm.ranking import bm25_topk, tfidf_top_terms
+from solana_etl_pipeline_spark.llm.ranking import (
+    BM25_B,
+    BM25_K1,
+    bm25_topk,
+    tfidf_top_terms,
+)
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
 
 # Fixture-present query terms (documents use a small synthetic
 # vocabulary; these three appear with differing frequencies).
 BM25_QUERY = ["customer", "vector", "spark"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 
 def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,10 +39,11 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_QUERY, "doc_id", "text", k=20)
 
 
+# coalesce mirrors the Spark side's _tokens null-text handling
 _TOKS_SQL = """
   toks AS (
     SELECT doc_id,
-           unnest(string_split(lower(trim(text)), ' ')) AS term
+           unnest(string_split(lower(trim(coalesce(text, ''))), ' ')) AS term
     FROM documents),
   toks2 AS (
     SELECT doc_id, term FROM toks
@@ -83,7 +90,7 @@ QUERIES: dict[str, QuerySpec] = {
               SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
             qt AS (
               SELECT doc_id, term FROM toks2
-              WHERE term IN ('customer', 'vector', 'spark')),
+              WHERE term IN ({_BM25_TERMS_SQL})),
             tf AS (
               SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
             dfreq AS (
@@ -91,8 +98,9 @@ QUERIES: dict[str, QuerySpec] = {
             contrib AS (
               SELECT tf.doc_id,
                      ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-                       * (tf.tf * 2.2)
-                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                       * (tf.tf * {BM25_K1 + 1.0})
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
+                          + {BM25_B} * dl.dl / s.avgdl))
                        AS part
               FROM tf
               JOIN dfreq USING (term)

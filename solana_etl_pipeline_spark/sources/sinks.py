@@ -104,8 +104,18 @@ def compact_parquet_dir(
     rewrites in one job: ``repartition(n)`` for plain compaction or a
     ``repartitionByRange`` + ``sortWithinPartitions`` when ``sort_cols``
     is given, laying rows out for min/max row-group skipping on those
-    columns. The rewrite lands in a sibling temp dir and swaps in only
-    after success, so readers never observe a half-compacted table.
+    columns.
+
+    Hive-partitioned layouts (``col=value`` subdirectories) are
+    compacted leaf-by-leaf, preserving the partition tree (so
+    ``sort_cols`` must name data columns, not partition columns).
+    Each leaf rewrite lands in a sibling temp dir and swaps in via
+    rename; a failed swap restores the original directory. The
+    two-rename window is small but NOT atomic for concurrent
+    readers — run this in the table's maintenance window; true
+    reader-transparent compaction needs a table format whose commit
+    is a metadata pointer swap, which plain parquet dirs don't have.
+    Returns the output file count (0 for an empty directory).
     """
     import math
     import shutil
@@ -113,7 +123,18 @@ def compact_parquet_dir(
     from pathlib import Path
 
     src = Path(path)
-    total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    part_dirs = sorted(
+        d for d in src.iterdir() if d.is_dir() and "=" in d.name
+    )
+    if part_dirs:
+        return sum(
+            compact_parquet_dir(spark, str(d), target_file_bytes, sort_cols)
+            for d in part_dirs
+        )
+    files = list(src.glob("*.parquet"))
+    if not files:
+        return 0
+    total = sum(f.stat().st_size for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(str(src))
     if sort_cols:
@@ -122,10 +143,21 @@ def compact_parquet_dir(
         )
     else:
         df = df.repartition(n_out)
-    tmp = src.with_name(f"{src.name}.compact-{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(str(tmp))
-    backup = src.with_name(src.name + ".precompact")
-    src.rename(backup)
-    tmp.rename(src)
+    run_id = uuid.uuid4().hex[:8]
+    tmp = src.with_name(f"{src.name}.compact-{run_id}")
+    try:
+        df.write.mode("overwrite").parquet(str(tmp))
+        # unique backup name: a stale backup from a crashed run can
+        # never collide with (and so never block) a later compaction
+        backup = src.with_name(f"{src.name}.precompact-{run_id}")
+        src.rename(backup)
+        try:
+            tmp.rename(src)
+        except BaseException:
+            backup.rename(src)  # restore the original table
+            raise
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(backup)
     return len(list(src.glob("*.parquet")))

@@ -10,11 +10,16 @@ from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.export import (
     KNUTH,
+    SHARD_P,
     assign_shards,
     corpus_filter,
     shard_key,
     write_training_shards,
 )
+
+
+def _scramble(i: int) -> int:
+    return ((i % SHARD_P) * (KNUTH % SHARD_P)) % SHARD_P
 
 GOOD_EN = (
     "the quick brown fox jumps over the lazy dog and the cat sleeps "
@@ -41,13 +46,16 @@ def test_corpus_filter_keeps_quality_english_survivors(corpus):
     assert ids == {0, 4}  # dup 1 dropped, spanish 2 dropped, junk 3 dropped
 
 
-def test_shard_key_matches_arithmetic(spark):
+def test_shard_key_matches_arithmetic_and_scrambles(spark):
     df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
     out = df.select(
         "doc_id", shard_key(F.col("doc_id"), 8).alias("shard")
     ).collect()
     for r in out:
-        assert r.shard == (r.doc_id * KNUTH) % 8
+        assert r.shard == _scramble(r.doc_id) % 8
+    # the assignment must NOT degenerate to round-robin id % n —
+    # the trap this design explicitly avoids (KNUTH ≡ 1 mod 8)
+    assert any(r.shard != r.doc_id % 8 for r in out)
 
 
 def test_assign_shards_positions_are_dense_and_ordered(spark):
@@ -57,12 +65,17 @@ def test_assign_shards_positions_are_dense_and_ordered(spark):
     for r in out:
         by_shard.setdefault(r.shard, []).append(r)
     assert set(by_shard) == {0, 1, 2, 3}
+    decorrelated = False
     for rows in by_shard.values():
         rows.sort(key=lambda r: r.shard_pos)
         assert [r.shard_pos for r in rows] == list(range(1, len(rows) + 1))
-        # intra-shard order follows the multiplicative product
-        prods = [r.doc_id * KNUTH for r in rows]
-        assert prods == sorted(prods)
+        # intra-shard order follows the scramble value...
+        scrs = [_scramble(r.doc_id) for r in rows]
+        assert scrs == sorted(scrs)
+        # ...and is decorrelated from plain id order in some shard
+        ids = [r.doc_id for r in rows]
+        decorrelated = decorrelated or ids != sorted(ids)
+    assert decorrelated
 
 
 def test_write_training_shards_layout(spark, tmp_path):
@@ -76,7 +89,5 @@ def test_write_training_shards_layout(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 200
     # shard column survives via partition dir and matches the formula
-    bad = back.filter(
-        F.col("shard") != F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(4))
-    )
+    bad = back.filter(F.col("shard") != shard_key(F.col("doc_id"), 4))
     assert bad.count() == 0

@@ -188,3 +188,29 @@ def test_compact_parquet_dir_sorted_layout(spark, tmp_path):
         assert hi1 <= lo2  # disjoint key ranges across files
     back = spark.read.parquet(out)
     assert back.count() == 10000
+
+
+def test_compact_parquet_dir_preserves_partition_tree(spark, tmp_path):
+    """Hive layouts compact leaf-by-leaf: partition dirs survive, each
+    leaf collapses to one file, values round-trip."""
+    from solana_etl_pipeline_spark.sources.sinks import compact_parquet_dir
+
+    out = str(tmp_path / "part")
+    df = spark.range(0, 1000).withColumn("p", F.col("id") % 3)
+    df.repartition(8).write.partitionBy("p").parquet(out)
+    assert all(
+        len(list(d.glob("*.parquet"))) > 1
+        for d in (tmp_path / "part").glob("p=*")
+    )
+
+    n_after = compact_parquet_dir(spark, out, target_file_bytes=1 << 30)
+    assert n_after == 3  # one file per leaf
+    leaves = sorted(d.name for d in (tmp_path / "part").glob("p=*"))
+    assert leaves == ["p=0", "p=1", "p=2"]
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("p").distinct().count() == 3
+    # empty dir: no-op, returns 0
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert compact_parquet_dir(spark, str(empty)) == 0
