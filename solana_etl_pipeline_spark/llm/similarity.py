@@ -155,6 +155,91 @@ def lsh_bucket_assignments(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an IVF codebook with Lloyd's algorithm, DataFrame-native.
+
+    Seeding is deterministic and order-decorrelated: the k vectors
+    with the smallest mod-prime scramble of their id (llm/export.py's
+    portable shuffle) — reproducible across runs and cluster sizes,
+    no RNG state. Each iteration is one assignment job (broadcast
+    centroids, see :func:`ivf_assignments`) plus one aggregation that
+    computes the element-wise mean as ``dim`` per-position ``avg``
+    columns — a single partial+final shuffle of k·dim doubles, no
+    explode. The k×dim codebook is collected to the driver between
+    iterations (index *metadata*, not data — bounded by the codebook
+    size, never by the corpus). Empty clusters keep their previous
+    centroid. Returns a (cluster_id, embedding) DataFrame usable as
+    the ``centroids`` input of :func:`ivf_cosine_topk`.
+    """
+    from solana_etl_pipeline_spark.llm.export import shard_scramble
+
+    spark = df.sparkSession
+    seeds = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(shard_scramble(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    codebook = {i: list(r.v) for i, r in enumerate(seeds)}
+
+    def _centroids_df(book: dict[int, list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(book.items())],
+            f"cluster_id int, {vec_col} array<double>",
+        )
+
+    for _ in range(n_iters):
+        # training fast path: one numpy matmul per Arrow batch against
+        # the closure-captured codebook (the interpreted HOF dot in
+        # ivf_assignments costs ~10× more per assignment — same
+        # trade-off as the SRP bucketing matmul above)
+        import numpy as np
+        from pyspark.sql.types import IntegerType
+
+        cmat = np.array(
+            [codebook[cid] for cid in sorted(codebook)], dtype=np.float64
+        )
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0.0] = 1.0
+
+        @F.pandas_udf(IntegerType())
+        def _nearest(vecs: pd.Series) -> pd.Series:
+            m = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    if v is not None
+                    else np.zeros(cmat.shape[1])
+                    for v in vecs
+                ]
+            )
+            vnorm = np.linalg.norm(m, axis=1)
+            vnorm[vnorm == 0.0] = 1.0
+            sims = (m @ cmat.T) / np.outer(vnorm, cnorm)
+            # argmax returns the FIRST max — the lowest cluster_id,
+            # matching ivf_assignments' row_number tie-break
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+        means = (
+            df.select(
+                _nearest(_as_double(F.col(vec_col))).alias("cluster_id"),
+                _as_double(F.col(vec_col)).alias("v"),
+            )
+            .groupBy("cluster_id")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        for r in means:
+            codebook[r.cluster_id] = [r[f"c{i}"] for i in range(dim)]
+    return _centroids_df(codebook)
+
+
 def ivf_assignments(
     df: DataFrame,
     centroids: DataFrame,

@@ -28,6 +28,7 @@ from solana_etl_pipeline_spark.llm.multimodal import (
 from solana_etl_pipeline_spark.llm.similarity import (
     cosine_topk,
     ivf_cosine_topk,
+    kmeans_fit,
     lsh_cosine_topk,
 )
 from solana_etl_pipeline_spark.llm.textstats import (
@@ -189,16 +190,13 @@ def llm_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-5 (rows-only): codebook = the 8
-    highest-id vectors (deterministic stand-in for k-means centroids),
+    """IVF-partitioned approximate top-5 (rows-only): codebook trained
+    with one Lloyd refinement over a deterministic scramble-seeded
+    init (``kmeans_fit``; more iterations are a library-level knob —
+    one keeps this registered query inside the bench envelope),
     nprobe=1 cluster search."""
     emb = load_table(spark, sf_dir, "embeddings")
-    max_id = F.broadcast(emb.groupBy().agg(F.max("vec_id").alias("m")))
-    centroids = (
-        emb.crossJoin(max_id)
-        .filter(F.col("vec_id") > F.col("m") - 8)
-        .select((F.col("m") - F.col("vec_id")).alias("cluster_id"), "embedding")
-    )
+    centroids = kmeans_fit(emb, k=8, dim=64, n_iters=1)
     queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
     return ivf_cosine_topk(emb, queries, centroids, k=5)
 
@@ -450,7 +448,7 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_ivf_cosine_topk": QuerySpec(
         spark=llm_ivf_cosine_topk,
         oracle=None,
-        doc="IVF (coarse-quantized) cosine top-k, nprobe=1 (rows-only)",
+        doc="IVF cosine top-k, k-means-trained codebook, nprobe=1 (rows-only)",
         tags=("§2.11",),
     ),
     "llm_multimodal_featurize": QuerySpec(

@@ -289,3 +289,41 @@ def test_lsh_null_and_ragged_embeddings_dropped(spark):
     assert all(v is not None for v in by_id[0])
     # null and ragged vectors produce only NULL band values
     assert by_id[2] == [None] and by_id[3] == [None]
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """3 tight planted clusters around orthogonal axes: Lloyd
+    iterations must land one centroid near each cluster mean, and IVF
+    search with the trained codebook must achieve perfect recall for
+    in-cluster neighbors."""
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.llm.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        kmeans_fit,
+    )
+
+    dim = 8
+    rows = []
+    for c, axis in enumerate((0, 3, 6)):
+        for j in range(20):
+            v = [0.05 * ((j + i) % 3) for i in range(dim)]
+            v[axis] = 10.0 + 0.1 * j  # tight cluster on this axis
+            rows.append(Row(vec_id=c * 20 + j, embedding=v))
+    df = spark.createDataFrame(rows)
+
+    cents = kmeans_fit(df, k=3, dim=dim, n_iters=3).collect()
+    assert len(cents) == 3
+    # each planted axis dominates exactly one trained centroid
+    dominant = sorted(max(range(dim), key=lambda i: r.embedding[i]) for r in cents)
+    assert dominant == [0, 3, 6]
+
+    queries = df.filter(F.col("vec_id").isin(0, 20, 40))
+    approx = ivf_cosine_topk(
+        df, queries, kmeans_fit(df, k=3, dim=dim, n_iters=3), k=5
+    )
+    exact = cosine_topk(df, queries, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert a == e  # tight clusters: nprobe=1 recall is perfect
