@@ -245,13 +245,14 @@ def ivf_assignments(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """(id, vec, cluster_id): assign each vector to its nearest
-    centroid (IVF coarse quantizer). ``centroids`` is a small
-    (cluster_id, centroid) table — broadcast, so assignment is a narrow
-    map stage. In a real index the centroids come from k-means; any
-    deterministic codebook (e.g. sampled vectors) preserves the
-    structure."""
+    """(id, vec, cluster_id): assign each vector to its ``nprobe``
+    nearest centroids (IVF coarse quantizer; rows fan out ×nprobe for
+    nprobe > 1 — used on the query side to probe neighboring cells).
+    ``centroids`` is a small (cluster_id, centroid) table — broadcast,
+    so assignment is a narrow map stage. In a real index the centroids
+    come from k-means (see :func:`kmeans_fit`)."""
     c = F.broadcast(
         centroids.select(
             F.col("cluster_id"), _as_double(F.col(vec_col)).alias("cvec")
@@ -267,7 +268,7 @@ def ivf_assignments(
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cluster_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select(id_col, vec_col, "cluster_id")
     )
 
@@ -279,22 +280,27 @@ def ivf_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search (nprobe=1): exact cosine only against corpus vectors
-    in the query's own cluster. The cluster equi-join replaces the full
-    scan — at 100 TB with C clusters the per-query cost drops ~C× at
-    the price of recall when a true neighbor lives across a centroid
-    boundary (raise nprobe to trade back)."""
+    """IVF search: exact cosine only against corpus vectors in the
+    query's ``nprobe`` nearest clusters. The cluster equi-join
+    replaces the full scan — at 100 TB with C clusters the per-query
+    cost drops ~(C/nprobe)× at the price of recall when a true
+    neighbor lives across a centroid boundary; raising nprobe probes
+    neighboring cells (only the query side fans out — the corpus
+    keeps exactly one cell per vector)."""
     ca = ivf_assignments(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cvec"),
         "cluster_id",
     )
-    qa = ivf_assignments(queries, centroids, id_col, vec_col).select(
+    qa = ivf_assignments(queries, centroids, id_col, vec_col, nprobe).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qvec"),
         "cluster_id",
     )
+    # no pair-dedup needed: each corpus vector lives in exactly one
+    # cell, so a (query, neighbor) pair matches at most one probed cell
     cand = qa.join(ca, "cluster_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )

@@ -327,3 +327,32 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     assert a == e  # tight clusters: nprobe=1 recall is perfect
+
+
+def test_ivf_nprobe_recovers_cross_boundary_neighbor(spark):
+    """A query between two cells whose true nearest neighbor lands in
+    the second-closest cell: nprobe=1 misses it, nprobe=2 finds it."""
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.llm.similarity import ivf_cosine_topk
+
+    # centroids on axes 0 and 1; corpus: id 1 deep in cell A, id 2 in
+    # cell B; query id 0 leans toward A but its true neighbor is 2.
+    centroids = spark.createDataFrame(
+        [Row(cluster_id=0, embedding=[1.0, 0.0]),
+         Row(cluster_id=1, embedding=[0.0, 1.0])]
+    )
+    corpus = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0]),
+         Row(vec_id=2, embedding=[0.55, 0.84])]  # cell B resident
+    )
+    query = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.8, 0.61])]  # nearest centroid: A
+    )
+    full = corpus.unionByName(query)
+
+    probe1 = ivf_cosine_topk(full, query, centroids, k=1, nprobe=1)
+    probe2 = ivf_cosine_topk(full, query, centroids, k=1, nprobe=2)
+    # true cosine: sim(q,2) > sim(q,1), but 2 lives in the unprobed cell
+    assert [r.neighbor_id for r in probe1.collect()] == [1]
+    assert [r.neighbor_id for r in probe2.collect()] == [2]

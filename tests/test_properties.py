@@ -114,3 +114,63 @@ def test_exact_dedup_groups_partition_input(spark, data):
         df.withColumn("s", F.coalesce("s", F.lit("<null>"))), ["s"], "sid"
     ).collect()
     assert sum(g.n_copies for g in groups) == df.count()
+
+
+_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.sampled_from(
+                list("abc .!9@:/<>-_") + ["\t", "\n"]
+            ),
+            max_size=40,
+        ),
+        st.sampled_from(
+            [
+                "a@b.io x",
+                "see https://t.co/z now",
+                "5Kd3NBUAdUnhyzenEwVLy9pBKxSwXvE9FMPyR4UK",
+                "<EMAIL> already",
+            ]
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@_SETTINGS
+@given(texts=_texts)
+def test_redact_pii_is_idempotent_and_total(spark, texts):
+    """redact(redact(x)) == redact(x) for arbitrary text (placeholders
+    never re-match), and redaction never throws on junk/null input."""
+    from solana_etl_pipeline_spark.llm.curate import redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    once = redact_pii(F.col("t"))
+    out = df.select("i", once.alias("r1"), redact_pii(once).alias("r2")).collect()
+    for r in out:
+        assert r.r1 == r.r2
+
+
+@_SETTINGS
+@given(texts=_texts)
+def test_pack_sequences_conserves_docs_and_tokens(spark, texts):
+    """Packing partitions the corpus: Σ n_docs == corpus size and
+    Σ sum_tokens == Σ per-doc token counts, for any text shape."""
+    from solana_etl_pipeline_spark.llm.curate import pack_sequences
+
+    df = spark.createDataFrame(
+        [("s", i, t) for i, t in enumerate(texts)],
+        "source string, doc_id long, text string",
+    )
+    packs = pack_sequences(df, "doc_id", "text", budget=3).collect()
+    toks = df.select(
+        F.size(
+            F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), " ")
+        ).alias("n")
+    ).collect()
+    assert sum(p.n_docs for p in packs) == len(texts)
+    assert sum(p.sum_tokens for p in packs) == sum(r.n for r in toks)
