@@ -29,6 +29,7 @@ from solana_etl_pipeline_spark.sources.sinks import (
     write_csv,
     write_json,
     write_parquet,
+    write_zordered,
 )
 
 _CSV_SCHEMA = StructType(
@@ -56,6 +57,31 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_parquet_merged(spark, out)
     return (
         back.filter(F.col("event_date") == F.lit("2024-01-02").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered parquet layout on (user_id, value) + a two-column
+    range predicate read-back: the Morton clustering bounds both
+    dimensions per file (locality asserted in tests/test_pipeline.py;
+    here the oracle pins that the layout loses/mangles nothing)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="spark_sink_zorder_") + "/t"
+    write_zordered(
+        ev.select("event_id", "user_id", "event_type", "value"),
+        out,
+        "user_id",
+        "value",
+        n_files=8,
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter((F.col("user_id") < 50) & (F.col("value") < 100.0))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -113,6 +139,18 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Partitioned parquet append + pruned read-back (clean_data.py:305-365)",
         tags=("S10", "S11", "U2"),
+    ),
+    "sink_zorder_roundtrip": QuerySpec(
+        spark=sink_zorder_roundtrip,
+        oracle="""
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE user_id < 50 AND value < 100.0
+            GROUP BY 1
+        """,
+        doc="Z-ordered parquet layout + two-column range read-back",
+        tags=("S10", "S11"),
     ),
     "sink_csv_roundtrip": QuerySpec(
         spark=sink_csv_roundtrip,

@@ -214,3 +214,64 @@ def test_compact_parquet_dir_preserves_partition_tree(spark, tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert compact_parquet_dir(spark, str(empty)) == 0
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """The Morton key must equal the reference bit-interleave of the
+    quantized coordinates."""
+    from solana_etl_pipeline_spark.sources.sinks import zorder_key
+
+    bits = 8
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 3, 7, 255) for y in (0, 1, 128, 255)],
+        "x int, y int",
+    )
+    out = df.select(
+        "x",
+        "y",
+        zorder_key(
+            F.col("x"), F.lit(0), F.lit(255), F.col("y"), F.lit(0), F.lit(255), bits
+        ).alias("z"),
+    ).collect()
+
+    def interleave(qx, qy):
+        z = 0
+        for i in range(bits):
+            z |= ((qx >> i) & 1) << (2 * i)
+            z |= ((qy >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in out:
+        assert r.z == interleave(r.x, r.y), (r.x, r.y)
+
+
+def test_write_zordered_localizes_both_dimensions(spark, tmp_path):
+    """On a uniform 64x64 grid split into 16 files: a plain x-sorted
+    layout leaves every file spanning ALL of y, while the z-ordered
+    layout bounds BOTH dimensions per file."""
+    import pyarrow.parquet as pq
+
+    from solana_etl_pipeline_spark.sources.sinks import write_zordered
+
+    grid = spark.range(0, 64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("int").alias("y")
+    )
+    plain = str(tmp_path / "plain")
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(plain)
+    zpath = str(tmp_path / "z")
+    write_zordered(grid, zpath, "x", "y", n_files=16, bits=6)
+
+    def max_span(path, col):
+        spans = []
+        for f in (tmp_path / path).glob("*.parquet"):
+            vals = pq.read_table(f, columns=[col])[col].to_pylist()
+            if vals:
+                spans.append(max(vals) - min(vals))
+        return max(spans)
+
+    assert max_span("plain", "y") == 63  # x-sort leaves y unbounded
+    # z-order: every file covers a bounded rectangle in BOTH dims
+    assert max_span("z", "x") <= 31
+    assert max_span("z", "y") <= 31
+    back = spark.read.parquet(zpath)
+    assert back.count() == 64 * 64
