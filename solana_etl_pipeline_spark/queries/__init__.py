@@ -133,9 +133,11 @@ _PRIORITY = (
     "llm_pii_redact",
     "llm_pack_sequences",
     "llm_corpus_filter",
-    # position 51+: llm_export_shards is the one oracle-paired query
-    # that misses this round's 50-slot prefix (rotate it in first
-    # next round); then the rows-only LSH variants — their driver
+    # position 51+: llm_export_shards (and sink_zorder_roundtrip,
+    # registered later and therefore at the registry tail) are the
+    # only oracle-paired queries missing this round's 50-slot prefix —
+    # rotate them in first next round; then the rows-only LSH
+    # variants — their driver
     # check would be the weak runs-with-rows form anyway and each is
     # pytest-pinned (planted dups + recall-vs-exact).
     "llm_export_shards",
