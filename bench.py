@@ -12,8 +12,13 @@ first query.
 Each query runs ``SPARK_GRAFT_BENCH_REPS`` times (default 3) and the
 reported number is the MEDIAN — a shared machine can land a GC pause or
 noisy neighbor on any single run (round 3's recorded bench had 17 s
-outliers that re-ran at 1.5 s), and the median of three is robust to one
-bad rep. Per-query ``{median, min, n}`` goes to BENCH_FULL.json.
+outliers that re-ran at 1.5 s). Reps are INTERLEAVED as full sweeps
+(run every query once, then repeat the whole sweep) rather than
+back-to-back per query: a multi-second load burst then contaminates
+one sweep — one rep of many queries — and the per-query median across
+sweeps rejects it, whereas back-to-back reps put all three inside the
+burst (round 4 recorded an 11.5 s simhash median that re-ran at
+1.7 s). Per-query ``{median, min, n}`` goes to BENCH_FULL.json.
 """
 
 from __future__ import annotations
@@ -43,19 +48,21 @@ def main() -> None:
     execute(QUERIES["risk_scores_topk"].spark(spark, sf_dir))
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    detail: dict[str, dict[str, float]] = {}
-    for name, spec in QUERIES.items():
-        runs: list[float] = []
-        for _ in range(reps):
+    all_runs: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for sweep in range(reps):
+        for name, spec in QUERIES.items():
             t0 = time.perf_counter()
             execute(spec.spark(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
+            all_runs[name].append(time.perf_counter() - t0)
             # the near-dup queries persist() signature tables scoped to
             # one run; drop them so 100 queries don't accumulate stale
             # cache (storage-memory pressure taxes later queries) — and
             # so every rep pays the same (cold-cache) cost.
             spark.catalog.clearCache()
+        print(f"# sweep {sweep + 1}/{reps} done", file=sys.stderr)
+    timings: dict[str, float] = {}
+    detail: dict[str, dict[str, float]] = {}
+    for name, runs in all_runs.items():
         med = sorted(runs)[len(runs) // 2]
         timings[name] = round(med, 4)
         detail[name] = {
