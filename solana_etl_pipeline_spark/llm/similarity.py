@@ -158,7 +158,7 @@ def lsh_bucket_assignments(
 def kmeans_fit(
     df: DataFrame,
     k: int,
-    dim: int,
+    dim: int | None = None,
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -168,8 +168,11 @@ def kmeans_fit(
     Seeding is deterministic and order-decorrelated: the k vectors
     with the smallest mod-prime scramble of their id (llm/export.py's
     portable shuffle) — reproducible across runs and cluster sizes,
-    no RNG state. Each iteration is one assignment job (broadcast
-    centroids, see :func:`ivf_assignments`) plus one aggregation that
+    no RNG state. ``dim`` defaults to the seed vectors' length;
+    null or length-mismatched embeddings are excluded from training
+    (they would otherwise poison centroid means — the same guard as
+    the SRP bucketing path). Each iteration is one assignment job
+    (numpy-matmul pandas UDF, see below) plus one aggregation that
     computes the element-wise mean as ``dim`` per-position ``avg``
     columns — a single partial+final shuffle of k·dim doubles, no
     explode. The k×dim codebook is collected to the driver between
@@ -178,15 +181,32 @@ def kmeans_fit(
     centroid. Returns a (cluster_id, embedding) DataFrame usable as
     the ``centroids`` input of :func:`ivf_cosine_topk`.
     """
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType
+
     from solana_etl_pipeline_spark.llm.export import shard_scramble
 
     spark = df.sparkSession
-    seeds = (
-        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-        .orderBy(shard_scramble(F.col(id_col)), F.col(id_col))
-        .limit(k)
-        .collect()
-    )
+    valid = df.filter(F.col(vec_col).isNotNull())
+
+    def _pick_seeds(frame: DataFrame) -> list:
+        return (
+            frame.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+            .orderBy(shard_scramble(F.col(id_col)), F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+
+    if dim is None:
+        probe = _pick_seeds(valid)
+        if not probe:
+            raise ValueError("kmeans_fit: no valid vectors to seed from")
+        dim = len(probe[0].v)
+    valid = valid.filter(F.size(F.col(vec_col)) == dim)
+    seeds = _pick_seeds(valid)
+    if not seeds:
+        raise ValueError("kmeans_fit: no valid vectors to seed from")
     codebook = {i: list(r.v) for i, r in enumerate(seeds)}
 
     def _centroids_df(book: dict[int, list[float]]) -> DataFrame:
@@ -200,9 +220,6 @@ def kmeans_fit(
         # the closure-captured codebook (the interpreted HOF dot in
         # ivf_assignments costs ~10× more per assignment — same
         # trade-off as the SRP bucketing matmul above)
-        import numpy as np
-        from pyspark.sql.types import IntegerType
-
         cmat = np.array(
             [codebook[cid] for cid in sorted(codebook)], dtype=np.float64
         )
@@ -211,14 +228,10 @@ def kmeans_fit(
 
         @F.pandas_udf(IntegerType())
         def _nearest(vecs: pd.Series) -> pd.Series:
-            m = np.stack(
-                [
-                    np.asarray(v, dtype=np.float64)
-                    if v is not None
-                    else np.zeros(cmat.shape[1])
-                    for v in vecs
-                ]
-            )
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            # the `valid` pre-filter guarantees non-null fixed-dim rows
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
             vnorm = np.linalg.norm(m, axis=1)
             vnorm[vnorm == 0.0] = 1.0
             sims = (m @ cmat.T) / np.outer(vnorm, cnorm)
@@ -227,7 +240,7 @@ def kmeans_fit(
             return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
         means = (
-            df.select(
+            valid.select(
                 _nearest(_as_double(F.col(vec_col))).alias("cluster_id"),
                 _as_double(F.col(vec_col)).alias("v"),
             )

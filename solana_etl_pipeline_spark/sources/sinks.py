@@ -109,14 +109,21 @@ def zorder_key(
 
     ``x_min``/``x_max``/``y_min``/``y_max`` are the global bounds
     (pass 1-row-aggregate columns via a broadcast crossJoin, or
-    literals when known); degenerate ranges quantize to 0.
+    literals when known); degenerate ranges quantize to 0. Values
+    outside the bounds (stale literal stats) clamp to the edge
+    quantile — without the clamp an out-of-range coordinate's bits
+    would spill into the other dimension's interleave positions and
+    silently break the bounded-rectangle property.
     """
     scale = float((1 << bits) - 1)
 
     def _q(c: Column, lo: Column, hi: Column) -> Column:
         span = hi.cast("double") - lo.cast("double")
         frac = F.when(span > 0.0, (c.cast("double") - lo.cast("double")) / span)
-        return F.round(F.coalesce(frac, F.lit(0.0)) * scale).cast("bigint")
+        clamped = F.greatest(
+            F.lit(0.0), F.least(F.lit(1.0), F.coalesce(frac, F.lit(0.0)))
+        )
+        return F.round(clamped * scale).cast("bigint")
 
     qx, qy = _q(x, x_min, x_max), _q(y, y_min, y_max)
     key = F.lit(0).cast("bigint")

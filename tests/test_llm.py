@@ -313,16 +313,15 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
             rows.append(Row(vec_id=c * 20 + j, embedding=v))
     df = spark.createDataFrame(rows)
 
-    cents = kmeans_fit(df, k=3, dim=dim, n_iters=3).collect()
+    cent_df = kmeans_fit(df, k=3, dim=dim, n_iters=3)
+    cents = cent_df.collect()
     assert len(cents) == 3
     # each planted axis dominates exactly one trained centroid
     dominant = sorted(max(range(dim), key=lambda i: r.embedding[i]) for r in cents)
     assert dominant == [0, 3, 6]
 
     queries = df.filter(F.col("vec_id").isin(0, 20, 40))
-    approx = ivf_cosine_topk(
-        df, queries, kmeans_fit(df, k=3, dim=dim, n_iters=3), k=5
-    )
+    approx = ivf_cosine_topk(df, queries, cent_df, k=5)
     exact = cosine_topk(df, queries, k=5)
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
@@ -356,3 +355,38 @@ def test_ivf_nprobe_recovers_cross_boundary_neighbor(spark):
     # true cosine: sim(q,2) > sim(q,1), but 2 lives in the unprobed cell
     assert [r.neighbor_id for r in probe1.collect()] == [1]
     assert [r.neighbor_id for r in probe2.collect()] == [2]
+
+
+def test_kmeans_fit_tolerates_null_and_ragged_vectors(spark):
+    """Null and length-mismatched embeddings are excluded from
+    training instead of crashing the seed collect or the numpy
+    stack; dim is derived from the seeds when omitted."""
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.llm.similarity import kmeans_fit
+
+    rows = [Row(vec_id=i, embedding=[float(i), 1.0, 0.0, 0.0]) for i in range(12)]
+    rows += [
+        Row(vec_id=100, embedding=None),
+        Row(vec_id=101, embedding=[1.0, 2.0]),  # ragged
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_fit(df, k=2, n_iters=2).collect()  # dim derived
+    assert len(cents) == 2
+    for r in cents:
+        assert len(r.embedding) == 4
+        assert all(v is not None for v in r.embedding)
+
+
+def test_kmeans_fit_raises_without_valid_vectors(spark):
+    import pytest as _pytest
+
+    from solana_etl_pipeline_spark.llm.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="no valid vectors"):
+        kmeans_fit(df, k=2)
