@@ -201,6 +201,41 @@ def llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(emb, queries, centroids, k=5)
 
 
+def llm_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based frequent tokens, pinned against exact counts.
+
+    ``approx_top_k`` is the mergeable bounded-state answer to
+    frequent-items at 100 TB: each partition tracks at most
+    ``maxItemsTracked`` candidates regardless of term cardinality and
+    partial sketches merge associatively, where an exact groupBy's
+    state grows with the vocabulary. With ``maxItemsTracked`` ≥ the
+    distinct-term count the sketch is exact, so the query emits the
+    exact top-5 joined with the sketch's counts and an ``err`` column
+    the oracle pins to zero — same self-banding pattern as the HLL
+    rollup (``sketch_rollup_distinct_users``)."""
+    from solana_etl_pipeline_spark.llm.ranking import _tokens
+
+    toks = _tokens(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    approx = (
+        toks.agg(F.expr("approx_top_k(term, 5, 65536)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").alias("approx_count"),
+        )
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    top5 = exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(5)
+    return top5.join(F.broadcast(approx), "term", "left").select(
+        "term",
+        "exact_count",
+        F.coalesce("approx_count", F.lit(0)).alias("approx_count"),
+        (F.col("exact_count") - F.coalesce("approx_count", F.lit(0))).alias(
+            "err"
+        ),
+    )
+
+
 def llm_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload featurization via Arrow-batched mapInPandas; the
     deterministic digest featurizer lets DuckDB check the full path
@@ -450,6 +485,27 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=None,
         doc="IVF cosine top-k, k-means-trained codebook, nprobe=1 (rows-only)",
         tags=("§2.11",),
+    ),
+    "llm_token_heavy_hitters": QuerySpec(
+        spark=llm_token_heavy_hitters,
+        oracle="""
+            WITH toks AS (
+              SELECT unnest(string_split(lower(trim(coalesce(text, ''))),
+                            ' ')) AS term
+              FROM documents),
+            counts AS (
+              SELECT term, count(*) AS exact_count FROM toks
+              WHERE term IS NOT NULL AND term <> '' GROUP BY term),
+            top5 AS (
+              SELECT term, exact_count FROM counts
+              ORDER BY exact_count DESC, term LIMIT 5)
+            SELECT term, exact_count,
+                   exact_count AS approx_count,
+                   CAST(0 AS BIGINT) AS err
+            FROM top5
+        """,
+        doc="approx_top_k frequent tokens, err-pinned against exact",
+        tags=("§2.11", "A2"),
     ),
     "llm_multimodal_featurize": QuerySpec(
         spark=llm_multimodal_featurize,

@@ -94,3 +94,24 @@ def test_overwrite_day_partitions_is_scoped_and_idempotent(spark, tmp_path):
         F.sum("value").alias("s")
     ).collect()[0]["s"]
     assert abs(untouched - untouched_src) < 1e-6
+
+
+def test_approx_top_k_under_pressure_keeps_dominant_item(spark):
+    """With maxItemsTracked below the distinct count the sketch may
+    approximate tail counts, but a heavily dominant item must survive
+    with a sane estimate (the frequent-items guarantee the heavy-
+    hitters query leans on when cardinality exceeds the budget)."""
+    from pyspark.sql import functions as F
+
+    # 400 copies of 'hot', 100 singleton terms, track only 8
+    rows = [("hot",)] * 400 + [(f"t{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "term string")
+    out = (
+        df.agg(F.expr("approx_top_k(term, 3, 8)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("term"), F.col("e.count").alias("n"))
+        .collect()
+    )
+    got = {r.term: r.n for r in out}
+    assert "hot" in got
+    assert 300 <= got["hot"] <= 500
