@@ -1,0 +1,184 @@
+"""Incremental near-duplicate detection over a persisted signature
+store — the production shape of fuzzy dedup at 100 TB.
+
+``minhash_near_dup_pairs`` (llm/dedup.py) answers "which pairs in
+THIS corpus are near-dups" and costs a full signature pass every run.
+A training-data pipeline instead sees documents ARRIVE: each
+micro-batch must be checked against everything indexed so far without
+recomputing the corpus. This module keeps a parquet signature store —
+``sigs/`` (id, sig) and ``bands/`` (id, band_idx, band_hash), both
+partitioned by ``batch_id`` — and each batch step:
+
+1. signs only the new documents (cost ∝ batch, not corpus),
+2. probes the band index with a (band_idx, band_hash) equi-join —
+   the same skinny-row bucket join as the batch path, so the probe
+   shuffles |batch|·bands rows against a store that at cluster scale
+   would be bucketed on band_hash for a shuffle-free build side,
+3. estimates Jaccard from full signatures for the (few) colliding
+   candidates — never re-reading any old document text,
+4. writes this batch's signatures, band entries, and verdicts as
+   ``batch_id=N`` partitions using DYNAMIC partition overwrite: a
+   replayed batch (foreachBatch retry after a crash) overwrites its
+   own partitions instead of appending duplicates, and the probe
+   reads only ``batch_id < N``, so a half-written failed attempt can
+   never match against itself. Exactly-once falls out of the
+   checkpoint's batch ids plus these two rules.
+
+Within-batch duplicates are caught by a band self-join (lower id
+wins) before the store grows. See tests/test_incremental.py for the
+foreachBatch wiring.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.llm.dedup import minhash_signatures
+
+
+def band_entries(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band_idx, band_hash): skinny LSH bucket rows from full
+    signatures (one xxhash64 per band over its signature slice)."""
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def _est_jaccard(a: str, b: str) -> Column:
+    """Fraction of equal signature entries (MinHash Jaccard estimate)."""
+    return (
+        F.size(F.filter(F.zip_with(F.col(a), F.col(b), lambda x, y: x == y),
+                        lambda eq: eq))
+        / F.size(F.col(a))
+    )
+
+
+def _write_partition(df: DataFrame, path: str, n_files: int = 1) -> None:
+    """Idempotent per-batch write: dynamic partition overwrite replaces
+    exactly the batch_id partitions present in ``df``. Defaults to one
+    file per batch partition — micro-batch signature sets are small
+    and the store's reader cost is dominated by file count (raise
+    ``n_files`` for genuinely large arrival batches)."""
+    (
+        df.coalesce(n_files)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def incremental_near_dup_batch(
+    batch: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Process one arrival batch against the signature store.
+
+    Writes duplicate verdicts ``(new_id, dup_of, est_jaccard, scope)``
+    — ``scope`` ``'index'`` for matches against previously indexed
+    batches, ``'batch'`` for matches inside this batch (lower id
+    wins) — to ``store_dir/verdicts/batch_id=N``, indexes the batch's
+    signatures, and returns this batch's verdicts.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    spark = batch.sparkSession
+
+    new_sigs = minhash_signatures(
+        batch, id_col, text_col, num_hashes
+    ).persist()
+    new_bands = band_entries(new_sigs, id_col, bands, rows_per_band)
+
+    sig_path = os.path.join(store_dir, "sigs")
+    band_path = os.path.join(store_dir, "bands")
+    verdict_path = os.path.join(store_dir, "verdicts")
+    have_store = os.path.isdir(sig_path)
+
+    def _verdicts(cand: DataFrame, old_sigs: DataFrame, scope: str) -> DataFrame:
+        joined = (
+            cand.join(
+                new_sigs.select(F.col(id_col).alias("new_id"),
+                                F.col("sig").alias("new_sig")),
+                "new_id",
+            )
+            .join(
+                old_sigs.select(F.col(id_col).alias("dup_of"),
+                                F.col("sig").alias("old_sig")),
+                "dup_of",
+            )
+            .withColumn("est_jaccard",
+                        F.round(_est_jaccard("new_sig", "old_sig"), 6))
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+        return joined.select(
+            "new_id", "dup_of", "est_jaccard", F.lit(scope).alias("scope")
+        )
+
+    nb = new_bands.select(F.col(id_col).alias("new_id"), "band_idx", "band_hash")
+    within_cand = (
+        nb.join(
+            nb.select(F.col("new_id").alias("dup_of"),
+                      "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("dup_of") < F.col("new_id"))  # earlier doc wins
+        .select("new_id", "dup_of")
+        .distinct()
+    )
+    out = _verdicts(within_cand, new_sigs, "batch")
+    if have_store:
+        # batch_id < N: a half-written partition from a failed attempt
+        # at THIS batch must never probe against itself
+        old_bands = (
+            spark.read.parquet(band_path)
+            .filter(F.col("batch_id") < batch_id)
+            .select(F.col(id_col).alias("dup_of"), "band_idx", "band_hash")
+        )
+        old_sigs = spark.read.parquet(sig_path).filter(
+            F.col("batch_id") < batch_id
+        )
+        cross_cand = (
+            nb.join(old_bands, ["band_idx", "band_hash"])
+            .select("new_id", "dup_of")
+            .distinct()
+        )
+        out = out.unionByName(_verdicts(cross_cand, old_sigs, "index"))
+
+    _write_partition(out.withColumn("batch_id", F.lit(batch_id)), verdict_path)
+    _write_partition(
+        new_sigs.withColumn("batch_id", F.lit(batch_id)), sig_path
+    )
+    _write_partition(
+        new_bands.withColumn("batch_id", F.lit(batch_id)), band_path
+    )
+    new_sigs.unpersist()
+    # safe to return the lazy plan: its index branch reads only the
+    # batch_id < N partitions, which the writes above never touch
+    return out

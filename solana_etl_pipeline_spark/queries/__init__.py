@@ -133,11 +133,12 @@ _PRIORITY = (
     "llm_pii_redact",
     "llm_pack_sequences",
     "llm_corpus_filter",
-    # position 51+: llm_export_shards (and sink_zorder_roundtrip,
-    # registered later and therefore at the registry tail) are the
-    # only oracle-paired queries missing this round's 50-slot prefix —
-    # rotate them in first next round; then the rows-only LSH
-    # variants — their driver
+    # position 51+: llm_export_shards — plus the oracle-paired
+    # queries registered after this prefix was packed and therefore
+    # sitting at the registry tail (sink_zorder_roundtrip,
+    # llm_token_heavy_hitters) — are the only oracle-paired queries
+    # missing this round's 50-slot prefix: rotate them in first next
+    # round. Then the rows-only LSH variants — their driver
     # check would be the weak runs-with-rows form anyway and each is
     # pytest-pinned (planted dups + recall-vs-exact).
     "llm_export_shards",

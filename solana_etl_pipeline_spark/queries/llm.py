@@ -201,6 +201,44 @@ def llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(emb, queries, centroids, k=5)
 
 
+def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup over a signature store (rows-only: the
+    MinHash/LSH machinery isn't SQL-expressible; semantics are pinned
+    by tests/test_incremental.py): batch 0 indexes 200 fixture docs,
+    batch 1 arrives with 20 exact copies (ids +10000) plus 30 fresh
+    docs and must flag exactly the copies against the index."""
+    import tempfile
+
+    from solana_etl_pipeline_spark.llm.incremental import (
+        incremental_near_dup_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="spark_incr_dedup_")
+    # scenario size is SF-independent (incrementality is the point —
+    # per-batch cost must not scale with the indexed corpus); 32
+    # hashes / 8 bands keep the two batch steps inside the bench
+    # envelope at identical semantics to the tested 64/16 shape
+    batch0 = docs.filter(F.col("doc_id") < 100)
+    incremental_near_dup_batch(
+        batch0, store, batch_id=0, num_hashes=32, bands=8
+    )
+    batch1 = (
+        docs.filter(F.col("doc_id") < 20)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210))
+        )
+    )
+    verdicts = incremental_near_dup_batch(
+        batch1, store, batch_id=1, num_hashes=32, bands=8
+    )
+    return verdicts.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("est_jaccard"), 4).alias("avg_est"),
+    )
+
+
 def llm_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based frequent tokens, pinned against exact counts.
 
@@ -484,6 +522,12 @@ QUERIES: dict[str, QuerySpec] = {
         spark=llm_ivf_cosine_topk,
         oracle=None,
         doc="IVF cosine top-k, k-means-trained codebook, nprobe=1 (rows-only)",
+        tags=("§2.11",),
+    ),
+    "llm_incremental_near_dup": QuerySpec(
+        spark=llm_incremental_near_dup,
+        oracle=None,
+        doc="Incremental near-dup vs a persisted signature store (rows-only)",
         tags=("§2.11",),
     ),
     "llm_token_heavy_hitters": QuerySpec(
