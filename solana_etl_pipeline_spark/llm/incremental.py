@@ -25,8 +25,12 @@ partitioned by ``batch_id`` — and each batch step:
    checkpoint's batch ids plus these two rules.
 
 Within-batch duplicates are caught by a band self-join (lower id
-wins) before the store grows. See tests/test_incremental.py for the
-foreachBatch wiring.
+wins) before the store grows. The store pins its (num_hashes, bands)
+parameters in ``meta/`` on first use and refuses mismatched probes —
+band hashes from a different signature shape would silently estimate
+garbage similarity. Empty/unsignable epochs are no-ops (they would
+otherwise leave fileless partition dirs that break later schema
+inference). See tests/test_incremental.py for the foreachBatch wiring.
 """
 
 from __future__ import annotations
@@ -74,6 +78,37 @@ def _est_jaccard(a: str, b: str) -> Column:
     )
 
 
+def _path_exists(spark, path: str) -> bool:
+    """Existence check through Hadoop's FileSystem API — unlike
+    ``os.path.isdir`` this works for any store filesystem Spark can
+    reach (HDFS/S3/local), which the probe gating must."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _check_or_init_meta(
+    spark, store_dir: str, num_hashes: int, bands: int
+) -> None:
+    """Pin (num_hashes, bands) in the store on first use; refuse to
+    probe a store built with different parameters — mismatched band
+    slices would silently estimate garbage similarity."""
+    meta_path = os.path.join(store_dir, "meta")
+    if _path_exists(spark, meta_path):
+        meta = spark.read.parquet(meta_path).collect()[0]
+        if (meta.num_hashes, meta.bands) != (num_hashes, bands):
+            raise ValueError(
+                f"signature store at {store_dir} was built with "
+                f"num_hashes={meta.num_hashes}, bands={meta.bands}; "
+                f"got num_hashes={num_hashes}, bands={bands}"
+            )
+    else:
+        spark.createDataFrame(
+            [(num_hashes, bands)], "num_hashes int, bands int"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+
 def _write_partition(df: DataFrame, path: str, n_files: int = 1) -> None:
     """Idempotent per-batch write: dynamic partition overwrite replaces
     exactly the batch_id partitions present in ``df``. Defaults to one
@@ -110,6 +145,7 @@ def incremental_near_dup_batch(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     spark = batch.sparkSession
+    _check_or_init_meta(spark, store_dir, num_hashes, bands)
 
     new_sigs = minhash_signatures(
         batch, id_col, text_col, num_hashes
@@ -119,7 +155,24 @@ def incremental_near_dup_batch(
     sig_path = os.path.join(store_dir, "sigs")
     band_path = os.path.join(store_dir, "bands")
     verdict_path = os.path.join(store_dir, "verdicts")
-    have_store = os.path.isdir(sig_path)
+    # gate on BOTH store tables: a batch-0 attempt that died between
+    # the sigs and bands writes must read as "no store yet" so the
+    # retry rebuilds both, instead of wedging on the missing path
+    have_store = _path_exists(spark, sig_path) and _path_exists(
+        spark, band_path
+    )
+
+    empty_schema = (
+        f"new_id {batch.schema[id_col].dataType.simpleString()}, "
+        f"dup_of {batch.schema[id_col].dataType.simpleString()}, "
+        "est_jaccard double, scope string"
+    )
+    if new_sigs.isEmpty():
+        # nothing signable (empty epoch, or all-null text): index
+        # nothing — empty partitioned writes would leave fileless dirs
+        # that crash later schema inference
+        new_sigs.unpersist()
+        return spark.createDataFrame([], empty_schema)
 
     def _verdicts(cand: DataFrame, old_sigs: DataFrame, scope: str) -> DataFrame:
         joined = (
@@ -171,7 +224,8 @@ def incremental_near_dup_batch(
         )
         out = out.unionByName(_verdicts(cross_cand, old_sigs, "index"))
 
-    _write_partition(out.withColumn("batch_id", F.lit(batch_id)), verdict_path)
+    stamped = out.withColumn("batch_id", F.lit(batch_id))
+    _write_partition(stamped, verdict_path)
     _write_partition(
         new_sigs.withColumn("batch_id", F.lit(batch_id)), sig_path
     )
@@ -179,6 +233,13 @@ def incremental_near_dup_batch(
         new_bands.withColumn("batch_id", F.lit(batch_id)), band_path
     )
     new_sigs.unpersist()
-    # safe to return the lazy plan: its index branch reads only the
-    # batch_id < N partitions, which the writes above never touch
-    return out
+    # read the just-written rows back instead of returning the lazy
+    # plan — evaluating the plan would re-run the signing and both
+    # probe joins; the explicit schema keeps the read valid even when
+    # this batch produced zero verdicts (fileless partition dir)
+    return (
+        spark.read.schema(stamped.schema)
+        .parquet(verdict_path)
+        .filter(F.col("batch_id") == batch_id)
+        .drop("batch_id")
+    )

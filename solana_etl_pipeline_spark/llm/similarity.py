@@ -202,7 +202,12 @@ def kmeans_fit(
         probe = _pick_seeds(valid)
         if not probe:
             raise ValueError("kmeans_fit: no valid vectors to seed from")
-        dim = len(probe[0].v)
+        # majority length over the probe sample — a single corrupt
+        # short vector that happens to sort first must not redefine
+        # dim and silently filter out the whole real corpus
+        from collections import Counter
+
+        dim = Counter(len(r.v) for r in probe).most_common(1)[0][0]
     valid = valid.filter(F.size(F.col(vec_col)) == dim)
     seeds = _pick_seeds(valid)
     if not seeds:

@@ -204,8 +204,8 @@ def llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup over a signature store (rows-only: the
     MinHash/LSH machinery isn't SQL-expressible; semantics are pinned
-    by tests/test_incremental.py): batch 0 indexes 200 fixture docs,
-    batch 1 arrives with 20 exact copies (ids +10000) plus 30 fresh
+    by tests/test_incremental.py): batch 0 indexes 100 fixture docs,
+    batch 1 arrives with 20 exact copies (ids +10000) plus 10 fresh
     docs and must flag exactly the copies against the index."""
     import tempfile
 
@@ -254,8 +254,12 @@ def llm_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solana_etl_pipeline_spark.llm.ranking import _tokens
 
     toks = _tokens(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    # sketch k=20 ≫ the joined top-5: an exact count tie at the 5th
+    # place must not let the sketch's unspecified tie order drop the
+    # term we join on (tracked budget ≥ fixture vocabulary keeps the
+    # counts themselves exact — see the oracle's err=0 pin)
     approx = (
-        toks.agg(F.expr("approx_top_k(term, 5, 65536)").alias("tk"))
+        toks.agg(F.expr("approx_top_k(term, 20, 65536)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(
             F.col("e.item").alias("term"),

@@ -114,3 +114,27 @@ def test_incremental_inside_foreach_batch_stream(spark, tmp_path):
     }
     sigs = spark.read.parquet(str(tmp_path / "store" / "sigs"))
     assert sigs.count() == 2  # each arrival indexed exactly once
+
+
+def test_incremental_empty_batch_is_noop(spark, tmp_path):
+    """An epoch with nothing signable (empty, or all-null text) must
+    not create fileless store dirs that wedge later batches."""
+    store = str(tmp_path / "store")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    v = incremental_near_dup_batch(empty, store, batch_id=0).collect()
+    assert v == []
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert incremental_near_dup_batch(nulls, store, batch_id=1).collect() == []
+    # a later real batch proceeds normally against the (still empty) store
+    b = spark.createDataFrame([Row(doc_id=2, text=BASE)])
+    assert incremental_near_dup_batch(b, store, batch_id=2).collect() == []
+
+
+def test_incremental_store_param_mismatch_raises(spark, tmp_path):
+    store = str(tmp_path / "store")
+    b = spark.createDataFrame([Row(doc_id=0, text=BASE)])
+    incremental_near_dup_batch(b, store, batch_id=0, num_hashes=64, bands=16)
+    with pytest.raises(ValueError, match="num_hashes=64"):
+        incremental_near_dup_batch(
+            b, store, batch_id=1, num_hashes=32, bands=8
+        )

@@ -390,3 +390,17 @@ def test_kmeans_fit_raises_without_valid_vectors(spark):
     )
     with _pytest.raises(ValueError, match="no valid vectors"):
         kmeans_fit(df, k=2)
+
+
+def test_kmeans_fit_dim_vote_survives_corrupt_first_seed(spark):
+    """A corrupt short vector must not redefine dim even if its id
+    scrambles first — majority length over the probe wins."""
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.llm.similarity import kmeans_fit
+
+    rows = [Row(vec_id=i, embedding=[float(i), 1.0, 0.0, 0.0]) for i in range(30)]
+    rows.append(Row(vec_id=77, embedding=[9.9, 9.9]))  # corrupt, 2-dim
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=4, n_iters=1).collect()
+    assert cents and all(len(r.embedding) == 4 for r in cents)
