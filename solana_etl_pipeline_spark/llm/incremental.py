@@ -104,9 +104,20 @@ def _check_or_init_meta(
                 f"got num_hashes={num_hashes}, bands={bands}"
             )
     else:
-        spark.createDataFrame(
-            [(num_hashes, bands)], "num_hashes int, bands int"
-        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        # range+lit, not createDataFrame-from-list: a Python-list frame
+        # is a Python-RDD scan that launches one Python worker per
+        # default partition (~8s for one row on local[32]); range is a
+        # pure-JVM local relation
+        (
+            spark.range(1)
+            .select(
+                F.lit(num_hashes).alias("num_hashes"),
+                F.lit(bands).alias("bands"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(meta_path)
+        )
 
 
 def _write_partition(df: DataFrame, path: str, n_files: int = 1) -> None:
@@ -162,17 +173,18 @@ def incremental_near_dup_batch(
         spark, band_path
     )
 
-    empty_schema = (
-        f"new_id {batch.schema[id_col].dataType.simpleString()}, "
-        f"dup_of {batch.schema[id_col].dataType.simpleString()}, "
-        "est_jaccard double, scope string"
-    )
     if new_sigs.isEmpty():
         # nothing signable (empty epoch, or all-null text): index
         # nothing — empty partitioned writes would leave fileless dirs
         # that crash later schema inference
         new_sigs.unpersist()
-        return spark.createDataFrame([], empty_schema)
+        id_type = batch.schema[id_col].dataType.simpleString()
+        return spark.range(0).select(
+            F.lit(None).cast(id_type).alias("new_id"),
+            F.lit(None).cast(id_type).alias("dup_of"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(None).cast("string").alias("scope"),
+        )
 
     def _verdicts(cand: DataFrame, old_sigs: DataFrame, scope: str) -> DataFrame:
         joined = (

@@ -215,9 +215,16 @@ def kmeans_fit(
     codebook = {i: list(r.v) for i, r in enumerate(seeds)}
 
     def _centroids_df(book: dict[int, list[float]]) -> DataFrame:
-        return spark.createDataFrame(
-            [(cid, vec) for cid, vec in sorted(book.items())],
-            f"cluster_id int, {vec_col} array<double>",
+        # range + array-literal lookup, not createDataFrame-from-list:
+        # a Python-list frame executes as a Python-RDD scan spawning a
+        # worker per partition (~seconds per action on local[32]); this
+        # stays a pure-JVM local relation
+        vecs = [vec for _, vec in sorted(book.items())]
+        return spark.range(len(vecs)).select(
+            F.col("id").cast("int").alias("cluster_id"),
+            F.element_at(
+                F.lit(vecs).cast("array<array<double>>"), F.col("id").cast("int") + 1
+            ).alias(vec_col),
         )
 
     for _ in range(n_iters):

@@ -203,10 +203,15 @@ def llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup over a signature store (rows-only: the
-    MinHash/LSH machinery isn't SQL-expressible; semantics are pinned
-    by tests/test_incremental.py): batch 0 indexes 100 fixture docs,
-    batch 1 arrives with 20 exact copies (ids +10000) plus 10 fresh
-    docs and must flag exactly the copies against the index."""
+    MinHash/LSH machinery isn't SQL-expressible): one arrival batch of
+    100 fixture docs plus 20 exact copies (ids +10000) runs the full
+    sign → band-probe → verdict → index step and must flag exactly
+    the planted copies (scope='batch', lower id wins). The
+    cross-batch index probe, replay idempotence, and foreachBatch
+    wiring are pinned by tests/test_incremental.py — a second batch
+    step here would re-witness what those tests already pin, at
+    double the job count (the query's cost is SF-independent by
+    design: per-batch work must not scale with the indexed corpus)."""
     import tempfile
 
     from solana_etl_pipeline_spark.llm.incremental import (
@@ -215,23 +220,13 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     store = tempfile.mkdtemp(prefix="spark_incr_dedup_")
-    # scenario size is SF-independent (incrementality is the point —
-    # per-batch cost must not scale with the indexed corpus); 32
-    # hashes / 8 bands keep the two batch steps inside the bench
-    # envelope at identical semantics to the tested 64/16 shape
-    batch0 = docs.filter(F.col("doc_id") < 100)
-    incremental_near_dup_batch(
-        batch0, store, batch_id=0, num_hashes=32, bands=8
-    )
-    batch1 = (
-        docs.filter(F.col("doc_id") < 20)
-        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
-        .unionByName(
-            docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210))
+    batch = docs.filter(F.col("doc_id") < 100).unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
         )
     )
     verdicts = incremental_near_dup_batch(
-        batch1, store, batch_id=1, num_hashes=32, bands=8
+        batch, store, batch_id=0, num_hashes=32, bands=8
     )
     return verdicts.groupBy("scope").agg(
         F.count(F.lit(1)).alias("n_pairs"),
