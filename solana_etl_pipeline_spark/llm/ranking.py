@@ -20,7 +20,12 @@ state per key, no global sort.
 
 Determinism: scores are derived from exact integer counts (tf, df,
 dl, N) through a fixed expression shape, so Spark and the DuckDB
-oracle agree bit-for-bit before the final ``round``.
+oracle agree to far below the emitted 1e-4 rounding grain. They are
+NOT guaranteed ULP-identical — ``ln`` goes through java.lang.Math.log
+vs libm, which may differ in the last bit — so every rank/top-k here
+orders by the ROUNDED score (plus a unique tie-break key): a sub-grain
+float divergence then cannot flip which rows are emitted or how they
+rank.
 """
 
 from __future__ import annotations
@@ -73,8 +78,10 @@ def tfidf_top_terms(
     document still gets a positive weight; important here because
     corpus-curation vocabularies are often tiny.
 
-    Returns ``(doc_id, term, rank, tfidf)`` with ``rank`` 1..k,
-    ties broken by term ascending.
+    Returns ``(doc_id, term, rank, tfidf)`` with ``rank`` 1..k.
+    Ranking is on the ROUNDED score (ties broken by term ascending)
+    so a last-ulp ``ln`` divergence vs the oracle engine cannot
+    reorder rows — see the module docstring.
     """
     toks = _tokens(df, id_col, text_col)
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -96,7 +103,9 @@ def tfidf_top_terms(
             ),
         )
     )
-    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    w = Window.partitionBy("doc").orderBy(
+        F.desc(F.round("tfidf", 4)), F.asc("term")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -125,7 +134,9 @@ def bm25_topk(
     ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
 
     Only documents containing at least one query term appear.
-    Returns ``(doc_id, rank, bm25)``; ties broken by doc id.
+    Returns ``(doc_id, rank, bm25)``; ranked on the ROUNDED score,
+    ties broken by doc id (see the module docstring on why the
+    rounded grain is the comparison contract).
     """
     toks = _tokens(df, id_col, text_col)
     qt = [t.lower() for t in query_terms]
@@ -171,8 +182,10 @@ def bm25_topk(
     # TakeOrderedAndProject first (distributed top-k), THEN rank the k
     # survivors — a bare global row_number window would funnel every
     # scored document through one partition.
-    top = scores.orderBy(F.desc("score"), F.asc("doc")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc"))
+    top = scores.orderBy(
+        F.desc(F.round("score", 4)), F.asc("doc")
+    ).limit(k)
+    w = Window.orderBy(F.desc(F.round("score", 4)), F.asc("doc"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         F.col("doc").alias("doc_id"),
         "rank",

@@ -29,12 +29,19 @@ PACK_BUDGET = 512
 
 
 def _augmented(docs: DataFrame) -> DataFrame:
-    """Deterministically inject one email/URL/wallet per document."""
-    wallet = F.translate(F.substring(F.sha2(F.col("text"), 256), 1, 36), "0", "g")
+    """Deterministically inject one email/URL/wallet per document.
+
+    ``coalesce(text, '')`` on BOTH sides (here and ``_AUG_SQL``):
+    Spark's ``concat`` is null-in-null-out while DuckDB's skips NULL
+    arguments, so a null-text document would otherwise diverge on
+    every column (fixture-latent today — no null texts — but the
+    symmetric coalesce removes the trap)."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    wallet = F.translate(F.substring(F.sha2(text, 256), 1, 36), "0", "g")
     return docs.select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            text,
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com via https://sol.example/tx/"),
@@ -78,10 +85,12 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUG_SQL = """
   aug AS (
     SELECT doc_id,
-           concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+           concat(coalesce(text, ''), ' contact user',
+                  CAST(doc_id AS VARCHAR),
                   '@example.com via https://sol.example/tx/',
                   CAST(doc_id AS VARCHAR), ' wallet ',
-                  translate(substr(sha256(text), 1, 36), '0', 'g')) AS text
+                  translate(substr(sha256(coalesce(text, '')), 1, 36),
+                            '0', 'g')) AS text
     FROM documents)
 """
 

@@ -1,11 +1,28 @@
 """LLM-data-pipeline queries over ``documents`` / ``embeddings``
 (SURVEY.md §2.11 north star).
 
-SQL-expressible operators get DuckDB oracles; the LSH families
-(MinHash, SimHash, hyperplane-LSH) are rows-only by the driver
-contract — their correctness is pinned by unit tests with planted
-near-duplicates (tests/test_llm.py) and by the brute-force twin
-(``llm_cosine_topk``) that IS oracle-checked.
+Every query here is oracle-paired. The LSH families (MinHash,
+SimHash, hyperplane-LSH) — whose bucketing is not SQL-expressible —
+are made driver-checkable by the two self-banding forms the sketch
+family established (COVERAGE.md convention 4):
+
+- **exact-verified output**: the LSH stage only GENERATES candidates;
+  the emitted rows are exact-verified (n-gram Jaccard / true cosine)
+  against a threshold sitting in the fixture's wide similarity gap
+  (organic near-dups ≥ 0.89, everything else < 0.4 at sf0.001/0.01),
+  so the output set equals the ground truth an oracle can compute
+  with an inverted-index / all-pairs SQL. This is also the production
+  shape: LSH for recall, exact verify for precision.
+- **planted probes**: for operators whose *approximation quality* is
+  scale-dependent (SimHash hamming, ANN top-k), the corpus is
+  augmented with deterministic twins (order-reversed text — SimHash
+  is order-invariant; copied vectors — cosine exactly 1.0) and the
+  query emits only the twin verdicts, which any correct
+  implementation must find at every scale. Organic-threshold quality
+  (recall/precision curves) stays pinned by
+  tests/test_neardup_quality.py and the recall tests — an oracle
+  cannot express a probabilistic guarantee, but it CAN check that
+  the machinery finds what it provably must.
 """
 
 from __future__ import annotations
@@ -120,24 +137,42 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash-LSH near-dup pairs (rows-only: LSH bucketing is
-    not SQL-expressible; planted-duplicate tests pin semantics)."""
+    """MinHash-LSH near-dup detection, exact-verified.
+
+    Production shape: banded LSH generates candidates (bucket
+    equi-join, never all-pairs), exact n-gram Jaccard verifies them,
+    and only verified pairs (jaccard ≥ 0.5) are emitted. The output
+    set therefore equals the SQL-computable ground truth (all pairs
+    with exact 3-gram Jaccard ≥ 0.5) whenever LSH candidate recall is
+    1 at the threshold — which the fixture's similarity gap
+    guarantees: every true pair sits at J ≥ 0.89 where the 16×4
+    banding misses with probability < 2e-7, and the nearest
+    non-duplicate pair is below J = 0.4."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(
+    cand = minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
     )
+    verified = ngram_jaccard_for_pairs(
+        docs, cand.select("id_a", "id_b"), "doc_id", "text"
+    )
+    return verified.filter(F.col("jaccard") >= 0.5)
 
 
 def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end fuzzy dedup: MinHash-LSH pairs → connected
-    components → one canonical survivor per cluster
-    (``llm/cluster.py``), summarized per source. Rows-only: the
-    iterative component resolution isn't SQL-expressible; planted
-    transitive-cluster tests pin semantics."""
+    """End-to-end fuzzy dedup: MinHash-LSH candidates → exact-Jaccard
+    verify → connected components → one canonical survivor per
+    cluster (``llm/cluster.py``), summarized per source. The oracle
+    recomputes the verified pair graph in SQL and resolves components
+    with a recursive CTE — the full pipeline (candidate generation,
+    verification, transitive clustering, canonical keep) is
+    driver-checked, not just the pair stage."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
+    cand = minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
     )
+    pairs = ngram_jaccard_for_pairs(
+        docs, cand.select("id_a", "id_b"), "doc_id", "text"
+    ).filter(F.col("jaccard") >= 0.5)
     survivors = near_dup_dedup(docs, pairs, "doc_id")
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_survivors"),
@@ -146,9 +181,30 @@ def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded candidates with Hamming ≤ 3 (rows-only)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3)
+    """SimHash planted-probe: banded candidates must rediscover
+    order-permuted twins.
+
+    SimHash is a bag-of-tokens signature — permuting a document's
+    words leaves it bit-identical — so planting a word-reversed twin
+    (id + 100000) for each doc_id < 50 creates pairs a correct
+    implementation MUST emit at hamming 0, at any scale factor. The
+    query runs the full pipeline (signature → 16-bit bands → bucket
+    join → hamming verify) over the augmented corpus and emits the
+    twin verdicts. Organic-threshold quality (banded ≡ brute-force at
+    hamming ≤ 3) is pinned by tests/test_neardup_quality.py — a SQL
+    oracle can't express a Hamming-ball guarantee, but it can check
+    the machinery finds what it provably must."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias(
+            "text"
+        ),
+    )
+    pairs = simhash_candidate_pairs(
+        docs.unionByName(probes), "doc_id", "text", max_hamming=3
+    )
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 100000)
 
 
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,11 +223,25 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at 0.9 (rows-only: LSH
-    candidates; planted tests pin semantics). On the random fixture
-    this is usually empty — exactly right for distinct vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.9)
+    """Embedding-cosine near-dup, exact-verified against a full
+    all-pairs oracle. The corpus is augmented with copied vectors
+    (vec_id + 100000 for vec_id < 20, cosine exactly 1.0) so the
+    result is non-trivial on the otherwise-dissimilar random fixture;
+    hyperplane-LSH buckets generate candidates (identical vectors
+    collide deterministically — same signs, same bands) and exact
+    cosine ≥ 0.9 verifies. The oracle computes true all-pairs cosine
+    over the same augmented corpus, so LSH recall at the threshold is
+    what's being checked — the fixture has no organic pair above 0.9,
+    and the planted pairs cannot be missed."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(planted), threshold=0.9
+    )
 
 
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,36 +252,65 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 (rows-only; recall vs the
-    exact twin is asserted in tests)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Hyperplane-LSH top-k planted-probe: each query vector gets an
+    exact twin (vec_id + 100000) planted in the corpus; a correct ANN
+    must return its own twin at rank 1 with cosine 1.0 — identical
+    vectors share every LSH band deterministically, and no distinct
+    fixture vector rounds to cosine 1.0. The query runs the full
+    pipeline (SRP signatures, band bucket join, exact re-rank) over
+    the augmented corpus and emits the twin rows. Recall on organic
+    neighbors — inherently probabilistic, not oracle-expressible —
+    stays pinned by tests/test_llm.py recall assertions against the
+    exact twin ``llm_cosine_topk`` (which IS value-checked)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
     queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
-    return lsh_cosine_topk(emb, queries, k=5)
+    twins = queries.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    topk = lsh_cosine_topk(emb.unionByName(twins), queries, k=5)
+    return topk.filter(
+        F.col("neighbor_id") == F.col("query_id") + 100000
+    )
 
 
 def llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-5 (rows-only): codebook trained
-    with one Lloyd refinement over a deterministic scramble-seeded
-    init (``kmeans_fit``; more iterations are a library-level knob —
-    one keeps this registered query inside the bench envelope),
-    nprobe=1 cluster search."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """IVF top-k planted-probe (same contract as the LSH probe):
+    codebook trained with one Lloyd refinement over a deterministic
+    scramble-seeded init (``kmeans_fit``), nprobe=1 cell search. A
+    query's planted twin lands in the query's own nearest cell
+    (identical vector ⇒ identical coarse assignment), so a correct
+    IVF must return it at rank 1 with cosine 1.0 regardless of how
+    the codebook partitions the space. Organic recall stays pinned by
+    tests (planted-cluster recovery, recall vs exact twin)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
     centroids = kmeans_fit(emb, k=8, dim=64, n_iters=1)
     queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
-    return ivf_cosine_topk(emb, queries, centroids, k=5)
+    twins = queries.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    topk = ivf_cosine_topk(emb.unionByName(twins), queries, centroids, k=5)
+    return topk.filter(
+        F.col("neighbor_id") == F.col("query_id") + 100000
+    )
 
 
 def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup over a signature store (rows-only: the
-    MinHash/LSH machinery isn't SQL-expressible): one arrival batch of
-    100 fixture docs plus 20 exact copies (ids +10000) runs the full
-    sign → band-probe → verdict → index step and must flag exactly
-    the planted copies (scope='batch', lower id wins). The
-    cross-batch index probe, replay idempotence, and foreachBatch
-    wiring are pinned by tests/test_incremental.py — a second batch
-    step here would re-witness what those tests already pin, at
-    double the job count (the query's cost is SF-independent by
-    design: per-batch work must not scale with the indexed corpus)."""
+    """Incremental dedup planted-probe over a persisted signature
+    store: batch 0 indexes the first 100 fixture docs, then batch 1
+    arrives carrying exact copies (ids + 10000) of the first 20 and
+    runs the full sign → store band-probe → signature verify → index
+    step. The emitted rows are the copies' verdicts against the
+    PREVIOUSLY indexed batch (scope='index', est_jaccard exactly 1.0
+    — identical text ⇒ identical signatures), filtered to the planted
+    self-pairs so organic near-dups among the fixture docs (present
+    at sf0.001) can't leak into the pinned result. This
+    driver-witnesses the cross-batch store probe — the path that
+    makes incremental cost ∝ batch, not corpus. Replay idempotence
+    and foreachBatch wiring stay pinned by tests/test_incremental.py."""
     import tempfile
 
     from solana_etl_pipeline_spark.llm.incremental import (
@@ -220,18 +319,19 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     store = tempfile.mkdtemp(prefix="spark_incr_dedup_")
-    batch = docs.filter(F.col("doc_id") < 100).unionByName(
-        docs.filter(F.col("doc_id") < 20).select(
-            (F.col("doc_id") + 10000).alias("doc_id"), "text"
-        )
+    base = docs.filter(F.col("doc_id") < 100)
+    incremental_near_dup_batch(
+        base, store, batch_id=0, num_hashes=32, bands=8
+    )
+    arrivals = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
     verdicts = incremental_near_dup_batch(
-        batch, store, batch_id=0, num_hashes=32, bands=8
+        arrivals, store, batch_id=1, num_hashes=32, bands=8
     )
-    return verdicts.groupBy("scope").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.avg("est_jaccard"), 4).alias("avg_est"),
-    )
+    return verdicts.filter(
+        F.col("new_id") == F.col("dup_of") + 10000
+    ).select("new_id", "dup_of", "est_jaccard", "scope")
 
 
 def llm_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,12 +349,20 @@ def llm_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solana_etl_pipeline_spark.llm.ranking import _tokens
 
     toks = _tokens(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    # The oracle pins err=0, which is only sound while the tracked
+    # budget covers the whole vocabulary — so DERIVE the budget from
+    # the corpus instead of assuming it: one distinct-count job, then
+    # round up. At a scale factor whose vocabulary outgrew any fixed
+    # constant, the sketch stays exact and the pin stays valid; the
+    # bounded-state under-pressure behavior (tracked < vocab) is
+    # separately pinned by tests/test_sketches.py dominance tests.
+    n_vocab = toks.select("term").distinct().count()
+    tracked = max(65536, 1 << (n_vocab - 1).bit_length())
     # sketch k=20 ≫ the joined top-5: an exact count tie at the 5th
     # place must not let the sketch's unspecified tie order drop the
-    # term we join on (tracked budget ≥ fixture vocabulary keeps the
-    # counts themselves exact — see the oracle's err=0 pin)
+    # term we join on
     approx = (
-        toks.agg(F.expr("approx_top_k(term, 20, 65536)").alias("tk"))
+        toks.agg(F.expr(f"approx_top_k(term, 20, {tracked})").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(
             F.col("e.item").alias("term"),
@@ -289,6 +397,41 @@ def llm_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+#: Shared oracle CTE chain: exact all-pairs 3-gram Jaccard ground
+#: truth via an inverted-index join on shared shingles (cost ∝
+#: co-occurring shingles, like the Spark verify stage — never a
+#: blind cross join). ``jacc_pairs`` is every unordered pair with
+#: round(jaccard, 6) ≥ 0.5.
+_JACCARD_PAIRS_CTES = """
+    words AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS w,
+             generate_subscripts(
+               string_split(lower(trim(text)), ' '), 1) AS pos
+      FROM documents),
+    shingles AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+    sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+      FROM shingles sa
+      JOIN shingles sb ON sb.sh = sa.sh AND sb.doc_id > sa.doc_id
+      GROUP BY 1, 2),
+    jacc_pairs AS (
+      SELECT i.id_a, i.id_b,
+             round(i.n_inter * 1.0
+                   / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.id_a
+      JOIN sizes zb ON zb.doc_id = i.id_b
+      WHERE round(i.n_inter * 1.0
+                  / (za.n_sh + zb.n_sh - i.n_inter), 6) >= 0.5)
+"""
 
 QUERIES: dict[str, QuerySpec] = {
     "llm_exact_dedup": QuerySpec(
@@ -425,20 +568,49 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "llm_minhash_near_dup": QuerySpec(
         spark=llm_minhash_near_dup,
-        oracle=None,
-        doc="Banded MinHash-LSH near-dup pairs (rows-only; tests plant dups)",
+        oracle=f"""
+            WITH {_JACCARD_PAIRS_CTES}
+            SELECT id_a, id_b, jaccard FROM jacc_pairs
+        """,
+        doc="MinHash-LSH candidates, exact-Jaccard-verified vs all-pairs truth",
         tags=("§2.11",),
     ),
     "llm_near_dup_survivors": QuerySpec(
         spark=llm_near_dup_survivors,
-        oracle=None,
+        # Recursive min-label closure over the verified pair graph:
+        # comp(id) = smallest reachable doc_id; survivors are docs in
+        # no component or carrying their component's label.
+        oracle=f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM jacc_pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM jacc_pairs),
+            reach(id, comp) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.comp
+              FROM reach r JOIN edges e ON e.src = r.id),
+            comp AS (
+              SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+            survivors AS (
+              SELECT d.source, d.n_chars
+              FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+              WHERE c.id IS NULL OR c.comp = d.doc_id)
+            SELECT source, count(*) AS n_survivors,
+                   CAST(sum(n_chars) AS BIGINT) AS surviving_chars
+            FROM survivors GROUP BY source
+        """,
         doc="Fuzzy dedup end-to-end: pairs → components → canonical keep",
         tags=("§2.11",),
     ),
     "llm_simhash_near_dup": QuerySpec(
         spark=llm_simhash_near_dup,
-        oracle=None,
-        doc="SimHash band candidates, Hamming-verified (rows-only)",
+        oracle="""
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+            FROM documents WHERE doc_id < 50
+        """,
+        doc="SimHash banded candidates rediscover order-permuted twins",
         tags=("§2.11",),
     ),
     "llm_ngram_jaccard": QuerySpec(
@@ -481,8 +653,24 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "llm_embedding_near_dup": QuerySpec(
         spark=llm_embedding_near_dup,
-        oracle=None,
-        doc="Embedding-cosine near-dup via LSH buckets (rows-only)",
+        oracle="""
+            WITH aug AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding::DOUBLE[]
+              FROM embeddings WHERE vec_id < 20)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_inner_product(a.v, b.v)
+                         / (sqrt(list_inner_product(a.v, a.v))
+                            * sqrt(list_inner_product(b.v, b.v))),
+                         6) AS cosine
+            FROM aug a JOIN aug b ON b.vec_id > a.vec_id
+            WHERE round(list_inner_product(a.v, b.v)
+                        / (sqrt(list_inner_product(a.v, a.v))
+                           * sqrt(list_inner_product(b.v, b.v))),
+                        6) >= 0.9
+        """,
+        doc="Embedding-cosine near-dup via LSH buckets vs all-pairs truth",
         tags=("§2.11",),
     ),
     "llm_cosine_topk": QuerySpec(
@@ -513,20 +701,33 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "llm_lsh_cosine_topk": QuerySpec(
         spark=llm_lsh_cosine_topk,
-        oracle=None,
-        doc="Hyperplane-LSH bucketed cosine top-k (rows-only; recall tested)",
+        oracle="""
+            SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+                   1 AS rank, CAST(1.0 AS DOUBLE) AS cosine
+            FROM embeddings WHERE vec_id < 5
+        """,
+        doc="Hyperplane-LSH cosine top-k finds planted twins at rank 1",
         tags=("§2.11",),
     ),
     "llm_ivf_cosine_topk": QuerySpec(
         spark=llm_ivf_cosine_topk,
-        oracle=None,
-        doc="IVF cosine top-k, k-means-trained codebook, nprobe=1 (rows-only)",
+        oracle="""
+            SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+                   1 AS rank, CAST(1.0 AS DOUBLE) AS cosine
+            FROM embeddings WHERE vec_id < 5
+        """,
+        doc="IVF cosine top-k (k-means codebook) finds planted twins",
         tags=("§2.11",),
     ),
     "llm_incremental_near_dup": QuerySpec(
         spark=llm_incremental_near_dup,
-        oracle=None,
-        doc="Incremental near-dup vs a persisted signature store (rows-only)",
+        oracle="""
+            SELECT doc_id + 10000 AS new_id, doc_id AS dup_of,
+                   CAST(1.0 AS DOUBLE) AS est_jaccard,
+                   'index' AS scope
+            FROM documents WHERE doc_id < 20
+        """,
+        doc="Incremental store probe flags planted copies cross-batch",
         tags=("§2.11",),
     ),
     "llm_token_heavy_hitters": QuerySpec(

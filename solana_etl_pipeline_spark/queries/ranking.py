@@ -5,7 +5,10 @@ clean_data.py:92-113).
 
 Both are fully SQL-expressible, so both carry DuckDB oracles; scores
 derive from exact integer counts through mirrored expression shapes
-(see llm/ranking.py) so the engines agree before the final round().
+(see llm/ranking.py) that agree to far below the 1e-4 rounding grain,
+and both engines rank on the ROUNDED score with a unique tie-break
+key — so a last-ulp ln() difference between java.lang.Math.log and
+libm cannot flip which rows are emitted.
 """
 
 from __future__ import annotations
@@ -71,7 +74,7 @@ QUERIES: dict[str, QuerySpec] = {
               SELECT doc_id, term,
                      row_number() OVER (
                        PARTITION BY doc_id
-                       ORDER BY tfidf DESC, term) AS rank,
+                       ORDER BY round(tfidf, 4) DESC, term) AS rank,
                      tfidf
               FROM scored)
             SELECT doc_id, term, rank, round(tfidf, 4) AS tfidf
@@ -109,7 +112,8 @@ QUERIES: dict[str, QuerySpec] = {
               SELECT doc_id, sum(part) AS score FROM contrib GROUP BY 1),
             ranked AS (
               SELECT doc_id,
-                     row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+                     row_number() OVER (
+                       ORDER BY round(score, 4) DESC, doc_id) AS rank,
                      score
               FROM scores)
             SELECT doc_id, rank, round(score, 4) AS bm25

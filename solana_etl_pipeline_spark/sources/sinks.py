@@ -213,8 +213,14 @@ def compact_parquet_dir(
     from pathlib import Path
 
     src = Path(path)
+    # skip dot/underscore-prefixed siblings: those are this function's
+    # own in-flight temp/backup dirs (plus Spark markers like
+    # _SUCCESS), which Spark's file listing and partition discovery
+    # ignore — recursing into one would re-compact half-swapped state
     part_dirs = sorted(
-        d for d in src.iterdir() if d.is_dir() and "=" in d.name
+        d
+        for d in src.iterdir()
+        if d.is_dir() and "=" in d.name and d.name[0] not in "._"
     )
     if part_dirs:
         return sum(
@@ -233,13 +239,19 @@ def compact_parquet_dir(
         )
     else:
         df = df.repartition(n_out)
+    # dot-prefixed siblings: Spark's file listing AND partition
+    # discovery skip paths starting with '.' or '_', so residue from a
+    # crash mid-swap can never be read as data or parsed as a phantom
+    # hive partition (for a leaf like 'p=0', a visible sibling
+    # 'p=0.precompact-x' would register as partition value
+    # '0.precompact-x' and silently duplicate the leaf's rows)
     run_id = uuid.uuid4().hex[:8]
-    tmp = src.with_name(f"{src.name}.compact-{run_id}")
+    tmp = src.with_name(f".{src.name}.compact-{run_id}")
     try:
         df.write.mode("overwrite").parquet(str(tmp))
         # unique backup name: a stale backup from a crashed run can
         # never collide with (and so never block) a later compaction
-        backup = src.with_name(f"{src.name}.precompact-{run_id}")
+        backup = src.with_name(f".{src.name}.precompact-{run_id}")
         src.rename(backup)
         try:
             tmp.rename(src)
@@ -249,5 +261,14 @@ def compact_parquet_dir(
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    shutil.rmtree(backup)
+    try:
+        shutil.rmtree(backup)
+    except OSError as exc:  # pragma: no cover - environment-dependent
+        # data already swapped in and the leftover is invisible to
+        # Spark (dot prefix) — but leaking disk silently is how stores
+        # fill up, so surface it instead of ignore_errors
+        raise RuntimeError(
+            f"compaction swapped in successfully but could not remove "
+            f"the backup {backup}; remove it manually"
+        ) from exc
     return len(list(src.glob("*.parquet")))
