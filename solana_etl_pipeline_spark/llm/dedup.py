@@ -21,17 +21,67 @@ codegen'd, no Python in the hot path.
 Caching contract: the pair generators (`minhash_near_dup_pairs`,
 `ngram_jaccard_for_pairs`, `embedding_near_dup_pairs`,
 `simhash_candidate_pairs`) ``persist()`` their signature/shingle
-intermediates because each feeds 2-3 plan branches; the cache is scoped
-to the SparkSession, not the call. Long-lived sessions running many
-unrelated dedup passes should ``spark.catalog.clearCache()`` between
-runs (``bench.py`` does, per query); at cluster scale you'd write the
-signature table out once and re-read it instead.
+intermediates because each feeds 2-3 plan branches. The returned
+DataFrames are lazy — unpersisting before return would just recompute
+the intermediate once per branch — so by default the cache is scoped to
+the SparkSession. Long-lived sessions have two cleanup options:
+
+- wrap the *consume* (build + action) in :func:`dedup_cache_scope`,
+  which unpersists everything those calls pinned when the block exits;
+- or ``spark.catalog.clearCache()`` between runs (``bench.py`` does,
+  per query).
+
+At cluster scale you'd write the signature table out once and re-read
+it instead (that is what ``llm/incremental.py`` does).
 """
 
 from __future__ import annotations
 
+import contextlib
+from collections.abc import Iterator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Active cache scopes (innermost last). Module-level because the pair
+#: generators are plain functions; a scope collects every DataFrame
+#: they persist so the context manager can release them deterministically.
+_CACHE_SCOPES: list[list[DataFrame]] = []
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` that registers with the innermost active
+    :func:`dedup_cache_scope` (no-op registration outside a scope —
+    session-scoped cache, see the module docstring)."""
+    df = df.persist()
+    if _CACHE_SCOPES:
+        _CACHE_SCOPES[-1].append(df)
+    return df
+
+
+@contextlib.contextmanager
+def dedup_cache_scope() -> Iterator[None]:
+    """Scope the dedup family's internal caches to a block::
+
+        with dedup_cache_scope():
+            pairs = minhash_near_dup_pairs(docs, "doc_id", "text")
+            result = pairs.collect()          # caches live here
+        # every intermediate persisted inside the block is unpersisted
+
+    Run ACTIONS inside the block: the returned DataFrames are lazy, so
+    an action executed after exit recomputes the (now-released)
+    intermediates — correct, just uncached. Scopes nest; each releases
+    only its own persists. ``unpersist(blocking=False)`` — release is
+    async, assert emptiness via ``spark.catalog.clearCache``-style
+    checks only after Spark has had a tick (tests use blocking)."""
+    held: list[DataFrame] = []
+    _CACHE_SCOPES.append(held)
+    try:
+        yield
+    finally:
+        _CACHE_SCOPES.pop()
+        for df in held:
+            df.unpersist(blocking=True)
 
 #: Mersenne prime 2^31-1: permutation-hash modulus (fits in a long
 #: with room for a*h+b before the mod).
@@ -187,7 +237,7 @@ def minhash_near_dup_pairs(
     # branch — the dominant cost. Persist is the single-job form; at
     # cluster scale you'd write signatures to a table once and reuse
     # them across dedup runs.
-    sigs = sigs.persist()
+    sigs = _scoped_persist(sigs)
 
     # Band rows carry ONLY (id, band_idx, band_hash) — never the full
     # signature: the bucket join shuffles bands*|docs| skinny rows, and
@@ -267,9 +317,9 @@ def ngram_jaccard_for_pairs(
     and the intersect/union counts are per-row array expressions —
     no exploded shingle shuffle, no re-aggregation.
     """
-    sets_df = shingle_sets(
-        df, id_col, text_col, shingle_len
-    ).persist()  # feeds both sides of the pair join — compute shingles once
+    sets_df = _scoped_persist(
+        shingle_sets(df, id_col, text_col, shingle_len)
+    )  # feeds both sides of the pair join — compute shingles once
     out = pairs.join(
         sets_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
         "id_a",
@@ -315,9 +365,9 @@ def embedding_near_dup_pairs(
     # re-join below for just the surviving candidate pairs
     # persist: the 32 sign-projections per vector are interpreted
     # higher-order expressions — compute once, not once per join side
-    bands_only = buckets.select(
-        F.col(id_col), "band_idx", "band_val"
-    ).persist()
+    bands_only = _scoped_persist(
+        buckets.select(F.col(id_col), "band_idx", "band_val")
+    )
     pair_ids = (
         bands_only.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
         .join(
@@ -391,7 +441,7 @@ def simhash_candidate_pairs(
     equal bands, verify with bit_count(xor)."""
     # persist: the 64-way conditional-sum aggregate feeds both sides of
     # the band self-join below
-    sigs = simhash(df, id_col, text_col).persist()
+    sigs = _scoped_persist(simhash(df, id_col, text_col))
     banded = sigs.select(
         id_col,
         "simhash",

@@ -51,10 +51,32 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors (self-matches excluded). Output: (query_id, neighbor_id,
-    rank, cosine)."""
+    rank, cosine).
+
+    CONTRACT: the query side must be SMALL — it is broadcast and then
+    crossJoined against the full corpus, so cost is |queries|·|corpus|
+    dot products and driver memory holds every query vector. This is
+    the exact baseline / oracle twin for the ANN paths; for a large
+    query set use :func:`lsh_cosine_topk` or :func:`ivf_cosine_topk`,
+    whose candidate generation is a bucket equi-join. ``max_queries``
+    enforces the contract with a bounded probe (``limit(n+1).count()``
+    — never a full count of an unexpectedly huge side); pass ``None``
+    to opt out when the caller has already sized the query side.
+    """
+    if max_queries is not None:
+        probe = queries.limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise ValueError(
+                f"cosine_topk is the brute-force exact path: its query "
+                f"side is broadcast and crossJoined against the whole "
+                f"corpus, but got > {max_queries} query rows. Use "
+                f"lsh_cosine_topk/ivf_cosine_topk for large query sets, "
+                f"or raise max_queries (or pass None) deliberately."
+            )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),

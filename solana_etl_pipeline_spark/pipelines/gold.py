@@ -68,10 +68,28 @@ def top_tokens(gold: DataFrame, k: int = 10) -> DataFrame:
     return top_k_by_safety(gold, key="mint", k=k)
 
 
-def write_gold(gold: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Gold tables are small (one row per mint): single coalesced file
-    per refresh, no partitioning needed."""
-    write_parquet(gold.coalesce(1), path, mode=mode)
+def write_gold(
+    gold: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_rows_per_file: int = 1_000_000,
+) -> None:
+    """Gold is one row per mint — small at sf0.1, but the mint
+    dimension is exactly what grows with the corpus, so a fixed
+    ``coalesce(1)`` would funnel the whole refresh through one task at
+    100× scale. Size the file count from the actual row count instead:
+    the table is persisted for the count + write pair (the count is the
+    cheap side; re-running the risk aggregation twice is not), and the
+    dashboard reads the directory either way."""
+    import math
+
+    gold = gold.persist()
+    try:
+        n_rows = gold.count()
+        n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+        write_parquet(gold.repartition(n_files), path, mode=mode)
+    finally:
+        gold.unpersist()
 
 
 def refresh_gold(

@@ -11,9 +11,13 @@ The container has no websocket library, so the client is a minimal
 RFC 6455 implementation over ``asyncio`` streams — text frames,
 ping/pong, close, client-side masking, 7/16/64-bit payload lengths.
 That is the full surface the reference uses (``websocket.WebSocketApp``
-with JSON text messages). No TLS here: production ``wss://`` would wrap
-the stream with ``ssl.SSLContext`` via ``asyncio.open_connection(...,
-ssl=...)``; tests run ``ws://`` against an in-process fake server.
+with JSON text messages). ``wss://`` is first-class: the connect wraps
+the stream via ``asyncio.open_connection(..., ssl=...)`` with
+``ssl.create_default_context()`` by default (CA-verified, hostname
+checked — what pointing at the reference's ``wss://`` endpoint,
+``my_websocket.py:19,63``, needs), and every entry point accepts an
+``ssl_context`` override for pinned CAs or test servers with
+self-signed certs (see tests/test_live_socket.py's TLS path).
 """
 
 from __future__ import annotations
@@ -84,17 +88,33 @@ async def read_frame(reader: asyncio.StreamReader) -> tuple[int, bytes]:
 
 async def websocket_connect(
     uri: str,
+    ssl_context: "object | None" = None,
 ) -> tuple[asyncio.StreamReader, asyncio.StreamWriter]:
     """Open + upgrade: HTTP/1.1 Upgrade handshake, validating the
-    server's Sec-WebSocket-Accept echo."""
+    server's Sec-WebSocket-Accept echo.
+
+    ``wss://`` TLS-wraps the connection: by default with
+    ``ssl.create_default_context()`` (system CAs, hostname
+    verification), or with the caller's ``ssl_context``
+    (:class:`ssl.SSLContext`) for pinned/self-signed setups. Passing
+    an ``ssl_context`` with a ``ws://`` uri is rejected — silently
+    ignoring it would downgrade an intended-encrypted connection."""
     u = urlparse(uri)
     if u.scheme not in ("ws", "wss"):
         raise ValueError(f"not a websocket uri: {uri}")
     ssl_ctx = None
     if u.scheme == "wss":
-        import ssl
+        if ssl_context is None:
+            import ssl
 
-        ssl_ctx = ssl.create_default_context()
+            ssl_ctx = ssl.create_default_context()
+        else:
+            ssl_ctx = ssl_context
+    elif ssl_context is not None:
+        raise ValueError(
+            "ssl_context given with a ws:// uri — use wss:// (refusing "
+            "to silently send plaintext when TLS was clearly intended)"
+        )
     port = u.port or (443 if u.scheme == "wss" else 80)
     reader, writer = await asyncio.open_connection(u.hostname, port, ssl=ssl_ctx)
     key = base64.b64encode(os.urandom(16)).decode()
@@ -129,12 +149,13 @@ async def websocket_messages(
     uri: str,
     subscriptions: list[dict] | None = None,
     max_messages: int | None = None,
+    ssl_context: "object | None" = None,
 ) -> AsyncIterator[dict]:
     """Subscribe-then-receive, the reference's ``on_open``/``on_message``
     loop (``my_websocket.py:47-60``): send each subscription as a JSON
     text frame, then yield one dict per received text frame. Answers
     ping with pong; a close frame (or EOF) ends the stream."""
-    reader, writer = await websocket_connect(uri)
+    reader, writer = await websocket_connect(uri, ssl_context=ssl_context)
     try:
         for sub in subscriptions or []:
             writer.write(
@@ -169,13 +190,15 @@ async def run_live_ingest(
     subscriptions: list[dict] | None = None,
     max_messages: int | None = None,
     prefix: str = "msg",
+    ssl_context: "object | None" = None,
 ) -> int:
     """The full live path: socket → one-file-per-message landing dir
     (which ``spark.readStream.json(landing_dir)`` then consumes with
     checkpointed exactly-once). Returns files written. ``max_messages``
-    bounds the run for tests/drains; None = until the server closes."""
+    bounds the run for tests/drains; None = until the server closes.
+    ``ssl_context`` overrides the default ``wss://`` TLS context."""
     return await write_messages_to_landing(
-        websocket_messages(uri, subscriptions, max_messages),
+        websocket_messages(uri, subscriptions, max_messages, ssl_context),
         landing_dir,
         prefix=prefix,
     )

@@ -64,20 +64,45 @@ def read_csv_dir(
     return reader.csv(path)
 
 
+def resolve_sink_format(fmt: str) -> str:
+    """Validate a table-sink format name (the BASELINE north star is
+    "Parquet/Delta Lake sinks"). ``parquet`` always works; ``delta``
+    resolves only when the ``delta-spark`` package is importable, so
+    on clusters with Delta configured the same pipeline code writes
+    transactional tables with no further changes — and on this
+    container (no delta in the dependency set) the error is immediate
+    and actionable instead of a JVM ClassNotFound at write time."""
+    if fmt == "parquet":
+        return fmt
+    if fmt == "delta":
+        try:
+            import delta  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "format='delta' needs the delta-spark package (and the "
+                "DeltaCatalog/extension session configs); it is not "
+                "installed in this environment — use format='parquet'"
+            ) from exc
+        return fmt
+    raise ValueError(f"unsupported sink format: {fmt!r} (parquet|delta)")
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
     partition_cols: list[str] | None = None,
     mode: str = "append",
+    format: str = "parquet",
 ) -> None:
-    """S10: Parquet sink. Appends with a widened schema are legal —
-    the read side harmonizes (see :func:`read_parquet_merged`), which
-    replaces the reference's null-fill/reorder writer loop
+    """S10: table sink (parquet default, delta via the format seam —
+    see :func:`resolve_sink_format`). Appends with a widened schema are
+    legal — the read side harmonizes (see :func:`read_parquet_merged`),
+    which replaces the reference's null-fill/reorder writer loop
     (``clean_data.py:340-349``)."""
-    writer = df.write.mode(mode)
+    writer = df.write.mode(mode).format(resolve_sink_format(format))
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
+    writer.save(path)
 
 
 def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
@@ -145,6 +170,7 @@ def write_zordered(
     y_col: str,
     n_files: int,
     bits: int = 16,
+    format: str = "parquet",
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files range-partitioned and
     sorted by the two-column z-order key, so per-file min/max bound a
@@ -172,7 +198,8 @@ def write_zordered(
         .sortWithinPartitions("_zkey")
         .drop("_zkey", "_xmin", "_xmax", "_ymin", "_ymax")
         .write.mode("overwrite")
-        .parquet(path)
+        .format(resolve_sink_format(format))
+        .save(path)
     )
 
 

@@ -1,0 +1,247 @@
+"""Round-5 hardening contracts: scale-aware gold writes, the
+parquet/delta sink seam, the brute-force query-side guard, scoped
+dedup caches, and compaction over the incremental signature store."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.llm.dedup import (
+    dedup_cache_scope,
+    embedding_near_dup_pairs,
+    minhash_near_dup_pairs,
+    ngram_jaccard_for_pairs,
+    simhash_candidate_pairs,
+)
+from solana_etl_pipeline_spark.llm.incremental import (
+    incremental_near_dup_batch,
+)
+from solana_etl_pipeline_spark.llm.similarity import cosine_topk
+from solana_etl_pipeline_spark.pipelines.gold import write_gold
+from solana_etl_pipeline_spark.sources.sinks import (
+    compact_parquet_dir,
+    resolve_sink_format,
+    write_parquet,
+)
+
+
+# ---------------------------------------------------------------- gold
+
+
+def _fake_gold(spark, n: int):
+    return spark.range(n).select(
+        F.concat(F.lit("mint"), F.col("id")).alias("mint"),
+        (F.col("id") % 97).cast("double").alias("risk_score"),
+    )
+
+
+def test_write_gold_sizes_files_from_rows(spark, tmp_path):
+    """The mint dimension grows with the corpus: the gold writer must
+    fan out above the per-file target instead of funnelling through a
+    single coalesced task."""
+    path = tmp_path / "gold_multi"
+    write_gold(_fake_gold(spark, 250), str(path), target_rows_per_file=100)
+    files = list(path.glob("*.parquet"))
+    assert len(files) == 3  # ceil(250 / 100)
+    got = spark.read.parquet(str(path))
+    assert got.count() == 250
+    assert got.select(F.countDistinct("mint")).collect()[0][0] == 250
+
+
+def test_write_gold_small_table_single_file(spark, tmp_path):
+    """Below the target the dashboard still gets one tidy file."""
+    path = tmp_path / "gold_single"
+    write_gold(_fake_gold(spark, 50), str(path))
+    assert len(list(path.glob("*.parquet"))) == 1
+    assert spark.read.parquet(str(path)).count() == 50
+
+
+# ------------------------------------------------------ sink format seam
+
+
+def test_sink_format_seam_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "seam")
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).alias("p")
+    )
+    write_parquet(df, path, partition_cols=["p"], mode="overwrite",
+                  format="parquet")
+    got = spark.read.parquet(path)
+    assert got.count() == 10
+    assert {r.p for r in got.select("p").distinct().collect()} == {0, 1}
+
+
+def test_sink_format_seam_rejects_unknown(spark):
+    with pytest.raises(ValueError, match="unsupported sink format"):
+        resolve_sink_format("orc-ish")
+
+
+def test_sink_format_seam_delta_needs_package():
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="delta-spark"):
+            resolve_sink_format("delta")
+    else:  # pragma: no cover - not this container
+        assert resolve_sink_format("delta") == "delta"
+
+
+# ------------------------------------------------- brute-force guard
+
+
+def _embeddings(spark, n: int, dim: int = 8):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") * (i + 3)) % 11 + 1).cast("double")
+              for i in range(dim)]
+        ).alias("embedding"),
+    )
+
+
+def test_cosine_topk_guards_large_query_side(spark):
+    emb = _embeddings(spark, 30)
+    with pytest.raises(ValueError, match="lsh_cosine_topk"):
+        cosine_topk(emb, emb, k=2, max_queries=10)
+
+
+def test_cosine_topk_small_or_opted_out_query_side_runs(spark):
+    emb = _embeddings(spark, 30)
+    assert cosine_topk(emb, emb.limit(3), k=2).count() == 6
+    # explicit opt-out: caller takes responsibility for sizing
+    assert (
+        cosine_topk(emb.limit(12), emb.limit(12), k=1,
+                    max_queries=None).count() == 12
+    )
+
+
+# --------------------------------------------------- dedup cache scope
+
+
+def _cached_rdd_ids(spark) -> set[int]:
+    return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keys()}
+
+
+def _docs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the old wall",
+        "the quick brown fox jumps over the sleepy dog near the old wall",
+        "columnar engines shuffle partitions with vectorized operators",
+        "completely different text about rivers mountains and valleys",
+    ]
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+@pytest.mark.parametrize("api", ["minhash", "jaccard", "simhash", "embedding"])
+def test_dedup_cache_scope_releases_persists(spark, api):
+    """Every pair generator pins intermediates; consuming inside
+    dedup_cache_scope must leave zero NEW cached RDDs behind (delta
+    check: the shared session may legitimately hold other caches)."""
+    docs = _docs(spark)
+    before = _cached_rdd_ids(spark)
+    with dedup_cache_scope():
+        if api == "minhash":
+            out = minhash_near_dup_pairs(docs, "doc_id", "text")
+        elif api == "jaccard":
+            pairs = spark.createDataFrame([Row(id_a=0, id_b=1)])
+            out = ngram_jaccard_for_pairs(docs, pairs, "doc_id", "text")
+        elif api == "simhash":
+            out = simhash_candidate_pairs(docs, "doc_id", "text")
+        else:
+            out = embedding_near_dup_pairs(_embeddings(spark, 20))
+        out.count()  # action inside the scope: caches are live here
+        assert _cached_rdd_ids(spark) - before  # something WAS pinned
+    assert _cached_rdd_ids(spark) - before == set()
+
+
+def test_dedup_cache_scopes_nest(spark):
+    docs = _docs(spark)
+    before = _cached_rdd_ids(spark)
+    with dedup_cache_scope():
+        minhash_near_dup_pairs(docs, "doc_id", "text").count()
+        outer_pinned = _cached_rdd_ids(spark) - before
+        with dedup_cache_scope():
+            simhash_candidate_pairs(docs, "doc_id", "text").count()
+        # inner scope released only its own persists
+        assert _cached_rdd_ids(spark) - before == outer_pinned
+    assert _cached_rdd_ids(spark) - before == set()
+
+
+# ------------------------------- incremental store + compaction loop
+
+
+def _batch(spark, batch: int, n: int = 4):
+    """Distinct documents (token-disjoint across batches and docs, so
+    zero accidental near-dups)."""
+    rows = [
+        Row(
+            doc_id=100 * batch + i,
+            text=" ".join(f"w{batch}x{i}y{j}" for j in range(20)),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun and the birds sing in the tall green trees near "
+    "the old stone wall by the river bank"
+)
+
+
+def test_incremental_store_survives_compaction(spark, tmp_path):
+    """The 100 TB operational loop end-to-end: land many small batches
+    -> compact the signature store -> later probes still match, and a
+    replayed batch stays idempotent against the compacted leaves."""
+    store = tmp_path / "store"
+    b0 = _batch(spark, 0).union(
+        spark.createDataFrame([Row(doc_id=99, text=BASE)])
+    )
+    assert incremental_near_dup_batch(b0, str(store), batch_id=0).count() == 0
+    for b in range(1, 6):
+        v = incremental_near_dup_batch(_batch(spark, b), str(store),
+                                       batch_id=b)
+        assert v.count() == 0  # token-disjoint: no dups yet
+
+    sigs_dir = store / "sigs"
+    bands_dir = store / "bands"
+    n_sigs_before = spark.read.parquet(str(sigs_dir)).count()
+    batches_before = {
+        d.name for d in sigs_dir.iterdir() if d.name.startswith("batch_id=")
+    }
+    assert len(batches_before) == 6
+
+    # maintenance pass over both store tables
+    assert compact_parquet_dir(spark, str(sigs_dir)) >= 1
+    assert compact_parquet_dir(spark, str(bands_dir)) >= 1
+    # partition tree preserved, no rows lost, no residue dirs
+    assert {
+        d.name for d in sigs_dir.iterdir() if d.is_dir()
+    } == batches_before
+    assert spark.read.parquet(str(sigs_dir)).count() == n_sigs_before
+
+    # probe against the compacted index: a near-dup of the batch-0 doc
+    probe = spark.createDataFrame(
+        [Row(doc_id=600, text=BASE.replace("lazy", "sleepy"))]
+    )
+    v6 = incremental_near_dup_batch(probe, str(store), batch_id=6).collect()
+    assert {(r.new_id, r.dup_of, r.scope) for r in v6} == {(600, 99, "index")}
+
+    # replay an old batch id against the compacted store: dynamic
+    # partition overwrite replaces exactly its own leaf — store row
+    # count and verdicts unchanged
+    v3 = incremental_near_dup_batch(_batch(spark, 3), str(store), batch_id=3)
+    assert v3.count() == 0
+    assert spark.read.parquet(str(sigs_dir)).count() == n_sigs_before + 1
+    # and the compacted index still answers a second probe correctly
+    v7 = incremental_near_dup_batch(
+        spark.createDataFrame([Row(doc_id=700, text=BASE)]), str(store),
+        batch_id=7,
+    )
+    got = {(r.new_id, r.dup_of, r.scope) for r in v7.collect()}
+    assert (700, 99, "index") in got and (700, 600, "index") in got

@@ -7,6 +7,7 @@ from __future__ import annotations
 import asyncio
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.schemas import WEBSOCKET_MESSAGE
@@ -35,10 +36,13 @@ def _msg(i: int, pad: str = "") -> dict:
     }
 
 
-async def _start_fake_server(messages: list[dict], received_subs: list):
+async def _start_fake_server(
+    messages: list[dict], received_subs: list, server_ssl=None
+):
     """Server half of the handshake + frames: enough RFC 6455 to host
     the client — reads the subscription, pings once (exercising the
-    client's pong), streams messages, closes."""
+    client's pong), streams messages, closes. ``server_ssl`` turns it
+    into a ``wss://`` endpoint."""
 
     async def handler(reader, writer):
         key = None
@@ -77,20 +81,32 @@ async def _start_fake_server(messages: list[dict], received_subs: list):
             pass
         writer.close()
 
-    return await asyncio.start_server(handler, "127.0.0.1", 0)
+    return await asyncio.start_server(
+        handler, "127.0.0.1", 0, ssl=server_ssl
+    )
 
 
-def _ingest(messages: list[dict], landing: str, prefix: str) -> tuple[int, list]:
+def _ingest(
+    messages: list[dict],
+    landing: str,
+    prefix: str,
+    server_ssl=None,
+    client_ssl=None,
+    host: str = "127.0.0.1",
+) -> tuple[int, list]:
+    scheme = "wss" if server_ssl else "ws"
+
     async def run():
         subs = []
-        server = await _start_fake_server(messages, subs)
+        server = await _start_fake_server(messages, subs, server_ssl)
         port = server.sockets[0].getsockname()[1]
         try:
             n = await run_live_ingest(
-                f"ws://127.0.0.1:{port}/stream",
+                f"{scheme}://{host}:{port}/stream",
                 landing,
                 subscriptions=[{"method": "subscribeRaydiumLiquidity"}],
                 prefix=prefix,
+                ssl_context=client_ssl,
             )
         finally:
             server.close()
@@ -139,3 +155,138 @@ def test_live_socket_to_silver_exactly_once(spark, tmp_path):
     assert final.count() == 25
     # exactly-once across the whole path: no duplicate (mint, txType)
     assert final.select("mint").distinct().count() == 25
+
+
+def _self_signed_cert(tmp_path):
+    """Self-signed localhost certificate for the in-process TLS server
+    (CA:TRUE so it validates as its own root; SAN covers localhost and
+    127.0.0.1 for hostname verification)."""
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "localhost")]
+    )
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(days=1))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [
+                    x509.DNSName("localhost"),
+                    x509.IPAddress(ipaddress.ip_address("127.0.0.1")),
+                ]
+            ),
+            critical=False,
+        )
+        .add_extension(
+            x509.BasicConstraints(ca=True, path_length=None), critical=True
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_path = tmp_path / "cert.pem"
+    key_path = tmp_path / "key.pem"
+    cert_path.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_path.write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        )
+    )
+    return str(cert_path), str(key_path)
+
+
+def test_live_socket_wss_tls_to_silver(spark, tmp_path):
+    """The production path shape: wss:// with a verifying SSLContext
+    (here trusting the test server's self-signed cert as its root),
+    full socket -> landing -> readStream -> silver."""
+    import ssl
+
+    pytest.importorskip("cryptography")
+    cert_path, key_path = _self_signed_cert(tmp_path)
+
+    server_ssl = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server_ssl.load_cert_chain(cert_path, key_path)
+    # a REAL verifying client context: CA check + hostname check both
+    # on, exactly what create_default_context() does against public CAs
+    client_ssl = ssl.create_default_context(cafile=cert_path)
+    assert client_ssl.check_hostname and (
+        client_ssl.verify_mode == ssl.CERT_REQUIRED
+    )
+
+    landing = str(tmp_path / "landing")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    msgs = [_msg(i) for i in range(7)]
+    n, subs = _ingest(
+        msgs,
+        landing,
+        prefix="tls",
+        server_ssl=server_ssl,
+        client_ssl=client_ssl,
+        host="localhost",
+    )
+    assert n == 7
+    assert subs == [{"method": "subscribeRaydiumLiquidity"}]
+
+    stream = landing_stream(
+        spark, landing, WEBSOCKET_MESSAGE, max_files_per_trigger=None
+    )
+    run_available_now_to_parquet(stream, silver, ckpt)
+    got = spark.read.parquet(silver)
+    assert got.count() == 7
+    assert {r.mint for r in got.select("mint").collect()} == {
+        f"MINT{i}" for i in range(7)
+    }
+
+
+def test_live_socket_wss_rejects_untrusted_cert(tmp_path):
+    """A default-verifying context must refuse the self-signed server:
+    proves the TLS path actually verifies rather than blindly wrapping."""
+    import ssl
+
+    pytest.importorskip("cryptography")
+    cert_path, key_path = _self_signed_cert(tmp_path)
+    server_ssl = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server_ssl.load_cert_chain(cert_path, key_path)
+
+    # system trust store does not contain our throwaway root
+    client_ssl = ssl.create_default_context()
+    with pytest.raises(ssl.SSLError):
+        _ingest(
+            [_msg(0)],
+            str(tmp_path / "landing"),
+            prefix="x",
+            server_ssl=server_ssl,
+            client_ssl=client_ssl,
+            host="localhost",
+        )
+
+
+def test_live_socket_ssl_context_with_ws_uri_rejected(tmp_path):
+    """ssl_context + ws:// is a downgrade mistake, not a request."""
+    import ssl
+
+    from solana_etl_pipeline_spark.sources.live_socket import (
+        websocket_connect,
+    )
+
+    with pytest.raises(ValueError, match="ws://"):
+        asyncio.run(
+            websocket_connect(
+                "ws://127.0.0.1:1/", ssl_context=ssl.create_default_context()
+            )
+        )
