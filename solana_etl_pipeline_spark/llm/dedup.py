@@ -38,8 +38,10 @@ it instead (that is what ``llm/incremental.py`` does).
 from __future__ import annotations
 
 import contextlib
+import re
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -134,10 +136,61 @@ def _word_shingles(text: Column, shingle_len: int) -> Column:
     )
 
 
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def _shingle_list(t: "str | None", shingle_len: int) -> list[str]:
+    """Plain-Python shingle builder shared by the Arrow stages, pinned
+    semantically identical to the expression twin
+    (:func:`shingle_sets_expr`): ``re.ASCII`` matches Java's ASCII-only
+    ``\\s``; ``dict.fromkeys`` keeps ``array_distinct``'s
+    first-occurrence order; null text renders the single degenerate
+    ``''`` shingle (greatest(NULL,1)=1 + concat_ws-over-NULL-slice)."""
+    if t is None:
+        return [""]
+    words = _WS_ASCII.split(t.strip().lower())
+    n = len(words)
+    if n <= shingle_len:
+        return [" ".join(words)]
+    return list(
+        dict.fromkeys(
+            " ".join(words[i : i + shingle_len])
+            for i in range(n - shingle_len + 1)
+        )
+    )
+
+
 def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, shingle_len: int
 ) -> DataFrame:
     """(_id, _sh: array<string>) — distinct word n-gram shingles.
+
+    Arrow-batched ``pandas_udf``: per-position shingle construction is
+    one of the few places built-in expressions genuinely lose — the
+    higher-order ``transform``+``slice``+``concat_ws`` twin
+    (:func:`shingle_sets_expr`) evaluates interpreted closures per
+    shingle position and measures 4× slower on the documents fixture
+    (2.4 s vs 0.6 s for 5k docs), a gap that grows with document
+    length. Semantics are pinned identical to the expression twin by
+    ``tests/test_hardening.py``.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([_shingle_list(t, shingle_len) for t in texts])
+
+    return df.select(
+        F.col(id_col).alias("_id"), _sh(F.col(text_col)).alias("_sh")
+    )
+
+
+def shingle_sets_expr(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int
+) -> DataFrame:
+    """Pure-expression twin of :func:`shingle_sets` (JVM-side, no
+    Python workers) — kept as the parity reference and for clusters
+    where Python worker startup outweighs the interpreted-closure cost.
 
     Two projections on purpose: the word split materializes once per
     row in the first, and the shingle lambda then reads the ``words``
@@ -168,33 +221,109 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     shingle_len: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, sig: array<int>) — MinHash signature per document.
+    """(id, sig: array<long>) — MinHash signature per document.
 
-    One base hash per shingle (xxhash64 → [0, P)), then k universal
-    permutations ``h_i(x) = (a_i·x + b_i) mod P`` reduced with MIN —
-    k min-aggregates over one exploded column. The k·|shingles| hash
-    arithmetic runs inside WholeStageCodegen (measurably ~2× faster
-    than the equivalent per-row ``transform``/``array_min`` expression,
-    which is interpreted per element), and partial aggregation folds
-    map-side, so the shuffle carries only per-doc 64-long minima.
+    MAP-ONLY Arrow path: one base hash per shingle (crc32 → [0, 2^31)),
+    then k universal permutations ``h_i(x) = (a_i·x + b_i) mod P``
+    reduced with MIN — all inside one vectorized numpy outer-product
+    per document, no explode and NO SHUFFLE. The aggregate twin
+    (:func:`minhash_signatures_agg`, xxhash64 base + 64 codegen
+    min-aggregates) shuffles per-doc partial minima and measures ~2×
+    slower at sf0.1; structural parity between the two (doc coverage,
+    identical-text ⇒ identical sigs, near-dup estimates) is pinned by
+    tests. Signature VALUES differ between the twins (different base
+    hash) — signatures are an internal representation; anything
+    persisting them must pin the implementation (see
+    ``llm/incremental.py`` meta ``sig_impl``).
+
+    Docs whose text yields no real shingle (null/empty text) get no
+    signature row — same coverage as the agg twin's post-explode
+    filter. ``shingles`` (a :func:`shingle_sets` result, ideally
+    persisted) lets a pipeline that ALSO needs the shingle sets —
+    e.g. LSH candidates followed by exact-Jaccard verify — parse and
+    shingle the corpus text once instead of once per stage.
     """
+    import zlib
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    odd = np.arange(1, 2 * num_hashes, 2, dtype=np.int64)
+    off = (982_451_653 * np.arange(num_hashes, dtype=np.int64)) % _P
+
+    def _sig_of(sh: "list[str] | None") -> "np.ndarray | None":
+        if sh is None:
+            return None
+        # drop '' (the degenerate null/empty-text shingle): every
+        # such doc would otherwise share one signature and pair
+        bases = np.array(
+            [zlib.crc32(s.encode()) & 0x7FFFFFFF for s in sh if s],
+            dtype=np.int64,
+        )
+        if bases.size == 0:
+            return None
+        return ((bases[:, None] * odd[None, :] + off[None, :]) % _P).min(
+            axis=0
+        )
+
+    if shingles is not None:
+        @F.pandas_udf(ArrayType(LongType()))
+        def _sig(shs: pd.Series) -> pd.Series:
+            return pd.Series([_sig_of(sh) for sh in shs], dtype=object)
+
+        keyed = shingles.select(
+            F.col("_id").alias(id_col), _sig(F.col("_sh")).alias("sig")
+        )
+    else:
+        # no shingle consumer downstream: fuse shingling + signing into
+        # ONE Arrow stage (one scan, one Python round-trip)
+        @F.pandas_udf(ArrayType(LongType()))
+        def _sig_from_text(texts: pd.Series) -> pd.Series:
+            return pd.Series(
+                [_sig_of(_shingle_list(t, shingle_len)) for t in texts],
+                dtype=object,
+            )
+
+        keyed = df.select(
+            F.col(id_col), _sig_from_text(F.col(text_col)).alias("sig")
+        )
+    return keyed.filter(F.col("sig").isNotNull())
+
+
+def minhash_signatures_agg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_len: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Aggregate twin of :func:`minhash_signatures` — pure-JVM: xxhash64
+    base per exploded shingle, k codegen min-aggregates (map-side
+    partial fold, shuffle carries per-doc minima). Kept as the
+    no-Python-workers fallback and the parity reference; ~2× slower
+    than the vectorized map-only path at sf0.1."""
     # explode_outer, not explode: InferFiltersFromGenerate turns inner
     # explode into a Filter(size(expr)>0) that re-inlines the whole
     # shingle expression (split included) per row — measured ~8× on
     # this step. The shingle array is never empty (greatest(...,1)
     # index floor), so outer ≡ inner here.
-    shingled = shingle_sets(df, id_col, text_col, shingle_len).select(
+    shingle_df = (
+        shingles
+        if shingles is not None
+        else shingle_sets(df, id_col, text_col, shingle_len)
+    )
+    shingled = shingle_df.select(
         "_id", F.explode_outer("_sh").alias("sh")
     )
-    # Null/empty text ⇒ a single degenerate shingle: split(NULL) is
-    # NULL, slice(NULL) is NULL, and concat_ws renders the NULL slice
-    # as '' — so every null- or empty-text doc would share the ''
-    # shingle, get identical signatures, and pair with each other.
-    # Drop '' (a real shingle from non-empty text is never '': words
-    # from split('\\s+') after trim are non-empty). A filter on the
-    # *generated* column does not trigger the InferFiltersFromGenerate
-    # re-inlining that filtering the array expression would.
+    # Null/empty text ⇒ a single degenerate '' shingle (split/slice
+    # null semantics) — drop it, or every null- or empty-text doc
+    # would share a signature and pair with each other. A filter on
+    # the *generated* column does not trigger the
+    # InferFiltersFromGenerate re-inlining that filtering the array
+    # expression would.
     shingled = shingled.filter(
         F.col("sh").isNotNull() & (F.col("sh") != "")
     )
@@ -220,6 +349,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     shingle_len: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
@@ -227,10 +357,14 @@ def minhash_near_dup_pairs(
     matches exactly (collision prob ≈ 1-(1-j^r)^b). Candidates come
     from a bucket equi-join; Jaccard is then *estimated* from the full
     signatures (fraction of equal entries) — no second pass over text.
+    ``shingles`` forwards a precomputed :func:`shingle_sets` frame to
+    the signature stage (one corpus text parse for LSH + verify).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_len)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_len, shingles=shingles
+    )
     # The signature table feeds three plan branches (band explode +
     # both sides of the candidate re-join). Without materialization
     # Spark recomputes the shingle-explode + 64-way min aggregate per
@@ -307,6 +441,7 @@ def ngram_jaccard_for_pairs(
     id_col: str,
     text_col: str,
     shingle_len: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard for given candidate pairs (id_a, id_b):
     |A∩B| / |A∪B| over distinct word shingles.
@@ -316,9 +451,15 @@ def ngram_jaccard_for_pairs(
     carries its (distinct) shingle set once through two id-equi-joins,
     and the intersect/union counts are per-row array expressions —
     no exploded shingle shuffle, no re-aggregation.
+
+    ``shingles`` reuses a caller-persisted :func:`shingle_sets` frame
+    (the caller owns its lifecycle); otherwise shingles are computed
+    and persisted here (scoped — see :func:`dedup_cache_scope`).
     """
-    sets_df = _scoped_persist(
-        shingle_sets(df, id_col, text_col, shingle_len)
+    sets_df = (
+        shingles
+        if shingles is not None
+        else _scoped_persist(shingle_sets(df, id_col, text_col, shingle_len))
     )  # feeds both sides of the pair join — compute shingles once
     out = pairs.join(
         sets_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
@@ -397,10 +538,73 @@ def embedding_near_dup_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: long) — Charikar SimHash over word hashes.
 
-    Bit i of the signature is set iff the sum over tokens of
-    ±1 (according to bit i of the token's xxhash64) is positive.
-    64 conditional-sum aggregates, map-side combinable.
+    Bit i of the signature is set iff the sum over token occurrences
+    of ±1 (according to bit i of the token's 64-bit hash) is positive.
+
+    MAP-ONLY Arrow path (same rationale as :func:`minhash_signatures`):
+    per-doc token counting + one vectorized bit-matrix reduction in
+    numpy — no explode, no 64-aggregate shuffle. The token hash is a
+    crc32 pair (high/low 32 bits, distinct salts); signature VALUES
+    therefore differ from the JVM aggregate twin
+    (:func:`simhash_agg`, xxhash64 base) — signatures are internal,
+    and both twins' structural behavior (order-invariance, identical
+    text ⇒ hamming 0, unrelated text ⇒ large hamming) is pinned by
+    tests. Docs with no valid token (null/empty text) get no row, as
+    in the twin's post-explode filter.
     """
+    import zlib
+    from collections import Counter
+
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf(LongType())
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            words = [w for w in _WS_ASCII.split(t.strip().lower()) if w]
+            if not words:
+                out.append(None)
+                continue
+            cnt = Counter(words)
+            toks = np.array(
+                [
+                    (zlib.crc32(w.encode()) << 32)
+                    | zlib.crc32(b"\x01" + w.encode())
+                    for w in cnt
+                ],
+                dtype=np.uint64,
+            )
+            weights = np.fromiter(
+                cnt.values(), dtype=np.int64, count=len(cnt)
+            )
+            bits = ((toks[:, None] >> shifts[None, :]) & 1).astype(
+                np.int64
+            ) * 2 - 1
+            sums = (bits * weights[:, None]).sum(axis=0)
+            sig = 0
+            for i in np.nonzero(sums > 0)[0]:
+                sig |= 1 << int(i)
+            if sig >= 1 << 63:
+                sig -= 1 << 64  # two's-complement into Spark's long
+            out.append(sig)
+        return pd.Series(out, dtype=object)
+
+    return df.select(
+        F.col(id_col), _sig(F.col(text_col)).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
+
+
+def simhash_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Aggregate twin of :func:`simhash` — pure-JVM: xxhash64 per
+    exploded token, 64 conditional-sum aggregates (map-side
+    combinable). Kept as the no-Python-workers fallback and the
+    structural parity reference."""
     words = df.select(
         F.col(id_col).alias("_id"),
         # outer: split() never yields an empty array, and inner explode

@@ -42,6 +42,14 @@ from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.dedup import minhash_signatures
 
+#: Signature value-representation version. MinHash minima are only
+#: comparable when produced by the same base hash / permutation family
+#: (``llm/dedup.py::minhash_signatures``); a store written under one
+#: implementation must refuse probes from another or est_jaccard
+#: silently degrades to noise. Bump when the representation changes.
+#: 1 = xxhash64 base (agg twin, pre-r5); 2 = crc32 base, map-only.
+_SIG_IMPL = 2
+
 
 def band_entries(
     sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
@@ -97,11 +105,19 @@ def _check_or_init_meta(
     meta_path = os.path.join(store_dir, "meta")
     if _path_exists(spark, meta_path):
         meta = spark.read.parquet(meta_path).collect()[0]
+        stored_impl = meta.asDict().get("sig_impl", 1)
         if (meta.num_hashes, meta.bands) != (num_hashes, bands):
             raise ValueError(
                 f"signature store at {store_dir} was built with "
                 f"num_hashes={meta.num_hashes}, bands={meta.bands}; "
                 f"got num_hashes={num_hashes}, bands={bands}"
+            )
+        if stored_impl != _SIG_IMPL:
+            raise ValueError(
+                f"signature store at {store_dir} was built with "
+                f"sig_impl={stored_impl}, this build produces "
+                f"sig_impl={_SIG_IMPL}; minima from different base "
+                f"hashes are not comparable — rebuild the store"
             )
     else:
         # range+lit, not createDataFrame-from-list: a Python-list frame
@@ -113,6 +129,7 @@ def _check_or_init_meta(
             .select(
                 F.lit(num_hashes).alias("num_hashes"),
                 F.lit(bands).alias("bands"),
+                F.lit(_SIG_IMPL).alias("sig_impl"),
             )
             .coalesce(1)
             .write.mode("overwrite")

@@ -31,10 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.dedup import (
+    _scoped_persist,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     minhash_near_dup_pairs,
     ngram_jaccard_for_pairs,
+    shingle_sets,
     simhash_candidate_pairs,
 )
 from solana_etl_pipeline_spark.llm.cluster import near_dup_dedup
@@ -149,11 +151,15 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding misses with probability < 2e-7, and the nearest
     non-duplicate pair is below J = 0.4."""
     docs = load_table(spark, sf_dir, "documents")
+    # one corpus text parse: the persisted shingle sets feed BOTH the
+    # signature stage and the exact-Jaccard verify
+    sh = _scoped_persist(shingle_sets(docs, "doc_id", "text", 3))
     cand = minhash_near_dup_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        shingles=sh,
     )
     verified = ngram_jaccard_for_pairs(
-        docs, cand.select("id_a", "id_b"), "doc_id", "text"
+        docs, cand.select("id_a", "id_b"), "doc_id", "text", shingles=sh
     )
     return verified.filter(F.col("jaccard") >= 0.5)
 
@@ -167,11 +173,13 @@ def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification, transitive clustering, canonical keep) is
     driver-checked, not just the pair stage."""
     docs = load_table(spark, sf_dir, "documents")
+    sh = _scoped_persist(shingle_sets(docs, "doc_id", "text", 3))
     cand = minhash_near_dup_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        shingles=sh,
     )
     pairs = ngram_jaccard_for_pairs(
-        docs, cand.select("id_a", "id_b"), "doc_id", "text"
+        docs, cand.select("id_a", "id_b"), "doc_id", "text", shingles=sh
     ).filter(F.col("jaccard") >= 0.5)
     survivors = near_dup_dedup(docs, pairs, "doc_id")
     return survivors.groupBy("source").agg(
@@ -311,6 +319,8 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-witnesses the cross-batch store probe — the path that
     makes incremental cost ∝ batch, not corpus. Replay idempotence
     and foreachBatch wiring stay pinned by tests/test_incremental.py."""
+    import atexit
+    import shutil
     import tempfile
 
     from solana_etl_pipeline_spark.llm.incremental import (
@@ -319,6 +329,10 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     store = tempfile.mkdtemp(prefix="spark_incr_dedup_")
+    # the returned DataFrame reads the store lazily, so the dir must
+    # outlive this call — reclaim it at interpreter exit instead of
+    # leaking one store per invocation (bench runs this 3×/sweep)
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
     base = docs.filter(F.col("doc_id") < 100)
     incremental_near_dup_batch(
         base, store, batch_id=0, num_hashes=32, bands=8

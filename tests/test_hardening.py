@@ -245,3 +245,119 @@ def test_incremental_store_survives_compaction(spark, tmp_path):
     )
     got = {(r.new_id, r.dup_of, r.scope) for r in v7.collect()}
     assert (700, 99, "index") in got and (700, 600, "index") in got
+
+
+# ------------------------------------------- shingle twin parity
+
+
+def test_shingle_sets_pandas_matches_expression_twin(spark):
+    """The Arrow-batched shingler is the hot path; the pure-expression
+    twin is the semantic reference. Pin them identical on every edge:
+    null text, empty, whitespace runs/tabs, fewer words than the
+    shingle length, exactly the length, repeats (dedup order), case."""
+    from solana_etl_pipeline_spark.llm.dedup import (
+        shingle_sets,
+        shingle_sets_expr,
+    )
+
+    texts = [
+        None,
+        "",
+        "   ",
+        "one",
+        "one two",
+        "one two three",
+        "one two three four five six",
+        "a b a b a b a b",  # repeated shingles: dedup keeps first
+        "Tabs\tand\nnewlines   collapse  the same",
+        "MiXeD CaSe LoWeRs",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    for n in (2, 3):
+        fast = shingle_sets(df, "doc_id", "text", n).collect()
+        ref = shingle_sets_expr(df, "doc_id", "text", n).collect()
+        got = {r._id: r._sh for r in fast}
+        want = {r._id: r._sh for r in ref}
+        assert got == want, f"shingle_len={n}: {got} != {want}"
+
+
+# ------------------------------------- minhash twin + sig_impl pin
+
+
+def test_minhash_arrow_and_agg_twins_structural_parity(spark):
+    """The map-only Arrow path and the JVM aggregate twin use different
+    base hashes, so minima differ by design — but doc coverage,
+    identical-text determinism, and near-dup estimates must agree."""
+    from solana_etl_pipeline_spark.llm.dedup import (
+        minhash_signatures,
+        minhash_signatures_agg,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the old wall",
+        "the quick brown fox jumps over the sleepy dog near the old wall",
+        "the quick brown fox jumps over the lazy dog near the old wall",
+        "columnar engines shuffle partitions with vectorized operators",
+        None,
+        "",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    for fn in (minhash_signatures, minhash_signatures_agg):
+        sigs = {r.doc_id: list(r.sig) for r in fn(df, "doc_id", "text").collect()}
+        # null/empty text docs carry no signature in either impl
+        assert set(sigs) == {0, 1, 2, 3}
+        assert sigs[0] == sigs[2]  # identical text -> identical sig
+        est_near = sum(a == b for a, b in zip(sigs[0], sigs[1])) / 64
+        est_far = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 64
+        assert est_near >= 0.5, f"{fn.__name__}: near-dup est {est_near}"
+        assert est_far < 0.3, f"{fn.__name__}: unrelated est {est_far}"
+
+
+def test_incremental_store_refuses_foreign_sig_impl(spark, tmp_path):
+    """A store written under a different signature representation must
+    refuse probes — cross-impl minima compare as noise, not as an
+    error, so this has to fail loudly up front."""
+    from solana_etl_pipeline_spark.llm import incremental as incr
+
+    store = str(tmp_path / "store")
+    b = spark.createDataFrame([Row(doc_id=0, text=BASE)])
+    incremental_near_dup_batch(b, store, batch_id=0)
+    orig = incr._SIG_IMPL
+    incr._SIG_IMPL = orig + 1
+    try:
+        with pytest.raises(ValueError, match="sig_impl"):
+            incremental_near_dup_batch(
+                spark.createDataFrame([Row(doc_id=1, text=BASE)]),
+                store,
+                batch_id=1,
+            )
+    finally:
+        incr._SIG_IMPL = orig
+
+
+def test_simhash_arrow_and_agg_twins_structural_parity(spark):
+    """Map-only simhash vs the JVM aggregate twin: values differ by
+    design (different token hash), but both must be order-invariant,
+    deterministic on identical text, and far apart on unrelated text."""
+    from solana_etl_pipeline_spark.llm.dedup import simhash, simhash_agg
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the wall",
+        "wall the near dog lazy the over jumps fox brown quick the",  # permuted
+        "columnar engines shuffle partitions with vectorized operators",
+        None,
+        "",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    for fn in (simhash, simhash_agg):
+        sigs = {r.doc_id: r.simhash for r in fn(df, "doc_id", "text").collect()}
+        assert set(sigs) == {0, 1, 2}  # null/empty text: no row
+        assert sigs[0] == sigs[1], f"{fn.__name__} not order-invariant"
+        ham = bin(sigs[0] ^ sigs[2]).count("1")
+        assert ham > 10, f"{fn.__name__}: unrelated docs hamming {ham}"
