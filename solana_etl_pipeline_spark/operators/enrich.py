@@ -87,6 +87,15 @@ def risk_scores_grouped_map(
             ]
         )
 
+    # NOTE (100 TB): Catalyst cannot prune columns INTO an opaque
+    # grouped-map function — every input column ships through the
+    # shuffle to the Python workers. At scale, pre-project the input
+    # to the consumed columns (key, holder_col, buy_type_col) before
+    # calling this. The operator does not force the projection itself:
+    # narrowing the scan schema also shrinks its split-packing size
+    # estimate, which at small scale collapses the scan to one task
+    # and serializes the upstream derivation (measured +2 s at sf0.1)
+    # — the caller, not this operator, owns that trade.
     return df.groupBy(key).applyInPandas(score, schema=RISK_GROUPED_SCHEMA)
 
 
