@@ -145,10 +145,13 @@ def _shingle_list(t: "str | None", shingle_len: int) -> list[str]:
     (:func:`shingle_sets_expr`): ``re.ASCII`` matches Java's ASCII-only
     ``\\s``; ``dict.fromkeys`` keeps ``array_distinct``'s
     first-occurrence order; null text renders the single degenerate
-    ``''`` shingle (greatest(NULL,1)=1 + concat_ws-over-NULL-slice)."""
+    ``''`` shingle (greatest(NULL,1)=1 + concat_ws-over-NULL-slice);
+    ``strip(' ')`` matches Spark's space-only ``trim`` (Python's
+    bare ``strip()`` also eats tabs/newlines — found by the Hypothesis
+    twin test: ``'\\t'`` must shingle to ``[' ']``, not ``['']``)."""
     if t is None:
         return [""]
-    words = _WS_ASCII.split(t.strip().lower())
+    words = _WS_ASCII.split(t.strip(" ").lower())
     n = len(words)
     if n <= shingle_len:
         return [" ".join(words)]
@@ -567,7 +570,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if t is None:
                 out.append(None)
                 continue
-            words = [w for w in _WS_ASCII.split(t.strip().lower()) if w]
+            # strip(' ') mirrors Spark's space-only trim; the w filter
+            # drops the degenerate '' tokens either way
+            words = [w for w in _WS_ASCII.split(t.strip(" ").lower()) if w]
             if not words:
                 out.append(None)
                 continue

@@ -174,3 +174,43 @@ def test_pack_sequences_conserves_docs_and_tokens(spark, texts):
     ).collect()
     assert sum(p.n_docs for p in packs) == len(texts)
     assert sum(p.sum_tokens for p in packs) == sum(r.n for r in toks)
+
+
+# ASCII-ish text with whitespace runs, tabs/newlines, repeats, and the
+# odd non-ASCII char — the input space where the vectorized shingler
+# and the expression twin could drift apart.
+_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.sampled_from(
+                list("abc XY1.\t\n  ") + ["é"]
+            ),
+            max_size=40,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_SETTINGS
+@given(texts=_texts)
+def test_shingle_twins_agree_on_arbitrary_text(spark, texts):
+    """The Arrow shingler must equal the pure-expression twin on
+    arbitrary text — null handling, whitespace runs, short docs,
+    repeated shingles, case, and non-ASCII letters included (Java \\s
+    and re.ASCII \\s are both ASCII-only, so 'é' is a word char in
+    both)."""
+    from solana_etl_pipeline_spark.llm.dedup import (
+        shingle_sets,
+        shingle_sets_expr,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    fast = {r._id: r._sh for r in shingle_sets(df, "doc_id", "text", 3).collect()}
+    ref = {r._id: r._sh for r in shingle_sets_expr(df, "doc_id", "text", 3).collect()}
+    assert fast == ref
