@@ -73,9 +73,10 @@ def dedup_cache_scope() -> Iterator[None]:
     Run ACTIONS inside the block: the returned DataFrames are lazy, so
     an action executed after exit recomputes the (now-released)
     intermediates — correct, just uncached. Scopes nest; each releases
-    only its own persists. ``unpersist(blocking=False)`` — release is
-    async, assert emptiness via ``spark.catalog.clearCache``-style
-    checks only after Spark has had a tick (tests use blocking)."""
+    only its own persists. Release is ``unpersist(blocking=True)`` so
+    that on exit the caches are deterministically gone (tests assert
+    emptiness immediately); the eviction of a few cached signature
+    tables is cheap relative to the jobs that built them."""
     held: list[DataFrame] = []
     _CACHE_SCOPES.append(held)
     try:

@@ -65,6 +65,21 @@ from solana_etl_pipeline_spark.sources import load_table
 _N_QUERY_VECS = 5  # similarity queries use vec_id < 5 as the query set
 
 
+def _probe_offset(df: DataFrame, id_col: str) -> int:
+    """Planted-probe id offset: ``max(id) + 1``, derived from the
+    corpus instead of hardcoded. A fixed literal (the old 100000)
+    silently collides with organic ids once the scale factor grows the
+    id space past it — duplicate ids fan out every join and the
+    emitted pair set diverges from the oracle — and even without exact
+    collision, an organic pair (a, a+LITERAL) would pass the
+    twin-verdict filter as a phantom. With ``max+1`` both failure
+    modes are impossible by construction at any scale: every planted
+    id exceeds every organic id. One-row scalar probe (the sanctioned
+    collect pattern, cf. llm/cluster.py's convergence sum); the
+    matching oracles derive the same offset via a scalar subquery."""
+    return df.agg(F.max(id_col)).collect()[0][0] + 1
+
+
 def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash exact dedup groups (hash side is Spark-only; the
     oracle groups by raw text — identical up to sha256 collisions)."""
@@ -194,7 +209,8 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SimHash is a bag-of-tokens signature — permuting a document's
     words leaves it bit-identical — so planting a word-reversed twin
-    (id + 100000) for each doc_id < 50 creates pairs a correct
+    (id + max(doc_id)+1, see ``_probe_offset``) for each doc_id < 50
+    creates pairs a correct
     implementation MUST emit at hamming 0, at any scale factor. The
     query runs the full pipeline (signature → 16-bit bands → bucket
     join → hamming verify) over the augmented corpus and emits the
@@ -203,8 +219,9 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can't express a Hamming-ball guarantee, but it can check
     the machinery finds what it provably must."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = _probe_offset(docs, "doc_id")
     probes = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + off).alias("doc_id"),
         F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias(
             "text"
         ),
@@ -212,7 +229,7 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_candidate_pairs(
         docs.unionByName(probes), "doc_id", "text", max_hamming=3
     )
-    return pairs.filter(F.col("id_b") == F.col("id_a") + 100000)
+    return pairs.filter(F.col("id_b") == F.col("id_a") + off)
 
 
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +250,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact-verified against a full
     all-pairs oracle. The corpus is augmented with copied vectors
-    (vec_id + 100000 for vec_id < 20, cosine exactly 1.0) so the
+    (vec_id + max(vec_id)+1 for vec_id < 20, cosine exactly 1.0) so the
     result is non-trivial on the otherwise-dissimilar random fixture;
     hyperplane-LSH buckets generate candidates (identical vectors
     collide deterministically — same signs, same bands) and exact
@@ -244,8 +261,9 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    off = _probe_offset(emb, "vec_id")
     planted = emb.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + off).alias("vec_id"), "embedding"
     )
     return embedding_near_dup_pairs(
         emb.unionByName(planted), threshold=0.9
@@ -256,12 +274,16 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 5 vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
-    return cosine_topk(emb, queries, k=5)
+    # max_queries=None: the query side is 5 rows BY CONSTRUCTION
+    # (vec_id < 5), so the guard's bounded count job would be a
+    # redundant scan on every invocation; the guard protects callers
+    # whose query side is data-dependent
+    return cosine_topk(emb, queries, k=5, max_queries=None)
 
 
 def llm_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH top-k planted-probe: each query vector gets an
-    exact twin (vec_id + 100000) planted in the corpus; a correct ANN
+    exact twin (vec_id + max(vec_id)+1) planted in the corpus; a correct ANN
     must return its own twin at rank 1 with cosine 1.0 — identical
     vectors share every LSH band deterministically, and no distinct
     fixture vector rounds to cosine 1.0. The query runs the full
@@ -273,13 +295,14 @@ def llm_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    off = _probe_offset(emb, "vec_id")
     queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
     twins = queries.select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + off).alias("vec_id"), "embedding"
     )
     topk = lsh_cosine_topk(emb.unionByName(twins), queries, k=5)
     return topk.filter(
-        F.col("neighbor_id") == F.col("query_id") + 100000
+        F.col("neighbor_id") == F.col("query_id") + off
     )
 
 
@@ -295,21 +318,22 @@ def llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    off = _probe_offset(emb, "vec_id")
     centroids = kmeans_fit(emb, k=8, dim=64, n_iters=1)
     queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
     twins = queries.select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + off).alias("vec_id"), "embedding"
     )
     topk = ivf_cosine_topk(emb.unionByName(twins), queries, centroids, k=5)
     return topk.filter(
-        F.col("neighbor_id") == F.col("query_id") + 100000
+        F.col("neighbor_id") == F.col("query_id") + off
     )
 
 
 def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup planted-probe over a persisted signature
     store: batch 0 indexes the first 100 fixture docs, then batch 1
-    arrives carrying exact copies (ids + 10000) of the first 20 and
+    arrives carrying exact copies (ids + max(doc_id)+1) of the first 20 and
     runs the full sign → store band-probe → signature verify → index
     step. The emitted rows are the copies' verdicts against the
     PREVIOUSLY indexed batch (scope='index', est_jaccard exactly 1.0
@@ -328,6 +352,7 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = _probe_offset(docs, "doc_id")
     store = tempfile.mkdtemp(prefix="spark_incr_dedup_")
     # the returned DataFrame reads the store lazily, so the dir must
     # outlive this call — reclaim it at interpreter exit instead of
@@ -338,13 +363,13 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, store, batch_id=0, num_hashes=32, bands=8
     )
     arrivals = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (F.col("doc_id") + off).alias("doc_id"), "text"
     )
     verdicts = incremental_near_dup_batch(
         arrivals, store, batch_id=1, num_hashes=32, bands=8
     )
     return verdicts.filter(
-        F.col("new_id") == F.col("dup_of") + 10000
+        F.col("new_id") == F.col("dup_of") + off
     ).select("new_id", "dup_of", "est_jaccard", "scope")
 
 
@@ -366,12 +391,25 @@ def llm_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The oracle pins err=0, which is only sound while the tracked
     # budget covers the whole vocabulary — so DERIVE the budget from
     # the corpus instead of assuming it: one distinct-count job, then
-    # round up. At a scale factor whose vocabulary outgrew any fixed
-    # constant, the sketch stays exact and the pin stays valid; the
-    # bounded-state under-pressure behavior (tracked < vocab) is
-    # separately pinned by tests/test_sketches.py dominance tests.
+    # round up (bounded by Spark's hard cap below).
     n_vocab = toks.select("term").distinct().count()
-    tracked = max(65536, 1 << (n_vocab - 1).bit_length())
+    # Spark's ApproxTopK hard-caps maxItemsTracked at 1,000,000
+    # (catalyst MAX_ITEMS_TRACKED_LIMIT). Beyond that vocabulary the
+    # sketch is genuinely approximate and the err=0 pin is
+    # unsatisfiable BY DESIGN — fail loudly with the precondition
+    # instead of letting an oracle mismatch read as an engine bug
+    # (under-pressure sketch behavior is pinned separately by
+    # tests/test_sketches.py).
+    spark_max_tracked = 1_000_000
+    if n_vocab > spark_max_tracked:
+        raise ValueError(
+            f"corpus vocabulary ({n_vocab} terms) exceeds ApproxTopK's "
+            f"maxItemsTracked cap ({spark_max_tracked}); the exact-pin "
+            f"form of this query only holds below the cap"
+        )
+    tracked = min(
+        spark_max_tracked, max(65536, 1 << (n_vocab - 1).bit_length())
+    )
     # sketch k=20 ≫ the joined top-5: an exact count tie at the 5th
     # place must not let the sketch's unspecified tie order drop the
     # term we join on
@@ -428,7 +466,17 @@ _JACCARD_PAIRS_CTES = """
       SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
       FROM words a
       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      UNION
+      -- docs shorter than the shingle length get ONE whole-text
+      -- shingle (the engine's n <= shingle_len branch) — without this
+      -- branch the positional 3-gram join gives short docs no shingle
+      -- set at all and identical short docs would never pair
+      SELECT doc_id,
+             array_to_string(string_split(lower(trim(text)), ' '), ' ')
+               AS sh
+      FROM documents
+      WHERE len(string_split(lower(trim(text)), ' ')) < 3),
     sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
     inter AS (
@@ -621,7 +669,9 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_simhash_near_dup": QuerySpec(
         spark=llm_simhash_near_dup,
         oracle="""
-            SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+            SELECT doc_id AS id_a,
+                   doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
+                   0 AS hamming
             FROM documents WHERE doc_id < 50
         """,
         doc="SimHash banded candidates rediscover order-permuted twins",
@@ -640,7 +690,14 @@ QUERIES: dict[str, QuerySpec] = {
               SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
               FROM words a
               JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-              JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+              JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              UNION
+              -- short-doc whole-text shingle (see _JACCARD_PAIRS_CTES)
+              SELECT doc_id,
+                     array_to_string(
+                       string_split(lower(trim(text)), ' '), ' ') AS sh
+              FROM documents
+              WHERE len(string_split(lower(trim(text)), ' ')) < 3),
             sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
             pairs AS (
@@ -671,7 +728,8 @@ QUERIES: dict[str, QuerySpec] = {
             WITH aug AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               UNION ALL
-              SELECT vec_id + 100000, embedding::DOUBLE[]
+              SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+                     embedding::DOUBLE[]
               FROM embeddings WHERE vec_id < 20)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_inner_product(a.v, b.v)
@@ -716,7 +774,9 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_lsh_cosine_topk": QuerySpec(
         spark=llm_lsh_cosine_topk,
         oracle="""
-            SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+            SELECT vec_id AS query_id,
+                   vec_id + (SELECT max(vec_id) + 1 FROM embeddings)
+                     AS neighbor_id,
                    1 AS rank, CAST(1.0 AS DOUBLE) AS cosine
             FROM embeddings WHERE vec_id < 5
         """,
@@ -726,7 +786,9 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_ivf_cosine_topk": QuerySpec(
         spark=llm_ivf_cosine_topk,
         oracle="""
-            SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+            SELECT vec_id AS query_id,
+                   vec_id + (SELECT max(vec_id) + 1 FROM embeddings)
+                     AS neighbor_id,
                    1 AS rank, CAST(1.0 AS DOUBLE) AS cosine
             FROM embeddings WHERE vec_id < 5
         """,
@@ -736,7 +798,9 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_incremental_near_dup": QuerySpec(
         spark=llm_incremental_near_dup,
         oracle="""
-            SELECT doc_id + 10000 AS new_id, doc_id AS dup_of,
+            SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+                     AS new_id,
+                   doc_id AS dup_of,
                    CAST(1.0 AS DOUBLE) AS est_jaccard,
                    'index' AS scope
             FROM documents WHERE doc_id < 20

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from tests.oracle_utils import assert_matches_oracle
 from solana_etl_pipeline_spark.llm.dedup import (
     dedup_cache_scope,
     embedding_near_dup_pairs,
@@ -361,3 +362,60 @@ def test_simhash_arrow_and_agg_twins_structural_parity(spark):
         assert sigs[0] == sigs[1], f"{fn.__name__} not order-invariant"
         ham = bin(sigs[0] ^ sigs[2]).count("1")
         assert ham > 10, f"{fn.__name__}: unrelated docs hamming {ham}"
+
+
+# ------------------- near-dup oracles on a crafted adversarial corpus
+
+
+def test_near_dup_oracles_hold_on_short_docs_and_adjacent_ids(spark, tmp_path):
+    """The fixture's docs are all >=10 words with a compact id space —
+    two latent divergences hid there: (a) the oracle's positional
+    3-gram CTE gave <3-word docs NO shingle set while the engine gives
+    them one whole-text shingle, and (b) planted-probe offsets were a
+    fixed literal that organic ids could collide with. Re-run three
+    oracle-paired queries over a crafted corpus (identical 2-word
+    twins, organic long near-dups, adjacent ids) through the SAME
+    QuerySpec oracle SQL the driver uses."""
+    import duckdb
+
+    from solana_etl_pipeline_spark.queries import QUERIES
+
+    long_a = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps in the warm afternoon sun near the old stone wall"
+    )
+    docs = [
+        (0, "alpha beta"),                       # short twin 1
+        (1, "alpha beta"),                       # short twin 2 (J=1.0)
+        (2, "gamma delta"),                      # short non-dup
+        (3, long_a),
+        (4, long_a.replace("lazy", "sleepy")),   # organic near-dup of 3
+        (5, "completely unrelated terms about engines and shuffles "
+            "running vectorized plans on large clusters with columns"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="crafted",
+             n_chars=len(t)) for i, t in docs]
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "llm_minhash_near_dup",
+        "llm_ngram_jaccard",
+        "llm_simhash_near_dup",
+    ):
+        spec = QUERIES[name]
+        assert_matches_oracle(
+            spec.spark(spark, sf_dir), con, spec.oracle, name=name
+        )
+    # sanity on the interesting rows: the short twins DID pair
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["llm_minhash_near_dup"].spark(spark, sf_dir).collect()
+    }
+    assert (0, 1) in pairs and (3, 4) in pairs
