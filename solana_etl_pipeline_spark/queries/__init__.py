@@ -87,6 +87,8 @@ _PRIORITY = (
     "llm_lsh_cosine_topk",
     "llm_ivf_cosine_topk",
     "llm_incremental_near_dup",
+    # registered in r5: streaming session_window state (new coverage)
+    "streaming_session_windows",
     # --- re-witness: r3 greens (oldest rows), r3 order ---
     "risk_scores_topk",
     "risk_banding_report",

@@ -32,6 +32,7 @@ from solana_etl_pipeline_spark.streaming.ingest import (
     deduplicated,
     landing_stream,
     run_available_now,
+    session_window_counts,
     sliding_window_counts,
 )
 
@@ -130,7 +131,57 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 session variant: per-user activity bursts separated by a
+    30-minute gap, computed by STREAMING ``session_window`` state (the
+    §2.9 surface the batch twin ``window_sessionize_batch`` cannot
+    witness). Single availableNow batch + complete mode ⇒ the result
+    equals the batch gaps-and-islands construction, so the same
+    classical-SQL oracle applies (minus the value sum —
+    ``session_window_counts`` is the count-only production helper)."""
+    ev = load_table(spark, sf_dir, "events")
+    work = _stream_workdir("spark_stream_sess_")
+    landing = f"{work}/landing"
+    ev.write.mode("overwrite").json(landing)
+
+    stream = landing_stream(spark, landing, EVENTS, max_files_per_trigger=None)
+    sess = session_window_counts(
+        stream, key="user_id", ts_col="ts", gap="30 minutes"
+    )
+    with _state_partitions(spark, 8):
+        table = run_available_now(
+            sess, checkpoint_dir=f"{work}/checkpoint", output_mode="complete"
+        )
+    return spark.table(table)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_session_windows": QuerySpec(
+        spark=streaming_session_windows,
+        oracle="""
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            islands AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked)
+            SELECT user_id,
+                   strftime(CAST(min(ts) AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n_events
+            FROM islands GROUP BY user_id, session_id
+        """,
+        doc="Streaming session_window state vs gaps-and-islands oracle "
+        "(single availableNow batch = batch parity)",
+        tags=("T2", "W", "§2.9"),
+    ),
     "streaming_sliding_windows": QuerySpec(
         spark=streaming_sliding_windows,
         oracle="""
