@@ -138,7 +138,11 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     witness). Single availableNow batch + complete mode ⇒ the result
     equals the batch gaps-and-islands construction, so the same
     classical-SQL oracle applies (minus the value sum —
-    ``session_window_counts`` is the count-only production helper)."""
+    ``session_window_counts`` is the count-only production helper).
+    Complete mode is the oracle-comparability choice, not the
+    production shape: a continuous deployment adds ``withWatermark``
+    + update/append so closed sessions emit and their state evicts
+    (exercised in tests/test_streaming.py)."""
     ev = load_table(spark, sf_dir, "events")
     work = _stream_workdir("spark_stream_sess_")
     landing = f"{work}/landing"
