@@ -50,6 +50,50 @@ def pii_counts(text: Column) -> dict[str, Column]:
     }
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    standard pre-embedding / long-context chunking pass (stride <
+    chunk_size gives ``chunk_size - stride`` tokens of overlap so no
+    span falls across a hard boundary).
+
+    One generate-explode per document (start positions ``1, 1+stride,
+    ...``), then pure slice/concat expressions: map-side only, no
+    shuffle, output rows ≈ ``n_tokens / stride`` per document. Returns
+    ``(id, chunk_id, chunk_tokens, chunk_text)``.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    words = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    # Materialize the token array before the generator references it:
+    # sibling columns of an explode are re-evaluated per output row,
+    # so an inlined split would re-tokenize once per chunk.
+    base = df.select(F.col(id_col), words.alias("_w"))
+    sliced = base.select(
+        F.col(id_col),
+        "_w",
+        F.explode(
+            F.sequence(F.lit(1), F.size("_w"), F.lit(stride))
+        ).alias("_start"),
+    )
+    chunk = F.slice(F.col("_w"), F.col("_start"), chunk_size)
+    return sliced.select(
+        F.col(id_col),
+        ((F.col("_start") - 1) / F.lit(stride)).cast("bigint").alias(
+            "chunk_id"
+        ),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

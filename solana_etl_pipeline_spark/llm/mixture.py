@@ -1,0 +1,103 @@
+"""Domain-mixture sampling: temperature-scaled per-source token
+budgets with deterministic document selection.
+
+Training corpora are assembled from many sources (web crawl, code,
+books, ...) whose raw sizes differ by orders of magnitude; training
+recipes re-weight them (the "sampling temperature" of multilingual /
+multi-domain training — e.g. the temperature-based sampling in the
+mT5/PaLM data cards): source ``s`` gets a token target proportional to
+``tokens_s ** tau`` with ``tau < 1`` up-weighting small sources. This
+module computes that plan and applies it with a deterministic,
+engine-portable hash filter — no RNG, so the sample is reproducible
+from the ids alone and any worker can recompute membership.
+
+Shape at scale:
+
+- The plan is one partial-aggregated ``groupBy(source)`` over the
+  corpus (token sums), then driver-free arithmetic on the handful of
+  per-source rows.
+- Selection joins the per-source rate back by ``broadcast`` (sources
+  number in the tens, not millions) and keeps a document iff
+  ``scramble(id) * 1e6 < rate_micro * P`` — pure BIGINT compare with
+  the same mod-prime scramble as shard export (``llm/export.py``), so
+  the kept set is identical in any engine.
+- The only float math (sqrt / divide) happens on per-source
+  aggregates and is snapped to a 1e-6 grain (``rate_micro``) before
+  it touches the integer selection predicate, keeping the
+  cross-engine float surface within the repo's rounding convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.llm.export import SHARD_P, shard_scramble
+
+_MICRO = 1_000_000
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    token_budget: int = 100_000,
+) -> DataFrame:
+    """Per-source sampling plan at temperature 0.5: ``(source, n_docs,
+    tokens, rate_micro)``.
+
+    ``weight_s = sqrt(tokens_s)``; source targets split
+    ``token_budget`` ∝ weight; ``rate_micro`` is the per-source keep
+    rate in millionths, clamped to [0, 1e6]. Temperature is fixed at
+    0.5 because ``sqrt`` is IEEE-correctly-rounded in every engine —
+    an arbitrary ``pow(x, tau)`` goes through libm and is not
+    bit-portable (same reasoning as the tfidf ``ln`` note in
+    ``llm/ranking.py``).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    per_source = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words)).cast("bigint").alias("tokens"),
+    )
+    # Global window over the per-source aggregate rows (tens of rows —
+    # the single-partition funnel is over the plan, never the corpus).
+    weight = F.sqrt(F.col("tokens").cast("double"))
+    total_weight = F.round(F.sum(weight).over(Window.partitionBy()), 6)
+    target = F.lit(float(token_budget)) * weight / total_weight
+    rate = F.least(F.lit(1.0), target / F.col("tokens"))
+    rate_micro = F.floor(rate * F.lit(float(_MICRO)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return per_source.select(
+        "source", "n_docs", "tokens", rate_micro.alias("rate_micro")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    token_budget: int = 100_000,
+) -> DataFrame:
+    """Rows of ``df`` kept by the temperature-0.5 mixture plan.
+
+    Membership is ``scramble(id) * 1e6 < rate_micro * P`` — the
+    mod-prime scramble spreads ids uniformly over [0, P), so each
+    source keeps ≈ ``rate_micro/1e6`` of its documents, deterministic
+    in the ids and independent of partitioning.
+    """
+    plan = mixture_plan(df, source_col, text_col, token_budget).select(
+        F.col("source").alias("_mix_source"), "rate_micro"
+    )
+    keep = (
+        shard_scramble(F.col(id_col)) * F.lit(_MICRO)
+        < F.col("rate_micro") * F.lit(SHARD_P)
+    )
+    return (
+        df.join(
+            F.broadcast(plan), F.col(source_col) == F.col("_mix_source")
+        )
+        .filter(keep)
+        .drop("_mix_source", "rate_micro")
+    )

@@ -13,6 +13,7 @@ from solana_etl_pipeline_spark.queries import aggs as _aggs
 from solana_etl_pipeline_spark.queries import curation as _curation
 from solana_etl_pipeline_spark.queries import export as _export
 from solana_etl_pipeline_spark.queries import functions_zoo as _functions_zoo
+from solana_etl_pipeline_spark.queries import hygiene as _hygiene
 from solana_etl_pipeline_spark.queries import io as _io
 from solana_etl_pipeline_spark.queries import joins as _joins
 from solana_etl_pipeline_spark.queries import llm as _llm
@@ -51,6 +52,7 @@ for _mod in (
     _ranking,
     _curation,
     _export,
+    _hygiene,
 ):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard
@@ -66,11 +68,12 @@ for _mod in (
 # CORRECTNESS_r04). Round 5 front-loads the last queries with no
 # driver CORRECTNESS row: the three registered after the r4 prefix
 # was packed (llm_export_shards, llm_token_heavy_hitters,
-# sink_zorder_roundtrip) and the seven near-dup/ANN queries that
+# sink_zorder_roundtrip), the seven near-dup/ANN queries that
 # gained self-banded oracles this round (previously rows-only by
-# contract). The remaining 40 slots re-witness r3 greens — the
-# longest-unwitnessed rows — so every query's most recent green row
-# is at most two rounds old.
+# contract), and the five queries newly registered in r5 (session
+# windows + the corpus-hygiene family). The remaining slots
+# re-witness r3 greens — the longest-unwitnessed rows — so every
+# query's most recent green row is at most two rounds old.
 _PRIORITY = (
     # --- round-5 prefix ---
     # oracle-paired but never driver-witnessed (registered post-r4-
@@ -89,6 +92,11 @@ _PRIORITY = (
     "llm_incremental_near_dup",
     # registered in r5: streaming session_window state (new coverage)
     "streaming_session_windows",
+    # registered in r5: corpus-hygiene family (queries/hygiene.py)
+    "llm_decontaminate",
+    "llm_repetition_rules",
+    "llm_mixture_sample",
+    "llm_chunk_documents",
     # --- re-witness: r3 greens (oldest rows), r3 order ---
     "risk_scores_topk",
     "risk_banding_report",
@@ -125,13 +133,14 @@ _PRIORITY = (
     "streaming_sliding_windows",
     "sink_parquet_partitioned",
     "sink_csv_roundtrip",
+    # --- position 51+: r3 greens not re-witnessed this round (the
+    # hygiene insertions displaced the five below — each holds an r3
+    # driver-green row), then the r4-green prefix in its r4 order ---
     "sink_json_roundtrip",
     "enrich_risk_grouped_map",
     "enrich_http_lookup",
     "udtf_word_chunks",
     "pivot_event_values",
-    # --- position 51+: r3 greens not re-witnessed this round, then
-    # the r4-green prefix in its r4 order ---
     "llm_exact_dedup",
     "llm_text_stats",
     "llm_token_count",

@@ -1,0 +1,244 @@
+"""Corpus-hygiene queries: eval-set decontamination, repetition
+rules, domain-mixture sampling, and document chunking (SURVEY §2.11
+LLM-data surface; no reference counterpart).
+
+Driver conventions (see ``queries/base.py``): every computed column is
+aliased identically on both sides, floats are rounded to 1e-6, counts
+are BIGINT on both sides. The eval split (``doc_id % 41 == 3``) and
+the fixture's planted near-duplicate documents give the
+decontamination flag real positives without any augmentation — the
+corpus genuinely contains train docs that duplicate eval docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.llm.curate import chunk_documents
+from solana_etl_pipeline_spark.llm.decontaminate import decontaminate
+from solana_etl_pipeline_spark.llm.mixture import mixture_plan, mixture_sample
+from solana_etl_pipeline_spark.llm.textstats import repetition_report
+from solana_etl_pipeline_spark.queries.base import QuerySpec
+from solana_etl_pipeline_spark.sources import load_table
+
+# Eval split: ~2.4% of doc ids. 41 is coprime with the fixture's dup
+# plant stride so the eval set contains members of cross-split
+# duplicate clusters (real contamination to find).
+EVAL_MOD, EVAL_REM = 41, 3
+DECON_N = 5
+DECON_THRESHOLD = 0.2
+
+# Repetition flags sit at the fixture's p90/p99 so a realistic
+# minority of documents trips each rule.
+TOP_BIGRAM_MAX = 0.09
+DUP_TRIGRAM_MAX = 0.02
+
+MIXTURE_BUDGET = 10_000  # tokens; ~0.37 keep-rate per source at sf0.01
+
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs whose 5-gram overlap with the held-out eval
+    split exceeds 20% (GPT-3/PaLM-style n-gram decontamination)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(EVAL_MOD)) == EVAL_REM
+    return decontaminate(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        n=DECON_N,
+        threshold=DECON_THRESHOLD,
+    )
+
+
+def llm_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition report + `repetitive` flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_report(docs).withColumn(
+        "repetitive",
+        (F.col("top_bigram_frac") >= TOP_BIGRAM_MAX)
+        | (F.col("dup_trigram_frac") >= DUP_TRIGRAM_MAX),
+    )
+
+
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 mixture plan + realized deterministic sample,
+    summarized per source.
+
+    The query recomputes the plan inside :func:`mixture_sample` (one
+    extra corpus aggregation) so the audit row shows plan and outcome
+    side by side; production callers use :func:`mixture_sample` alone.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, token_budget=MIXTURE_BUDGET)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    kept = (
+        mixture_sample(docs, token_budget=MIXTURE_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.size(words)).cast("bigint").alias("tokens_kept"),
+        )
+    )
+    return plan.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "tokens",
+        "rate_micro",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+    )
+
+
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token / stride-24 chunks, full text compared."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
+# Shared oracle CTE: whitespace-run tokenization matches Spark's \s+
+# on the single-spaced fixture corpus (COVERAGE.md convention 1).
+_WORDS_SQL = """
+  w AS (
+    SELECT doc_id, source,
+           string_split(lower(trim(coalesce(text, ''))), ' ') AS ws
+    FROM documents)
+"""
+
+QUERIES: dict[str, QuerySpec] = {
+    "llm_decontaminate": QuerySpec(
+        spark=llm_decontaminate,
+        oracle=f"""
+            WITH {_WORDS_SQL},
+            starts AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws) - {DECON_N - 1}, 1)
+                                     + 1)) AS i
+              FROM w),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(
+                       ws[CAST(i AS INT):CAST(i AS INT) + {DECON_N - 1}],
+                       ' ') AS g
+              FROM starts),
+            ev AS (
+              SELECT DISTINCT g FROM grams
+              WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+            tr AS (
+              SELECT * FROM grams
+              WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}),
+            per AS (
+              SELECT tr.doc_id, count(*) AS n_grams,
+                     count(ev.g) AS n_hit
+              FROM tr LEFT JOIN ev ON ev.g = tr.g
+              GROUP BY 1)
+            SELECT doc_id, n_grams, n_hit,
+                   round(n_hit * 1.0 / n_grams, 6) AS contamination,
+                   round(n_hit * 1.0 / n_grams, 6) >= {DECON_THRESHOLD}
+                     AS contaminated
+            FROM per
+        """,
+        doc="Eval-set 5-gram decontamination audit (hashed-gram probe)",
+        tags=("§2.11",),
+    ),
+    "llm_repetition_rules": QuerySpec(
+        spark=llm_repetition_rules,
+        oracle=f"""
+            WITH {_WORDS_SQL},
+            g AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(len(ws) - 1, 1) + 1),
+                       i -> array_to_string(
+                              ws[CAST(i AS INT):CAST(i AS INT) + 1], ' '))
+                       AS bi,
+                     list_transform(
+                       range(1, greatest(len(ws) - 2, 1) + 1),
+                       i -> array_to_string(
+                              ws[CAST(i AS INT):CAST(i AS INT) + 2], ' '))
+                       AS tri
+              FROM w),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(bi) AS BIGINT) AS n_bigrams,
+                     CAST(list_max(list_transform(list_distinct(bi),
+                            x -> len(list_filter(bi, y -> y = x))))
+                          AS BIGINT) AS top_bigram_count,
+                     CAST(len(tri) AS BIGINT) AS n_tri,
+                     CAST(len(list_distinct(tri)) AS BIGINT) AS nd_tri
+              FROM g)
+            SELECT doc_id, n_bigrams, top_bigram_count,
+                   round(top_bigram_count * 1.0 / n_bigrams, 6)
+                     AS top_bigram_frac,
+                   round((n_tri - nd_tri) * 1.0 / n_tri, 6)
+                     AS dup_trigram_frac,
+                   (round(top_bigram_count * 1.0 / n_bigrams, 6)
+                      >= {TOP_BIGRAM_MAX}
+                    OR round((n_tri - nd_tri) * 1.0 / n_tri, 6)
+                      >= {DUP_TRIGRAM_MAX}) AS repetitive
+            FROM m
+        """,
+        doc="Gopher repetition rules: top-2-gram + duplicate-3-gram",
+        tags=("§2.11",),
+    ),
+    "llm_mixture_sample": QuerySpec(
+        spark=llm_mixture_sample,
+        oracle=f"""
+            WITH {_WORDS_SQL},
+            toks AS (
+              SELECT doc_id, source, len(ws) AS doc_tokens FROM w),
+            per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(doc_tokens) AS BIGINT) AS tokens
+              FROM toks GROUP BY 1),
+            plan AS (
+              SELECT source, n_docs, tokens,
+                     CAST(floor(
+                       least(1.0,
+                             ({MIXTURE_BUDGET} * sqrt(CAST(tokens AS DOUBLE))
+                              / round(sum(sqrt(CAST(tokens AS DOUBLE)))
+                                        OVER (), 6))
+                             / tokens)
+                       * 1000000.0 + 0.5) AS BIGINT) AS rate_micro
+              FROM per),
+            kept AS (
+              SELECT t.source, count(*) AS n_kept,
+                     CAST(sum(t.doc_tokens) AS BIGINT) AS tokens_kept
+              FROM toks t JOIN plan p ON p.source = t.source
+              WHERE ((t.doc_id % 1000000007) * (2654435761 % 1000000007))
+                      % 1000000007 * 1000000
+                    < p.rate_micro * 1000000007
+              GROUP BY 1)
+            SELECT p.source, p.n_docs, p.tokens, p.rate_micro,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   coalesce(k.tokens_kept, 0) AS tokens_kept
+            FROM plan p LEFT JOIN kept k ON k.source = p.source
+        """,
+        doc="Temperature-0.5 domain mixture: plan + deterministic sample",
+        tags=("§2.11",),
+    ),
+    "llm_chunk_documents": QuerySpec(
+        spark=llm_chunk_documents,
+        oracle=f"""
+            WITH {_WORDS_SQL},
+            starts AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, len(ws) + 1, {CHUNK_STRIDE})) AS i
+              FROM w)
+            SELECT doc_id,
+                   CAST((i - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+                   CAST(len(ws[CAST(i AS INT):
+                              CAST(i AS INT) + {CHUNK_SIZE - 1}])
+                        AS BIGINT) AS chunk_tokens,
+                   array_to_string(
+                     ws[CAST(i AS INT):CAST(i AS INT) + {CHUNK_SIZE - 1}],
+                     ' ') AS chunk_text
+            FROM starts
+        """,
+        doc="Overlapping 32/24 token-window chunking (full-text parity)",
+        tags=("§2.11",),
+    ),
+}

@@ -1,0 +1,204 @@
+"""Unit tests for corpus hygiene: eval-set decontamination,
+repetition rules, domain-mixture sampling, and chunking — crafted
+inputs with hand-computed expectations (the registry queries are
+additionally oracle-checked by the driver-mirror parity gate).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.llm.curate import chunk_documents
+from solana_etl_pipeline_spark.llm.decontaminate import decontaminate
+from solana_etl_pipeline_spark.llm.mixture import mixture_plan, mixture_sample
+from solana_etl_pipeline_spark.llm.textstats import (
+    repetition_report,
+    word_ngrams,
+)
+
+
+# --- word_ngrams ---------------------------------------------------------
+
+
+def test_word_ngrams_ordered_with_duplicates(spark):
+    df = spark.createDataFrame([Row(text="a b a b")])
+    [row] = df.select(word_ngrams(F.col("text"), 2).alias("g")).collect()
+    assert row.g == ["a b", "b a", "a b"]
+
+
+def test_word_ngrams_short_doc_yields_whole_text(spark):
+    df = spark.createDataFrame([Row(text="only two")])
+    [row] = df.select(word_ngrams(F.col("text"), 5).alias("g")).collect()
+    assert row.g == ["only two"]
+
+
+# --- decontamination -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def decon_frames(spark):
+    eval_df = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma delta epsilon zeta")]
+    )
+    train = spark.createDataFrame(
+        [
+            # verbatim copy of the eval doc: fully contaminated
+            Row(doc_id=0, text="alpha beta gamma delta epsilon zeta"),
+            # shares one 3-gram window out of its four
+            Row(doc_id=1, text="alpha beta gamma nine ten eleven"),
+            # disjoint vocabulary: clean
+            Row(doc_id=2, text="uno dos tres cuatro cinco seis"),
+        ]
+    )
+    return train, eval_df
+
+
+def test_decontaminate_flags_verbatim_copy(spark, decon_frames):
+    train, eval_df = decon_frames
+    out = {
+        r.doc_id: r
+        for r in decontaminate(
+            train, eval_df, n=3, threshold=0.5
+        ).collect()
+    }
+    assert out[0].n_grams == 4 and out[0].n_hit == 4
+    assert out[0].contamination == 1.0 and out[0].contaminated
+    assert out[1].n_grams == 4 and out[1].n_hit == 1
+    assert out[1].contamination == 0.25 and not out[1].contaminated
+    assert out[2].n_hit == 0 and not out[2].contaminated
+
+
+def test_decontaminate_shuffle_path_matches_broadcast(spark, decon_frames):
+    train, eval_df = decon_frames
+    a = sorted(
+        map(tuple, decontaminate(train, eval_df, n=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            decontaminate(
+                train, eval_df, n=3, broadcast_eval=False
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+# --- repetition rules ----------------------------------------------------
+
+
+def test_repetition_report_hand_computed(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b a b a b")])
+    [row] = repetition_report(df).collect()
+    # bigrams: [a b, b a, a b, b a, a b] -> top 'a b' x3 of 5
+    assert row.n_bigrams == 5 and row.top_bigram_count == 3
+    assert row.top_bigram_frac == 0.6
+    # trigrams: [a b a, b a b, a b a, b a b] -> 2 of 4 duplicated
+    assert row.dup_trigram_frac == 0.5
+
+
+def test_repetition_report_unique_text_scores_zero_dup(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="one two three four five")]
+    )
+    [row] = repetition_report(df).collect()
+    assert row.top_bigram_count == 1
+    assert row.dup_trigram_frac == 0.0
+
+
+# --- chunking ------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([Row(doc_id=7, text=" ".join(words))])
+    rows = sorted(
+        chunk_documents(df, chunk_size=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts 1, 4, 7, 10 -> lengths 4, 4, 4, 1
+    assert [r.chunk_tokens for r in rows] == [4, 4, 4, 1]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+    assert rows[3].chunk_text == "w9"
+    # every token appears in at least one chunk
+    covered = set(" ".join(r.chunk_text for r in rows).split())
+    assert covered == set(words)
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=-1)
+
+
+# --- mixture sampling ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mixture_docs(spark):
+    # Two sources, 9:1 token skew. Temperature 0.5 should up-weight
+    # the small source relative to proportional sampling.
+    rows = [
+        Row(doc_id=i, source="big", text="tok " * 20) for i in range(90)
+    ] + [
+        Row(doc_id=1000 + i, source="small", text="tok " * 20)
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_mixture_plan_upweights_small_source(spark, mixture_docs):
+    plan = {
+        r.source: r for r in mixture_plan(mixture_docs, token_budget=400).collect()
+    }
+    assert plan["big"].tokens == 90 * 20
+    # sqrt weighting: small source keep-rate strictly higher
+    assert plan["small"].rate_micro > plan["big"].rate_micro
+    assert 0 < plan["big"].rate_micro <= 1_000_000
+
+
+def test_mixture_sample_is_deterministic_and_partition_invariant(
+    spark, mixture_docs
+):
+    kept_a = sorted(
+        r.doc_id
+        for r in mixture_sample(mixture_docs, token_budget=400).collect()
+    )
+    kept_b = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            mixture_docs.repartition(7), token_budget=400
+        ).collect()
+    )
+    assert kept_a == kept_b and kept_a  # non-empty, reproducible
+
+
+def test_mixture_sample_respects_rates(spark, mixture_docs):
+    plan = {
+        r.source: r.rate_micro
+        for r in mixture_plan(mixture_docs, token_budget=400).collect()
+    }
+    kept = (
+        mixture_sample(mixture_docs, token_budget=400)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    totals = {"big": 90, "small": 10}
+    for row in kept:
+        rate = plan[row.source] / 1e6
+        # hash thinning has binomial noise; bound it loosely
+        assert row["count"] <= totals[row.source]
+        assert abs(row["count"] / totals[row.source] - rate) < 0.35
+
+
+def test_mixture_sample_keeps_everything_under_large_budget(
+    spark, mixture_docs
+):
+    kept = mixture_sample(mixture_docs, token_budget=10**9)
+    assert kept.count() == mixture_docs.count()
