@@ -97,6 +97,8 @@ _PRIORITY = (
     "llm_repetition_rules",
     "llm_mixture_sample",
     "llm_chunk_documents",
+    # registered in r5: stream-stream interval join (§2.9)
+    "streaming_interval_join",
     # --- re-witness: r3 greens (oldest rows), r3 order ---
     "risk_scores_topk",
     "risk_banding_report",
@@ -132,10 +134,10 @@ _PRIORITY = (
     "streaming_hourly_rollup",
     "streaming_sliding_windows",
     "sink_parquet_partitioned",
-    "sink_csv_roundtrip",
     # --- position 51+: r3 greens not re-witnessed this round (the
-    # hygiene insertions displaced the five below — each holds an r3
+    # r5 insertions displaced the six below — each holds an r3
     # driver-green row), then the r4-green prefix in its r4 order ---
+    "sink_csv_roundtrip",
     "sink_json_roundtrip",
     "enrich_risk_grouped_map",
     "enrich_http_lookup",

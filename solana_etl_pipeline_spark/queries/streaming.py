@@ -34,6 +34,7 @@ from solana_etl_pipeline_spark.streaming.ingest import (
     run_available_now,
     session_window_counts,
     sliding_window_counts,
+    stream_interval_join,
 )
 
 
@@ -159,7 +160,81 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an interval bound: purchases
+    within one hour of the same user's signup. Two independent
+    ``readStream`` sources over one landing dir (filtered to signup /
+    purchase), watermarked on both sides, time-bounded both ways —
+    the state-evictable production shape (see
+    :func:`stream_interval_join`). One availableNow batch in append
+    mode ⇒ result equals the batch twin, so a plain SQL interval join
+    is the oracle. Output avoids raw timestamps (ids +
+    ``millis_after``) so the hash compare is timezone-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    work = _stream_workdir("spark_stream_ij_")
+    landing = f"{work}/landing"
+    ev.write.mode("overwrite").json(landing)
+
+    signups = (
+        landing_stream(spark, landing, EVENTS, max_files_per_trigger=None)
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("event_id").alias("signup_id"), "ts")
+    )
+    purchases = (
+        landing_stream(spark, landing, EVENTS, max_files_per_trigger=None)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("_r_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        signups,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        within="1 hour",
+        watermark="2 hours",
+    ).select(
+        "user_id",
+        "signup_id",
+        "purchase_id",
+        # integer milliseconds: the JSON landing serializes
+        # timestamps at millisecond precision (Spark's default
+        # timestampFormat), and DuckDB's epoch_ms() applies the same
+        # floor to the raw micros, so both sides subtract identically
+        # truncated values (per-side SECOND truncation via
+        # unix_timestamp would disagree with exact subtraction)
+        (F.unix_millis("p_ts") - F.unix_millis("ts")).alias("millis_after"),
+    )
+    with _state_partitions(spark, 8):
+        table = run_available_now(
+            joined,
+            checkpoint_dir=f"{work}/checkpoint",
+            output_mode="append",
+        )
+    return spark.table(table)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_interval_join": QuerySpec(
+        spark=streaming_interval_join,
+        oracle="""
+            SELECT s.user_id, s.event_id AS signup_id,
+                   p.event_id AS purchase_id,
+                   epoch_ms(p.ts) - epoch_ms(s.ts) AS millis_after
+            FROM events s
+            JOIN events p ON p.user_id = s.user_id
+             AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+            WHERE s.event_type = 'signup'
+              AND p.event_type = 'purchase'
+        """,
+        doc="Stream-stream interval join (watermarked both sides, "
+        "state-evictable) vs batch SQL twin",
+        tags=("T2", "J", "§2.9"),
+    ),
     "streaming_session_windows": QuerySpec(
         spark=streaming_session_windows,
         oracle="""

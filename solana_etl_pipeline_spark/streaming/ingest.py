@@ -123,6 +123,42 @@ def session_window_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner equi-join with a time-interval bound:
+    right rows within ``[left_ts, left_ts + within]`` of a matching
+    left row.
+
+    Both sides carry watermarks and the join condition bounds
+    ``right_ts`` relative to ``left_ts`` from BOTH directions — that
+    pair is what lets Structured Streaming evict buffered state: each
+    side's buffer holds only rows younger than
+    ``watermark + within``, so state is bounded regardless of stream
+    length. Without the time bound (or the watermarks) an inner
+    stream-stream join must buffer both streams forever.
+
+    The caller renames columns before joining (both sides usually
+    originate from the same schema); ``key`` must exist on the left
+    and ``_r_<key>`` on the right, mirroring how the query wrapper
+    prepares the frames.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[f"_r_{key}"])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def stateful_running_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count + value total maintained across micro-batches

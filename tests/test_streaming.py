@@ -452,3 +452,74 @@ def test_multifile_landing_single_batch_parity(spark, tmp_path):
     # every input row (minus the 5 duplicates) survived: nothing was
     # late-dropped, proving the drain really was one batch
     assert sum(n for n, _ in got.values()) == 40
+
+
+def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+    """§2.9 stream-stream join: a purchase arriving in a LATER
+    micro-batch still joins a signup buffered in join state from an
+    earlier batch; purchases outside the interval never emit."""
+    from solana_etl_pipeline_spark.streaming.ingest import (
+        stream_interval_join,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = time.time()
+
+    def _typed(eid, uid, ts, etype):
+        e = _event(eid, uid, ts)
+        e["event_type"] = etype
+        return e
+
+    # batch 1: two signups
+    _write_landing_file(
+        str(landing / "f1.json"),
+        [
+            _typed(1, 10, "2024-01-01T00:00:00.000Z", "signup"),
+            _typed(2, 11, "2024-01-01T00:00:00.000Z", "signup"),
+        ],
+        now - 20,
+    )
+    # batch 2: one purchase inside the hour (joins the batch-1 signup),
+    # one outside it, one for a user that never signed up
+    _write_landing_file(
+        str(landing / "f2.json"),
+        [
+            _typed(3, 10, "2024-01-01T00:30:00.000Z", "purchase"),
+            _typed(4, 11, "2024-01-01T02:30:00.000Z", "purchase"),
+            _typed(5, 12, "2024-01-01T00:10:00.000Z", "purchase"),
+        ],
+        now - 10,
+    )
+
+    def _side(etype, renames):
+        s = landing_stream(
+            spark, str(landing), EVENTS, max_files_per_trigger=1
+        ).filter(F.col("event_type") == etype)
+        return s.select(
+            *[F.col(c).alias(a) for c, a in renames.items()]
+        )
+
+    signups = _side(
+        "signup", {"user_id": "user_id", "event_id": "signup_id", "ts": "ts"}
+    )
+    purchases = _side(
+        "purchase",
+        {"user_id": "_r_user_id", "event_id": "purchase_id", "ts": "p_ts"},
+    )
+    joined = stream_interval_join(
+        signups,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        within="1 hour",
+        watermark="2 hours",
+    ).select("user_id", "signup_id", "purchase_id")
+    out = str(tmp_path / "out")
+    run_available_now_to_parquet(joined, out, str(tmp_path / "ckpt"))
+    got = {
+        (r.user_id, r.signup_id, r.purchase_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(10, 1, 3)}
