@@ -100,6 +100,40 @@ def assign_shards(
     return sharded.withColumn("shard_pos", F.row_number().over(w))
 
 
+_SPLIT_MICRO = 1_000_000
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split``
+    column from the same mod-prime scramble as sharding.
+
+    ``scramble(id)`` is uniform over [0, P), so comparing
+    ``scramble * 1e6`` against ``frac_micro * P`` (pure BIGINT — no
+    float ever touches the predicate) carves exactly proportional,
+    disjoint, exhaustive bands: stable under reprocessing, independent
+    of partitioning/ordering, and any worker can recompute any
+    document's split from its id alone — the property that keeps eval
+    sets fixed while the corpus grows (ids keep their split when new
+    data lands; only NEW ids fall into each band).
+    """
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError("need 0 <= val_frac + test_frac < 1")
+    val_m = int(round(val_frac * _SPLIT_MICRO))
+    test_m = int(round(test_frac * _SPLIT_MICRO))
+    scaled = shard_scramble(F.col(id_col)) * F.lit(_SPLIT_MICRO)
+    split = (
+        F.when(scaled < F.lit(val_m * SHARD_P), F.lit("val"))
+        .when(scaled < F.lit((val_m + test_m) * SHARD_P), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -99,6 +99,8 @@ _PRIORITY = (
     "llm_chunk_documents",
     # registered in r5: stream-stream interval join (§2.9)
     "streaming_interval_join",
+    # registered in r5: deterministic train/val/test split
+    "llm_split_assign",
     # --- re-witness: r3 greens (oldest rows), r3 order ---
     "risk_scores_topk",
     "risk_banding_report",
@@ -133,10 +135,10 @@ _PRIORITY = (
     "agg_percentiles_stddev",
     "streaming_hourly_rollup",
     "streaming_sliding_windows",
-    "sink_parquet_partitioned",
     # --- position 51+: r3 greens not re-witnessed this round (the
-    # r5 insertions displaced the six below — each holds an r3
+    # r5 insertions displaced the seven below — each holds an r3
     # driver-green row), then the r4-green prefix in its r4 order ---
+    "sink_parquet_partitioned",
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
     "enrich_risk_grouped_map",

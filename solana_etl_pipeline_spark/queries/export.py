@@ -13,6 +13,7 @@ from solana_etl_pipeline_spark.llm.export import (
     KNUTH,
     SHARD_P,
     assign_shards,
+    assign_splits,
     corpus_filter,
 )
 from solana_etl_pipeline_spark.llm.textstats import STOPWORDS
@@ -20,6 +21,10 @@ from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
 
 N_SHARDS = 8
+
+# Split fractions are 10%/10% in the QUERY (vs the 1%/1% library
+# default) so every (source, split) cell is populated at sf0.001.
+VAL_FRAC, TEST_FRAC = 0.10, 0.10
 
 
 def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,6 +63,22 @@ def llm_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("doc_id").cast("bigint") * F.col("shard_pos")).alias(
             "order_checksum"
         ),
+    )
+
+
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment summarized per
+    (source, split): counts and token volume. The per-cell counts ARE
+    the disjointness/exhaustiveness proof — they sum to the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        assign_splits(docs, "doc_id", val_frac=VAL_FRAC, test_frac=TEST_FRAC)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words)).cast("bigint").alias("n_tokens"),
+        )
     )
 
 
@@ -101,6 +122,30 @@ _SCORED_SQL = f"""
 """
 
 QUERIES: dict[str, QuerySpec] = {
+    "llm_split_assign": QuerySpec(
+        spark=llm_split_assign,
+        oracle=f"""
+            WITH scrambled AS (
+              SELECT source,
+                     len(string_split(lower(trim(text)), ' '))
+                       AS doc_tokens,
+                     ((doc_id % {SHARD_P}) * {KNUTH % SHARD_P})
+                       % {SHARD_P} * 1000000 AS scaled
+              FROM documents)
+            SELECT source,
+                   CASE
+                     WHEN scaled < {int(VAL_FRAC * 1_000_000)}::BIGINT
+                                   * {SHARD_P} THEN 'val'
+                     WHEN scaled < {int((VAL_FRAC + TEST_FRAC) * 1_000_000)}::BIGINT
+                                   * {SHARD_P} THEN 'test'
+                     ELSE 'train' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(doc_tokens) AS BIGINT) AS n_tokens
+            FROM scrambled GROUP BY 1, 2
+        """,
+        doc="Deterministic train/val/test split (pure-BIGINT hash bands)",
+        tags=("§2.11",),
+    ),
     "llm_corpus_filter": QuerySpec(
         spark=llm_corpus_filter,
         oracle=f"""

@@ -91,3 +91,41 @@ def test_write_training_shards_layout(spark, tmp_path):
     # shard column survives via partition dir and matches the formula
     bad = back.filter(F.col("shard") != shard_key(F.col("doc_id"), 4))
     assert bad.count() == 0
+
+
+def test_assign_splits_disjoint_exhaustive_stable(spark):
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.llm.export import assign_splits
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(2000)]
+    )
+    out = assign_splits(docs, "doc_id", val_frac=0.1, test_frac=0.1)
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    # exhaustive and roughly proportional (hash thinning noise)
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    assert 120 <= counts["val"] <= 280 and 120 <= counts["test"] <= 280
+    # stability: a NEW id does not move any existing id's split
+    more = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(2001)]
+    )
+    before = {r.doc_id: r.split for r in out.collect()}
+    after = {
+        r.doc_id: r.split
+        for r in assign_splits(more, "doc_id", 0.1, 0.1).collect()
+    }
+    assert all(after[i] == s for i, s in before.items())
+
+
+def test_assign_splits_rejects_bad_fractions(spark):
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.llm.export import assign_splits
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError):
+        assign_splits(docs, "doc_id", val_frac=0.6, test_frac=0.5)
+    with pytest.raises(ValueError):
+        assign_splits(docs, "doc_id", val_frac=-0.1, test_frac=0.1)
