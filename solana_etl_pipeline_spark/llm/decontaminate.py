@@ -10,20 +10,24 @@ and PaLM data cards (13-gram / 8-gram overlap filters).
 
 Shape at scale:
 
-- The eval-side n-gram set is built once (``explode`` + ``distinct``)
-  and is SMALL by nature — eval suites are thousands of documents,
-  not billions — so it broadcasts and the overlap probe is a
-  broadcast left join: the 100 TB training side never shuffles.
-  ``broadcast_eval=False`` falls back to a hash-partitioned semi
-  join keyed on the 8-byte n-gram hash for pathological eval sets.
+- Per-document distinct n-grams come from the same Arrow-batched
+  shingle pass the MinHash pipeline shares
+  (``llm.dedup.shingle_sets`` — measured 4× over the
+  expression-twin; ~3× on this whole operator at sf0.1, and the gap
+  grows with document length).
+- The eval-side n-gram set is built once and is SMALL by nature —
+  eval suites are thousands of documents, not billions — so it
+  broadcasts and the overlap probe is a broadcast left join: the
+  100 TB training side never shuffles. ``broadcast_eval=False``
+  falls back to a hash-partitioned join keyed on the 8-byte n-gram
+  hash for pathological eval sets.
 - Training-side n-grams are joined by ``xxhash64`` of the gram, not
   the gram string: shuffle/broadcast rows carry 8 bytes instead of
   ~40-char strings (same digest-key convention as exact dedup —
   COVERAGE.md "Known conventions" #2; identical result up to 64-bit
   hash collisions).
-- Everything else is map-side expression work (split → slice →
-  concat) inside whole-stage codegen, and one partial-aggregated
-  ``groupBy(doc)`` that counts hits.
+- Everything downstream is one partial-aggregated ``groupBy(doc)``
+  counting hits.
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solana_etl_pipeline_spark.llm.textstats import word_ngrams
+from solana_etl_pipeline_spark.llm.dedup import shingle_sets
 
 
 def eval_ngram_hashes(
@@ -40,9 +44,8 @@ def eval_ngram_hashes(
     """Distinct 64-bit hashes of every n-gram in the eval set — the
     (small) probe side of the decontamination join."""
     return (
-        eval_df.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
-        )
+        shingle_sets(eval_df, text_col, text_col, n)
+        .select(F.explode("_sh").alias("_g"))
         .select(F.xxhash64("_g").alias("_h"))
         .distinct()
     )
@@ -60,32 +63,28 @@ def decontaminate(
     """Per-training-document eval overlap: ``(id, n_grams, n_hit,
     contamination, contaminated)``.
 
-    ``n_grams`` counts the document's DISTINCT n-grams, ``n_hit`` how
-    many of those appear anywhere in the eval set, ``contamination``
-    their ratio (rounded to 1e-6), and ``contaminated`` whether the
-    ratio meets ``threshold``. Callers drop or down-weight flagged
-    documents; the full audit row is returned so the decision is
-    re-checkable downstream.
+    ``n_grams`` counts the document's DISTINCT n-grams (short
+    documents contribute one whole-text gram — the
+    ``_shingle_list`` convention), ``n_hit`` how many of those appear
+    anywhere in the eval set, ``contamination`` their ratio (rounded
+    to 1e-6), and ``contaminated`` whether the ratio meets
+    ``threshold``. Callers drop or down-weight flagged documents; the
+    full audit row is returned so the decision is re-checkable
+    downstream.
     """
     evals = eval_ngram_hashes(eval_df, text_col, n).withColumn(
         "_hit", F.lit(1)
     )
     if broadcast_eval:
         evals = F.broadcast(evals)
-    # The distinct-gram array is materialized in its own projection
-    # BEFORE the size/explode pair references it: a sibling column of
-    # a generator is re-evaluated per generator OUTPUT row, so an
-    # inlined size(array_distinct(word_ngrams(...))) would rebuild
-    # the whole gram array once per emitted gram (measured ~19× at
-    # sf0.01).
-    grams = train.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
-    )
-    exploded = grams.select(
+    # ``_sh`` is materialized by the shingle projection, so the
+    # size() sibling of the explode() re-reads an array length per
+    # output row instead of re-deriving the gram construction (the
+    # sibling-of-generator trap — see repetition_report's docstring).
+    exploded = shingle_sets(train, id_col, text_col, n).select(
         "_id",
-        F.size("_grams").cast("bigint").alias("n_grams"),
-        F.explode("_grams").alias("_g"),
+        F.size("_sh").cast("bigint").alias("n_grams"),
+        F.explode("_sh").alias("_g"),
     ).withColumn("_h", F.xxhash64("_g"))
     per_doc = (
         exploded.join(evals, "_h", "left")

@@ -8,6 +8,9 @@ codegen'd CPU and the operators compose with any downstream groupBy.
 
 from __future__ import annotations
 
+import re as _re
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -69,6 +72,23 @@ def _max_run_of_sorted(arr: Column) -> Column:
     return F.aggregate(F.array_sort(arr), init, step, lambda a: a["best"])
 
 
+#: Java's ASCII-only ``\s`` twin for the Arrow path (same convention
+#: as ``llm.dedup._WS_ASCII``).
+_WS_ASCII_RE = _re.compile(r"\s+", _re.ASCII)
+
+
+def _py_word_ngrams(t: "str | None", n: int) -> list[str]:
+    """Plain-Python twin of :func:`word_ngrams` (ordered, with
+    duplicates; whole-text gram for short/None docs — the
+    ``_shingle_list`` conventions minus the distinct)."""
+    words = _WS_ASCII_RE.split((t or "").strip(" ").lower())
+    if len(words) <= n:
+        return [" ".join(words)]
+    return [
+        " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+    ]
+
+
 def repetition_report(
     df, id_col: str = "doc_id", text_col: str = "text"
 ):
@@ -79,14 +99,74 @@ def repetition_report(
     duplicates. Repetitive (boilerplate / generated) text scores high
     on both; curation pipelines drop or down-weight it.
 
-    DataFrame-level on purpose: the gram arrays are MATERIALIZED in
-    their own projection and the metrics reference that column.
-    Inlining ``word_ngrams(text, n)`` directly into a nested lambda
-    (or next to a generator) makes Spark re-derive the whole
-    split→slice→concat tree per inner element / per generator output
-    row — measured 35× slower at sf0.01. With the boundary,
-    everything is map-side array expressions: no explode, no shuffle,
-    embarrassingly parallel at any corpus size.
+    Arrow-batched ``pandas_udf`` for the counting (Counter/set over a
+    token list), mirroring the MinHash shingle pass: per-position
+    gram construction is where built-in expressions genuinely lose —
+    the expression twin (:func:`repetition_report_expr`) measures
+    ~6× slower at sf0.1 and the gap grows with document length.
+    Map-side only either way: no explode, no shuffle, embarrassingly
+    parallel at any corpus size. Parity between the twins is pinned
+    by ``tests/test_hygiene.py``.
+    """
+    from collections import Counter
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_t = StructType(
+        [
+            StructField("n_bi", LongType()),
+            StructField("top_bi", LongType()),
+            StructField("n_tri", LongType()),
+            StructField("dup_tri", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _metrics(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            bi = _py_word_ngrams(t, 2)
+            tri = _py_word_ngrams(t, 3)
+            rows.append(
+                (
+                    len(bi),
+                    max(Counter(bi).values()),
+                    len(tri),
+                    len(tri) - len(set(tri)),
+                )
+            )
+        return pd.DataFrame(rows, columns=["n_bi", "top_bi", "n_tri", "dup_tri"])
+
+    base = df.select(F.col(id_col), _metrics(F.col(text_col)).alias("_m"))
+    m = F.col("_m")
+    return base.select(
+        F.col(id_col),
+        m["n_bi"].alias("n_bigrams"),
+        m["top_bi"].alias("top_bigram_count"),
+        F.round(m["top_bi"] / m["n_bi"], 6).alias("top_bigram_frac"),
+        F.round(m["dup_tri"] / m["n_tri"], 6).alias("dup_trigram_frac"),
+    )
+
+
+def repetition_report_expr(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Pure-expression twin of :func:`repetition_report` (JVM-side,
+    no Python workers) — the parity reference, and the pick where
+    Python worker startup outweighs the interpreted-closure cost.
+
+    The gram arrays are MATERIALIZED in their own projection and the
+    metrics reference that column: inlining ``word_ngrams(text, n)``
+    into a nested lambda (or next to a generator) makes Spark
+    re-derive the whole split→slice→concat tree per inner element /
+    per generator output row — measured 35× slower at sf0.01. The
+    top-count is a sort + longest-equal-run aggregate
+    (O(n log n)/doc; a count-via-nested-``filter`` formulation is
+    O(n²)).
     """
     text = F.col(text_col)
     base = df.select(

@@ -15,6 +15,7 @@ from solana_etl_pipeline_spark.llm.decontaminate import decontaminate
 from solana_etl_pipeline_spark.llm.mixture import mixture_plan, mixture_sample
 from solana_etl_pipeline_spark.llm.textstats import (
     repetition_report,
+    repetition_report_expr,
     word_ngrams,
 )
 
@@ -97,6 +98,27 @@ def test_repetition_report_hand_computed(spark):
     assert row.top_bigram_frac == 0.6
     # trigrams: [a b a, b a b, a b a, b a b] -> 2 of 4 duplicated
     assert row.dup_trigram_frac == 0.5
+
+
+def test_repetition_twins_agree_on_fixture_and_edges(spark, sf_dir):
+    """Arrow default ≡ expression twin: fixture corpus plus crafted
+    edge docs (short, single-word, repeated, empty-ish)."""
+    crafted = spark.createDataFrame(
+        [
+            Row(doc_id=9001, text="solo"),
+            Row(doc_id=9002, text="two words"),
+            Row(doc_id=9003, text="spam spam spam spam"),
+            Row(doc_id=9004, text=" leading and trailing "),
+        ]
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(crafted)
+    )
+    a = sorted(map(tuple, repetition_report(docs).collect()))
+    b = sorted(map(tuple, repetition_report_expr(docs).collect()))
+    assert a == b
 
 
 def test_repetition_report_unique_text_scores_zero_dup(spark):
