@@ -101,6 +101,8 @@ _PRIORITY = (
     "streaming_interval_join",
     # registered in r5: deterministic train/val/test split
     "llm_split_assign",
+    # registered in r5: CCNet-style unigram LM quality score
+    "llm_lm_quality_score",
     # --- re-witness: r3 greens (oldest rows), r3 order ---
     "risk_scores_topk",
     "risk_banding_report",
@@ -134,10 +136,10 @@ _PRIORITY = (
     "agg_grouping_sets",
     "agg_percentiles_stddev",
     "streaming_hourly_rollup",
-    "streaming_sliding_windows",
     # --- position 51+: r3 greens not re-witnessed this round (the
-    # r5 insertions displaced the seven below — each holds an r3
+    # r5 insertions displaced the eight below — each holds an r3
     # driver-green row), then the r4-green prefix in its r4 order ---
+    "streaming_sliding_windows",
     "sink_parquet_partitioned",
     "sink_csv_roundtrip",
     "sink_json_roundtrip",

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.curate import chunk_documents
 from solana_etl_pipeline_spark.llm.decontaminate import decontaminate
+from solana_etl_pipeline_spark.llm.export import assign_splits
+from solana_etl_pipeline_spark.llm.lm import unigram_fit, unigram_score
 from solana_etl_pipeline_spark.llm.mixture import mixture_plan, mixture_sample
 from solana_etl_pipeline_spark.llm.textstats import repetition_report
 from solana_etl_pipeline_spark.queries.base import QuerySpec
@@ -89,6 +91,25 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
     )
+
+
+LM_VAL_FRAC, LM_TEST_FRAC = 0.10, 0.10
+
+
+def llm_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter, composed end-to-end: fit a
+    unigram LM on the deterministic train split, score EVERY document
+    (val/test docs exercise the OOV smoothing path), and tag each row
+    with its split — recomputed from the id, not joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_docs = assign_splits(
+        docs, "doc_id", val_frac=LM_VAL_FRAC, test_frac=LM_TEST_FRAC
+    )
+    vocab = unigram_fit(split_docs.filter(F.col("split") == "train"))
+    scored = unigram_score(docs, vocab)
+    return assign_splits(
+        scored, "doc_id", val_frac=LM_VAL_FRAC, test_frac=LM_TEST_FRAC
+    ).select("doc_id", "split", "n_tokens", "avg_neg_logprob")
 
 
 def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +239,43 @@ QUERIES: dict[str, QuerySpec] = {
             FROM plan p LEFT JOIN kept k ON k.source = p.source
         """,
         doc="Temperature-0.5 domain mixture: plan + deterministic sample",
+        tags=("§2.11",),
+    ),
+    "llm_lm_quality_score": QuerySpec(
+        spark=llm_lm_quality_score,
+        oracle=f"""
+            WITH {_WORDS_SQL},
+            split_docs AS (
+              SELECT doc_id, ws,
+                     CASE
+                       WHEN ((doc_id % 1000000007) * (2654435761 % 1000000007))
+                              % 1000000007 * 1000000
+                            < 100000::BIGINT * 1000000007 THEN 'val'
+                       WHEN ((doc_id % 1000000007) * (2654435761 % 1000000007))
+                              % 1000000007 * 1000000
+                            < 200000::BIGINT * 1000000007 THEN 'test'
+                       ELSE 'train' END AS split
+              FROM w),
+            tok AS (
+              SELECT doc_id, split, unnest(ws) AS t FROM split_docs),
+            vocab AS (
+              SELECT t, count(*) AS c FROM tok
+              WHERE split = 'train' GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n,
+                     count(*) AS v
+              FROM vocab)
+            SELECT t.doc_id, t.split, count(*) AS n_tokens,
+                   round(avg(-ln((coalesce(vc.c, 0) + 1) * 1.0
+                                 / (tot.n + tot.v))), 6)
+                     AS avg_neg_logprob
+            FROM tok t
+            LEFT JOIN vocab vc ON vc.t = t.t
+            CROSS JOIN tot
+            GROUP BY 1, 2
+        """,
+        doc="CCNet-style unigram LM cross-entropy (train-split fit, "
+        "add-one OOV smoothing)",
         tags=("§2.11",),
     ),
     "llm_chunk_documents": QuerySpec(

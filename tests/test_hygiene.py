@@ -224,3 +224,49 @@ def test_mixture_sample_keeps_everything_under_large_budget(
 ):
     kept = mixture_sample(mixture_docs, token_budget=10**9)
     assert kept.count() == mixture_docs.count()
+
+
+# --- unigram LM scoring --------------------------------------------------
+
+
+def test_unigram_lm_hand_computed(spark):
+    import math
+
+    from solana_etl_pipeline_spark.llm.lm import unigram_fit, unigram_score
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b")]  # counts: a=2, b=1; N=3, V=2
+    )
+    vocab = unigram_fit(ref)
+    assert {(r.c) for r in vocab.collect()} == {2, 1}
+    target = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b"),  # p(a)=3/5, p(b)=2/5
+            Row(doc_id=11, text="zz"),  # OOV: p=1/5
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_neg_logprob)
+        for r in unigram_score(target, vocab).collect()
+    }
+    exp_10 = round(-(math.log(3 / 5) + math.log(2 / 5)) / 2, 6)
+    exp_11 = round(-math.log(1 / 5), 6)
+    assert got[10] == (2, exp_10)
+    assert got[11] == (1, exp_11)
+    # fluent (in-vocab) text scores LOWER than gibberish
+    assert got[10][1] < got[11][1]
+
+
+def test_unigram_lm_broadcast_matches_shuffle(spark, sf_dir):
+    from solana_etl_pipeline_spark.llm.lm import unigram_fit, unigram_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = unigram_fit(docs)
+    a = sorted(map(tuple, unigram_score(docs, vocab).collect()))
+    b = sorted(
+        map(
+            tuple,
+            unigram_score(docs, vocab, broadcast_vocab=False).collect(),
+        )
+    )
+    assert a == b and a
