@@ -79,6 +79,7 @@ def mixture_sample(
     source_col: str = "source",
     text_col: str = "text",
     token_budget: int = 100_000,
+    plan: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``df`` kept by the temperature-0.5 mixture plan.
 
@@ -86,8 +87,15 @@ def mixture_sample(
     mod-prime scramble spreads ids uniformly over [0, P), so each
     source keeps ≈ ``rate_micro/1e6`` of its documents, deterministic
     in the ids and independent of partitioning.
+
+    Pass a precomputed ``plan`` (from :func:`mixture_plan`) to skip
+    re-aggregating the corpus — the pattern when a caller needs both
+    the plan (for audit) and the sample; ``token_budget`` is ignored
+    in that case.
     """
-    plan = mixture_plan(df, source_col, text_col, token_budget).select(
+    if plan is None:
+        plan = mixture_plan(df, source_col, text_col, token_budget)
+    plan = plan.select(
         F.col("source").alias("_mix_source"), "rate_micro"
     )
     keep = (

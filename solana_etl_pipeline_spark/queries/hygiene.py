@@ -66,17 +66,14 @@ def llm_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-0.5 mixture plan + realized deterministic sample,
-    summarized per source.
-
-    The query recomputes the plan inside :func:`mixture_sample` (one
-    extra corpus aggregation) so the audit row shows plan and outcome
-    side by side; production callers use :func:`mixture_sample` alone.
-    """
+    summarized per source. The plan is computed once and reused for
+    the sample (the ``plan=`` seam), so the corpus aggregates once
+    per side of the audit."""
     docs = load_table(spark, sf_dir, "documents")
     plan = mixture_plan(docs, token_budget=MIXTURE_BUDGET)
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     kept = (
-        mixture_sample(docs, token_budget=MIXTURE_BUDGET)
+        mixture_sample(docs, plan=plan)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

@@ -268,3 +268,24 @@ def test_runtime_bloom_filter_reduces_shuffle_join_probe(spark, tmp_path):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_hygiene_family_plan_shapes(spark, sf_dir):
+    """r5 corpus-hygiene operators: the map-side ops stay shuffle-free
+    and the probes broadcast — the shapes that make them free at
+    100 TB."""
+    # repetition + chunking: zero exchanges (embarrassingly parallel)
+    for name in ("llm_repetition_rules", "llm_chunk_documents"):
+        plan = _executed_plan(QUERIES[name].spark(spark, sf_dir))
+        assert "Exchange" not in plan, name
+    # decontamination: the eval probe is a broadcast join; the train
+    # side has no SortMergeJoin anywhere
+    plan = _executed_plan(QUERIES["llm_decontaminate"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # LM scoring: vocab probe broadcasts too
+    plan = _executed_plan(QUERIES["llm_lm_quality_score"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # split assignment: single aggregation exchange, no join at all
+    plan = _executed_plan(QUERIES["llm_split_assign"].spark(spark, sf_dir))
+    assert "Join" not in plan
