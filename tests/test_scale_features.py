@@ -113,6 +113,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # ranking: N / avgdl ride 1-row broadcast scalar combines
         "llm_tfidf_top_terms",
         "llm_bm25_search",
+        # LM scoring: (N, V) totals ride a 1-row broadcast scalar
+        "llm_lm_quality_score",
     }
     offenders = []
     for name, spec in QUERIES.items():
