@@ -214,3 +214,29 @@ def test_shingle_twins_agree_on_arbitrary_text(spark, texts):
     fast = {r._id: r._sh for r in shingle_sets(df, "doc_id", "text", 3).collect()}
     ref = {r._id: r._sh for r in shingle_sets_expr(df, "doc_id", "text", 3).collect()}
     assert fast == ref
+
+
+@_SETTINGS
+@given(texts=_texts)
+def test_word_ngram_twins_agree_on_any_text(spark, texts):
+    """The Python n-gram builder behind the Arrow repetition path is
+    pinned to the expression twin for ANY text (nulls, tabs, unicode
+    whitespace-adjacent junk) — the same twin-fuzz discipline that
+    caught the shingle trim bug (llm/dedup.py docstring)."""
+    from solana_etl_pipeline_spark.llm.textstats import (
+        _py_word_ngrams,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    for n in (2, 3):
+        got = {
+            r.i: r.g
+            for r in df.select(
+                "i", word_ngrams(F.col("t"), n).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _py_word_ngrams(t, n), (n, repr(t))
