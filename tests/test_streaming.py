@@ -523,3 +523,39 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(10, 1, 3)}
+
+
+def test_stream_static_broadcast_join_enriches_stream(spark, tmp_path):
+    """§2.9 stream-static join: a static dimension joins each
+    micro-batch (re-read per batch, broadcastable) — the streaming
+    form of the batch broadcast-enrich. Result equals the batch twin."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = time.time()
+    _write_landing_file(
+        str(landing / "f1.json"),
+        [
+            _event(1, 10, "2024-01-01T00:05:00.000Z", value=2.0),
+            _event(2, 11, "2024-01-01T00:10:00.000Z", value=3.0),
+            _event(3, 12, "2024-01-01T00:15:00.000Z", value=4.0),  # no dim row
+        ],
+        now - 10,
+    )
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "silver")], "user_id long, tier string"
+    )
+    stream = landing_stream(spark, str(landing), EVENTS, max_files_per_trigger=None)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "user_id", "event_id", "value", F.coalesce("tier", F.lit("none")).alias("tier")
+    )
+    out = str(tmp_path / "out")
+    run_available_now_to_parquet(enriched, out, str(tmp_path / "ckpt"))
+    got = {
+        (r.user_id, r.event_id, r.value, r.tier)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (10, 1, 2.0, "gold"),
+        (11, 2, 3.0, "silver"),
+        (12, 3, 4.0, "none"),
+    }
