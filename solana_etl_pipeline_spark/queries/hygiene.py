@@ -1,6 +1,7 @@
 """Corpus-hygiene queries: eval-set decontamination, repetition
-rules, domain-mixture sampling, and document chunking (SURVEY §2.11
-LLM-data surface; no reference counterpart).
+rules, domain-mixture sampling, document chunking, and unigram-LM
+quality scoring (SURVEY §2.11 LLM-data surface; no reference
+counterpart).
 
 Driver conventions (see ``queries/base.py``): every computed column is
 aliased identically on both sides, floats are rounded to 1e-6, counts
