@@ -96,7 +96,10 @@ def main() -> None:
         "llm_minhash_near_dup",
         "llm_ngram_jaccard",
         "llm_cosine_topk",
+        "llm_decontaminate",
+        "llm_lm_quality_score",
         "streaming_hourly_rollup",
+        "streaming_interval_join",
         "enrich_risk_grouped_map",
         "tpch_q1_pricing_summary",
         "tpch_q9_product_profit",
