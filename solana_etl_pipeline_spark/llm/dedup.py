@@ -140,19 +140,25 @@ def _word_shingles(text: Column, shingle_len: int) -> Column:
 _WS_ASCII = re.compile(r"\s+", re.ASCII)
 
 
+def _word_tokens(t: "str | None") -> list[str]:
+    """The Python tokenization convention, shared by every Arrow text
+    path (shingles here, n-grams in ``llm.textstats``): ``re.ASCII``
+    matches Java's ASCII-only ``\\s``; ``strip(' ')`` matches Spark's
+    space-only ``trim`` (bare ``strip()`` also eats tabs/newlines —
+    found by the Hypothesis twin test); None renders ``['']`` like
+    ``split(lower(trim(NULL)))`` under the expression twins."""
+    return _WS_ASCII.split((t or "").strip(" ").lower())
+
+
 def _shingle_list(t: "str | None", shingle_len: int) -> list[str]:
     """Plain-Python shingle builder shared by the Arrow stages, pinned
     semantically identical to the expression twin
-    (:func:`shingle_sets_expr`): ``re.ASCII`` matches Java's ASCII-only
-    ``\\s``; ``dict.fromkeys`` keeps ``array_distinct``'s
-    first-occurrence order; null text renders the single degenerate
-    ``''`` shingle (greatest(NULL,1)=1 + concat_ws-over-NULL-slice);
-    ``strip(' ')`` matches Spark's space-only ``trim`` (Python's
-    bare ``strip()`` also eats tabs/newlines — found by the Hypothesis
-    twin test: ``'\\t'`` must shingle to ``[' ']``, not ``['']``)."""
-    if t is None:
-        return [""]
-    words = _WS_ASCII.split(t.strip(" ").lower())
+    (:func:`shingle_sets_expr`): tokenization via :func:`_word_tokens`
+    (the conventions live there); ``dict.fromkeys`` keeps
+    ``array_distinct``'s first-occurrence order; null text renders the
+    single degenerate ``''`` shingle (greatest(NULL,1)=1 +
+    concat_ws-over-NULL-slice)."""
+    words = _word_tokens(t)
     n = len(words)
     if n <= shingle_len:
         return [" ".join(words)]

@@ -54,7 +54,13 @@ def mixture_plan(
     bit-portable (same reasoning as the tfidf ``ln`` note in
     ``llm/ranking.py``).
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # coalesce on BOTH sides (here and the hygiene oracle's
+    # _WORDS_SQL): a null-text doc must count 1 token in each engine,
+    # not silently drop out of the Spark-side sum (the same symmetric-
+    # coalesce trap queries/curation.py documents).
+    words = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
     per_source = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(words)).cast("bigint").alias("tokens"),

@@ -8,8 +8,6 @@ codegen'd CPU and the operators compose with any downstream groupBy.
 
 from __future__ import annotations
 
-import re as _re
-
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -72,16 +70,15 @@ def _max_run_of_sorted(arr: Column) -> Column:
     return F.aggregate(F.array_sort(arr), init, step, lambda a: a["best"])
 
 
-#: Java's ASCII-only ``\s`` twin for the Arrow path (same convention
-#: as ``llm.dedup._WS_ASCII``).
-_WS_ASCII_RE = _re.compile(r"\s+", _re.ASCII)
-
-
 def _py_word_ngrams(t: "str | None", n: int) -> list[str]:
     """Plain-Python twin of :func:`word_ngrams` (ordered, with
     duplicates; whole-text gram for short/None docs — the
-    ``_shingle_list`` conventions minus the distinct)."""
-    words = _WS_ASCII_RE.split((t or "").strip(" ").lower())
+    ``_shingle_list`` conventions minus the distinct). Tokenization is
+    SHARED with the dedup family (``llm.dedup._word_tokens``) so a
+    convention fix lands in every Arrow text path at once."""
+    from solana_etl_pipeline_spark.llm.dedup import _word_tokens
+
+    words = _word_tokens(t)
     if len(words) <= n:
         return [" ".join(words)]
     return [

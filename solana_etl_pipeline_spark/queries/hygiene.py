@@ -72,7 +72,9 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per side of the audit."""
     docs = load_table(spark, sf_dir, "documents")
     plan = mixture_plan(docs, token_budget=MIXTURE_BUDGET)
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = F.split(
+        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
     kept = (
         mixture_sample(docs, plan=plan)
         .groupBy("source")

@@ -222,12 +222,22 @@ QUERIES: dict[str, QuerySpec] = {
     "streaming_interval_join": QuerySpec(
         spark=streaming_interval_join,
         oracle="""
+            -- The stream joins on JSON-landed timestamps, which carry
+            -- MILLISECOND precision; the oracle must evaluate the
+            -- interval predicate on the same ms-truncated values or a
+            -- pair within 1 ms of the 1-hour bound diverges between
+            -- engines (latent on current fixtures; fixture-proof form).
+            WITH e AS (
+              SELECT user_id, event_id, event_type,
+                     date_trunc('milliseconds', ts) AS ts_ms
+              FROM events)
             SELECT s.user_id, s.event_id AS signup_id,
                    p.event_id AS purchase_id,
-                   epoch_ms(p.ts) - epoch_ms(s.ts) AS millis_after
-            FROM events s
-            JOIN events p ON p.user_id = s.user_id
-             AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+                   epoch_ms(p.ts_ms) - epoch_ms(s.ts_ms) AS millis_after
+            FROM e s
+            JOIN e p ON p.user_id = s.user_id
+             AND p.ts_ms >= s.ts_ms
+             AND p.ts_ms <= s.ts_ms + INTERVAL 1 HOUR
             WHERE s.event_type = 'signup'
               AND p.event_type = 'purchase'
         """,
@@ -238,21 +248,32 @@ QUERIES: dict[str, QuerySpec] = {
     "streaming_session_windows": QuerySpec(
         spark=streaming_session_windows,
         oracle="""
-            WITH marked AS (
-              SELECT user_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+            -- Gap comparisons run on ms-truncated timestamps (what the
+            -- JSON landing gives the stream), and BOTH windows carry
+            -- the event_id tie-break: with the islands sum ordered by
+            -- ts alone, duplicate (user_id, ts) rows could consume the
+            -- new_session marker in a different order than the marked
+            -- CTE assigned it, splitting one session in the oracle.
+            WITH e AS (
+              SELECT user_id, event_id,
+                     date_trunc('milliseconds', ts) AS ts_ms
+              FROM events),
+            marked AS (
+              SELECT user_id, ts_ms, event_id,
+                     CASE WHEN lag(ts_ms) OVER w IS NULL
+                          OR ts_ms - lag(ts_ms) OVER w
+                             >= INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_session
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
             islands AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts_ms,
                      sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts_ms, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_id
               FROM marked)
             SELECT user_id,
-                   strftime(CAST(min(ts) AS TIMESTAMP),
+                   strftime(CAST(min(ts_ms) AS TIMESTAMP),
                             '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS n_events
             FROM islands GROUP BY user_id, session_id
