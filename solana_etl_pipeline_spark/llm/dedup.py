@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import contextlib
 import re
+import threading
 from collections.abc import Iterator
 
 import pandas as pd
@@ -48,16 +49,29 @@ from pyspark.sql import functions as F
 #: Active cache scopes (innermost last). Module-level because the pair
 #: generators are plain functions; a scope collects every DataFrame
 #: they persist so the context manager can release them deterministically.
-_CACHE_SCOPES: list[list[DataFrame]] = []
+#: THREAD-LOCAL stack: with a plain module global, a scope opened on
+#: one thread would capture persists made concurrently by another
+#: (e.g. a parallel query harness sharing the session) and blocking-
+#: unpersist them mid-flight on exit.
+_CACHE_SCOPES = threading.local()
+
+
+def _scope_stack() -> "list[list[DataFrame]]":
+    stack = getattr(_CACHE_SCOPES, "stack", None)
+    if stack is None:
+        stack = _CACHE_SCOPES.stack = []
+    return stack
 
 
 def _scoped_persist(df: DataFrame) -> DataFrame:
     """``persist()`` that registers with the innermost active
-    :func:`dedup_cache_scope` (no-op registration outside a scope —
-    session-scoped cache, see the module docstring)."""
+    :func:`dedup_cache_scope` ON THIS THREAD (no-op registration
+    outside a scope — session-scoped cache, see the module
+    docstring)."""
     df = df.persist()
-    if _CACHE_SCOPES:
-        _CACHE_SCOPES[-1].append(df)
+    stack = _scope_stack()
+    if stack:
+        stack[-1].append(df)
     return df
 
 
@@ -76,13 +90,17 @@ def dedup_cache_scope() -> Iterator[None]:
     only its own persists. Release is ``unpersist(blocking=True)`` so
     that on exit the caches are deterministically gone (tests assert
     emptiness immediately); the eviction of a few cached signature
-    tables is cheap relative to the jobs that built them."""
+    tables is cheap relative to the jobs that built them.
+
+    Scopes are per-thread: a scope never captures (or releases)
+    persists made by other threads sharing the SparkSession."""
     held: list[DataFrame] = []
-    _CACHE_SCOPES.append(held)
+    stack = _scope_stack()
+    stack.append(held)
     try:
         yield
     finally:
-        _CACHE_SCOPES.pop()
+        stack.pop()
         for df in held:
             df.unpersist(blocking=True)
 

@@ -25,6 +25,12 @@ N_SHARDS = 8
 # Split fractions are 10%/10% in the QUERY (vs the 1%/1% library
 # default) so every (source, split) cell is populated at sf0.001.
 VAL_FRAC, TEST_FRAC = 0.10, 0.10
+# Micro-unit thresholds interpolated into the oracle SQL MUST use the
+# same int(round(...)) as assign_splits — int(frac * 1e6) truncates,
+# and a fraction whose *1e6 is not float-exact (e.g. 0.29) would give
+# the two engines different band edges.
+_VAL_M = int(round(VAL_FRAC * 1_000_000))
+_TEST_M = int(round(TEST_FRAC * 1_000_000))
 
 
 def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,9 +140,9 @@ QUERIES: dict[str, QuerySpec] = {
               FROM documents)
             SELECT source,
                    CASE
-                     WHEN scaled < {int(VAL_FRAC * 1_000_000)}::BIGINT
+                     WHEN scaled < {_VAL_M}::BIGINT
                                    * {SHARD_P} THEN 'val'
-                     WHEN scaled < {int((VAL_FRAC + TEST_FRAC) * 1_000_000)}::BIGINT
+                     WHEN scaled < {_VAL_M + _TEST_M}::BIGINT
                                    * {SHARD_P} THEN 'test'
                      ELSE 'train' END AS split,
                    count(*) AS n_docs,

@@ -94,6 +94,11 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LM_VAL_FRAC, LM_TEST_FRAC = 0.10, 0.10
+# Oracle band edges derived with the engine's int(round(...)) so a
+# fraction edit can never silently diverge the two (see
+# queries/export.py's note on truncation vs round).
+_LM_VAL_M = int(round(LM_VAL_FRAC * 1_000_000))
+_LM_TEST_M = int(round(LM_TEST_FRAC * 1_000_000))
 
 
 def llm_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,10 +255,11 @@ QUERIES: dict[str, QuerySpec] = {
                      CASE
                        WHEN ((doc_id % 1000000007) * (2654435761 % 1000000007))
                               % 1000000007 * 1000000
-                            < 100000::BIGINT * 1000000007 THEN 'val'
+                            < {_LM_VAL_M}::BIGINT * 1000000007 THEN 'val'
                        WHEN ((doc_id % 1000000007) * (2654435761 % 1000000007))
                               % 1000000007 * 1000000
-                            < 200000::BIGINT * 1000000007 THEN 'test'
+                            < {_LM_VAL_M + _LM_TEST_M}::BIGINT * 1000000007
+                            THEN 'test'
                        ELSE 'train' END AS split
               FROM w),
             tok AS (

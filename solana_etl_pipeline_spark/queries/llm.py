@@ -68,7 +68,7 @@ _N_QUERY_VECS = 5  # similarity queries use vec_id < 5 as the query set
 _OFFSET_CACHE: dict[tuple[str, str], int] = {}
 
 
-def _probe_offset(df: DataFrame, id_col: str, cache_key: str = "") -> int:
+def _probe_offset(df: DataFrame, id_col: str, cache_key: str) -> int:
     """Planted-probe id offset: ``max(id) + 1``, derived from the
     corpus instead of hardcoded. A fixed literal (the old 100000)
     silently collides with organic ids once the scale factor grows the
@@ -82,10 +82,19 @@ def _probe_offset(df: DataFrame, id_col: str, cache_key: str = "") -> int:
     matching oracles derive the same offset via a scalar subquery.
     Memoized per (sf_dir, table): the fixtures are immutable, so the
     max-id job runs once per table per process instead of once per
-    invocation (bench runs each probe query 3×)."""
+    invocation (bench runs each probe query 3×). ``cache_key`` is
+    REQUIRED (the sf_dir) — a shared default would let two different
+    tables with the same id column serve each other a stale offset,
+    silently breaking the planted-id > organic-id invariant."""
     key = (cache_key, id_col)
     if key not in _OFFSET_CACHE:
-        _OFFSET_CACHE[key] = df.agg(F.max(id_col)).collect()[0][0] + 1
+        max_id = df.agg(F.max(id_col)).collect()[0][0]
+        if max_id is None:
+            raise ValueError(
+                f"cannot derive a probe offset: no rows with non-null "
+                f"{id_col!r} (empty fixture at {cache_key!r}?)"
+            )
+        _OFFSET_CACHE[key] = max_id + 1
     return _OFFSET_CACHE[key]
 
 
@@ -688,10 +697,14 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_simhash_near_dup": QuerySpec(
         spark=llm_simhash_near_dup,
         oracle="""
+            -- the trim-empty guard mirrors the engine: null/empty/
+            -- whitespace docs are unsignable (simhash emits NULL and
+            -- filters it), so no twin pair exists for them
             SELECT doc_id AS id_a,
                    doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
                    0 AS hamming
-            FROM documents WHERE doc_id < 50
+            FROM documents
+            WHERE doc_id < 50 AND trim(coalesce(text, '')) <> ''
         """,
         doc="SimHash banded candidates rediscover order-permuted twins",
         tags=("§2.11",),
@@ -699,11 +712,19 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_ngram_jaccard": QuerySpec(
         spark=llm_ngram_jaccard,
         oracle="""
+            -- coalesce(text, '') throughout: the engine's verify
+            -- stage KEEPS degenerate docs (shingle set ['']) because
+            -- it scores an explicit pair list — unlike the candidate
+            -- generators, which drop them. A null-text doc must get
+            -- its [''] shingle row here or the sizes inner join
+            -- silently drops the pair.
             WITH words AS (
               SELECT doc_id,
-                     unnest(string_split(lower(trim(text)), ' ')) AS w,
+                     unnest(string_split(lower(trim(coalesce(text, ''))),
+                            ' ')) AS w,
                      generate_subscripts(
-                       string_split(lower(trim(text)), ' '), 1) AS pos
+                       string_split(lower(trim(coalesce(text, ''))), ' '),
+                       1) AS pos
               FROM documents),
             shingles AS (
               SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
@@ -714,9 +735,11 @@ QUERIES: dict[str, QuerySpec] = {
               -- short-doc whole-text shingle (see _JACCARD_PAIRS_CTES)
               SELECT doc_id,
                      array_to_string(
-                       string_split(lower(trim(text)), ' '), ' ') AS sh
+                       string_split(lower(trim(coalesce(text, ''))), ' '),
+                       ' ') AS sh
               FROM documents
-              WHERE len(string_split(lower(trim(text)), ' ')) < 3),
+              WHERE len(string_split(lower(trim(coalesce(text, ''))), ' '))
+                    < 3),
             sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
             pairs AS (
@@ -760,6 +783,12 @@ QUERIES: dict[str, QuerySpec] = {
                         / (sqrt(list_inner_product(a.v, a.v))
                            * sqrt(list_inner_product(b.v, b.v))),
                         6) >= 0.9
+              -- zero-norm guard: DuckDB orders NaN above every number
+              -- so 0/0 would satisfy >= 0.9 here while Spark's NaN
+              -- comparison is false — a zero vector must pair in
+              -- neither engine
+              AND list_inner_product(a.v, a.v) > 0
+              AND list_inner_product(b.v, b.v) > 0
         """,
         doc="Embedding-cosine near-dup via LSH buckets vs all-pairs truth",
         tags=("§2.11",),
@@ -793,11 +822,16 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_lsh_cosine_topk": QuerySpec(
         spark=llm_lsh_cosine_topk,
         oracle="""
+            -- null/empty-vector guard: the SRP stage emits NULL
+            -- signatures for null/ragged vectors and drops them, so
+            -- such a query has no twin row
             SELECT vec_id AS query_id,
                    vec_id + (SELECT max(vec_id) + 1 FROM embeddings)
                      AS neighbor_id,
                    1 AS rank, CAST(1.0 AS DOUBLE) AS cosine
-            FROM embeddings WHERE vec_id < 5
+            FROM embeddings
+            WHERE vec_id < 5 AND embedding IS NOT NULL
+              AND len(embedding) > 0
         """,
         doc="Hyperplane-LSH cosine top-k finds planted twins at rank 1",
         tags=("§2.11",),
@@ -805,11 +839,14 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_ivf_cosine_topk": QuerySpec(
         spark=llm_ivf_cosine_topk,
         oracle="""
+            -- same null/empty-vector guard as the LSH probe
             SELECT vec_id AS query_id,
                    vec_id + (SELECT max(vec_id) + 1 FROM embeddings)
                      AS neighbor_id,
                    1 AS rank, CAST(1.0 AS DOUBLE) AS cosine
-            FROM embeddings WHERE vec_id < 5
+            FROM embeddings
+            WHERE vec_id < 5 AND embedding IS NOT NULL
+              AND len(embedding) > 0
         """,
         doc="IVF cosine top-k (k-means codebook) finds planted twins",
         tags=("§2.11",),
@@ -817,12 +854,16 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_incremental_near_dup": QuerySpec(
         spark=llm_incremental_near_dup,
         oracle="""
+            -- trim-empty guard: unsignable docs (all shingles '')
+            -- never enter the signature store, so their copies
+            -- produce no verdict (mirrors minhash_signatures' drop)
             SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
                      AS new_id,
                    doc_id AS dup_of,
                    CAST(1.0 AS DOUBLE) AS est_jaccard,
                    'index' AS scope
-            FROM documents WHERE doc_id < 20
+            FROM documents
+            WHERE doc_id < 20 AND trim(coalesce(text, '')) <> ''
         """,
         doc="Incremental store probe flags planted copies cross-batch",
         tags=("§2.11",),

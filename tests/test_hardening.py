@@ -419,3 +419,44 @@ def test_near_dup_oracles_hold_on_short_docs_and_adjacent_ids(spark, tmp_path):
         for r in QUERIES["llm_minhash_near_dup"].spark(spark, sf_dir).collect()
     }
     assert (0, 1) in pairs and (3, 4) in pairs
+
+
+def test_cache_scope_is_thread_local(spark):
+    """A scope on one thread must not capture (and later blocking-
+    unpersist) persists made concurrently by another thread."""
+    import threading
+
+    from solana_etl_pipeline_spark.llm.dedup import (
+        _scoped_persist,
+        dedup_cache_scope,
+    )
+
+    other_df = []
+    entered = threading.Event()
+    release = threading.Event()
+
+    def scoped_holder():
+        with dedup_cache_scope():
+            entered.set()
+            release.wait(timeout=30)
+
+    t = threading.Thread(target=scoped_holder)
+    t.start()
+    try:
+        assert entered.wait(timeout=30)
+        # main thread persists OUTSIDE any scope of its own while the
+        # other thread's scope is open
+        df = _scoped_persist(
+            spark.range(10).select((F.col("id") * 2).alias("v"))
+        )
+        other_df.append(df)
+        df.count()
+        release.set()
+        t.join(timeout=30)
+        # the other thread's scope exit must NOT have unpersisted it
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    finally:
+        release.set()
+        t.join(timeout=30)
+        for df in other_df:
+            df.unpersist(blocking=True)
