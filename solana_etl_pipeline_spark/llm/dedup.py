@@ -284,10 +284,19 @@ def minhash_signatures(
     def _sig_of(sh: "list[str] | None") -> "np.ndarray | None":
         if sh is None:
             return None
-        # drop '' (the degenerate null/empty-text shingle): every
-        # such doc would otherwise share one signature and pair
+        # drop degenerate shingles: '' (null/empty text) AND
+        # spaces-only (whitespace-only text tokenizes to empty words
+        # joined by ' ') — either way every such doc would share one
+        # signature and pair with every other degenerate doc.
+        # strip(' ') suffices: words from the \s+ split are
+        # whitespace-free, so any whitespace in a shingle is the ' '
+        # joiner.
         bases = np.array(
-            [zlib.crc32(s.encode()) & 0x7FFFFFFF for s in sh if s],
+            [
+                zlib.crc32(s.encode()) & 0x7FFFFFFF
+                for s in sh
+                if s.strip(" ")
+            ],
             dtype=np.int64,
         )
         if bases.size == 0:
@@ -346,14 +355,16 @@ def minhash_signatures_agg(
     shingled = shingle_df.select(
         "_id", F.explode_outer("_sh").alias("sh")
     )
-    # Null/empty text ⇒ a single degenerate '' shingle (split/slice
-    # null semantics) — drop it, or every null- or empty-text doc
-    # would share a signature and pair with each other. A filter on
-    # the *generated* column does not trigger the
-    # InferFiltersFromGenerate re-inlining that filtering the array
-    # expression would.
+    # Null/empty/whitespace-only text ⇒ a single degenerate '' or
+    # spaces-only shingle (split/slice null semantics; empty words
+    # joined by ' ') — drop it, or every such doc would share a
+    # signature and pair with each other. trim() is exact here: words
+    # from the \s+ split are whitespace-free, so any whitespace in a
+    # shingle is the ' ' joiner. A filter on the *generated* column
+    # does not trigger the InferFiltersFromGenerate re-inlining that
+    # filtering the array expression would.
     shingled = shingled.filter(
-        F.col("sh").isNotNull() & (F.col("sh") != "")
+        F.col("sh").isNotNull() & (F.trim(F.col("sh")) != "")
     )
     base = F.pmod(F.xxhash64("sh"), F.lit(_P))
     mins = [

@@ -66,14 +66,28 @@ def featurize_assets(assets: DataFrame, dims: int = 4) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            digests = [hashlib.sha256(p).digest() for p in pdf["payload"]]
+            # null payloads (e.g. null-text documents encoded to a
+            # null binary) feature as NULLs, not a TypeError — the
+            # row must survive with NULL stats like the SQL mirror
+            digests = [
+                hashlib.sha256(p).digest() if p is not None else None
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "digest": [d.hex() for d in digests],
-                    "feat": [_fake_embedding(d, dims) for d in digests],
+                    "n_bytes": [
+                        len(p) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                    "digest": [
+                        d.hex() if d is not None else None for d in digests
+                    ],
+                    "feat": [
+                        _fake_embedding(d, dims) if d is not None else None
+                        for d in digests
+                    ],
                 }
             )
 
@@ -94,14 +108,21 @@ def resize_assets(assets: DataFrame, max_bytes: int = 1024) -> DataFrame:
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            orig = [len(p) for p in pdf["payload"]]
+            orig = [
+                len(p) if p is not None else None for p in pdf["payload"]
+            ]
             pdf = pdf.copy()
-            pdf["payload"] = [p[:max_bytes] for p in pdf["payload"]]
+            pdf["payload"] = [
+                p[:max_bytes] if p is not None else None
+                for p in pdf["payload"]
+            ]
             pdf["meta"] = [
                 {
                     **(dict(m) if m is not None else {}),
                     "orig_bytes": str(o),
-                    "resized": "true" if o > max_bytes else "false",
+                    "resized": (
+                        "true" if o is not None and o > max_bytes else "false"
+                    ),
                 }
                 for m, o in zip(pdf["meta"], orig)
             ]

@@ -123,8 +123,11 @@ def lsh_bucket_assignments(
     every task — deterministic with no RNG state shipped.
 
     ``dim`` pins the expected vector length (part of the index
-    definition, like the seed). When None it is inferred from the first
-    non-null vector of each Arrow batch; either way a null or
+    definition, like the seed). When None it is inferred as the
+    MAJORITY length of each Arrow batch (the same vote ``kmeans_fit``
+    uses) — a single corrupt short vector must not redefine the dim
+    and silently nullify every real vector in its batch, which is
+    what first-non-null inference would do. Either way a null or
     wrong-length vector yields a NULL signature (dropped by the
     downstream bucket equi-join) rather than hashing against a
     differently-shaped plane matrix."""
@@ -143,7 +146,7 @@ def lsh_bucket_assignments(
             valid_lens = lengths[lengths >= 0]
             if valid_lens.empty:
                 return pd.Series([None] * len(vecs), dtype=object)
-            expect = int(valid_lens.iloc[0])
+            expect = int(valid_lens.mode().iloc[0])
         ok = lengths == expect
         if not ok.any():
             return pd.Series([None] * len(vecs), dtype=object)

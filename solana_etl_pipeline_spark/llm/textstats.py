@@ -31,7 +31,12 @@ _P = 2_147_483_647
 
 
 def _words(text: Column) -> Column:
-    return F.split(F.lower(F.trim(text)), "\\s+")
+    # coalesce: a null-text doc tokenizes to [''] (one empty word),
+    # matching the SQL mirrors' coalesce(text, '') — without it
+    # size(split(NULL)) is -1 under ANSI-off and every ratio built on
+    # it goes silently bogus (-1 word counts, stopword_ratio 1.0)
+    # while the oracles' NULL rows drop out of avg/sum.
+    return F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), "\\s+")
 
 
 def word_ngrams(text: Column, n: int) -> Column:

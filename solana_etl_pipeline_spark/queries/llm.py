@@ -482,9 +482,9 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 _JACCARD_PAIRS_CTES = """
     words AS (
       SELECT doc_id,
-             unnest(string_split(lower(trim(text)), ' ')) AS w,
+             unnest(string_split(lower(trim(coalesce(text, ''))), ' ')) AS w,
              generate_subscripts(
-               string_split(lower(trim(text)), ' '), 1) AS pos
+               string_split(lower(trim(coalesce(text, ''))), ' '), 1) AS pos
       FROM documents),
     shingles AS (
       SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
@@ -496,15 +496,17 @@ _JACCARD_PAIRS_CTES = """
       -- shingle (the engine's n <= shingle_len branch) — without this
       -- branch the positional 3-gram join gives short docs no shingle
       -- set at all and identical short docs would never pair. The
-      -- trim-empty guard mirrors the engine's deliberate drop of the
-      -- degenerate '' shingle (minhash_signatures): empty/whitespace
-      -- docs must never pair at J=1.0 in the ground truth either.
+      -- whitespace-aware guard mirrors the engine's deliberate drop
+      -- of degenerate shingles (minhash_signatures): null/empty AND
+      -- whitespace-only docs must never pair at J=1.0 in the ground
+      -- truth either (space-only trim() would let a tab-only doc
+      -- through).
       SELECT doc_id,
-             array_to_string(string_split(lower(trim(text)), ' '), ' ')
+             array_to_string(string_split(lower(trim(coalesce(text, ''))), ' '), ' ')
                AS sh
       FROM documents
-      WHERE len(string_split(lower(trim(text)), ' ')) < 3
-        AND trim(coalesce(text, '')) <> ''),
+      WHERE len(string_split(lower(trim(coalesce(text, ''))), ' ')) < 3
+        AND regexp_replace(coalesce(text, ''), '\\s', '', 'g') <> ''),
     sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
     inter AS (
@@ -527,8 +529,12 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_exact_dedup": QuerySpec(
         spark=llm_exact_dedup,
         oracle="""
+            -- coalesce mirrors the engine's concat_ws-based
+            -- content_hash, which renders NULL text as '' — a
+            -- null-text doc and an empty-text doc are the same
+            -- content group in both engines
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-            FROM documents GROUP BY text
+            FROM documents GROUP BY coalesce(text, '')
         """,
         doc="Content-hash exact dedup groups (sha256; oracle groups raw text)",
         tags=("§2.11", "A7"),
@@ -539,16 +545,16 @@ QUERIES: dict[str, QuerySpec] = {
             WITH per_doc AS (
               SELECT lang,
                      len(text) AS n_chars,
-                     len(string_split(lower(trim(text)), ' ')) AS n_words,
+                     len(string_split(lower(trim(coalesce(text, ''))), ' ')) AS n_words,
                      round(list_sum(list_transform(
-                         string_split(lower(trim(text)), ' '),
+                         string_split(lower(trim(coalesce(text, ''))), ' '),
                          w -> len(w))) * 1.0
-                       / len(string_split(lower(trim(text)), ' ')), 6)
+                       / len(string_split(lower(trim(coalesce(text, ''))), ' ')), 6)
                        AS avg_word_len,
                      round(len(list_filter(
-                         string_split(lower(trim(text)), ' '),
+                         string_split(lower(trim(coalesce(text, ''))), ' '),
                          w -> w IN ({_STOP_SQL}))) * 1.0
-                       / len(string_split(lower(trim(text)), ' ')), 6)
+                       / len(string_split(lower(trim(coalesce(text, ''))), ' ')), 6)
                        AS stopword_ratio
               FROM documents)
             SELECT lang, count(*) AS n_docs,
@@ -566,7 +572,7 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=f"""
             WITH per_doc AS (
               SELECT source,
-                     len(string_split(lower(trim(text)), ' ')) AS ws_tokens,
+                     len(string_split(lower(trim(coalesce(text, ''))), ' ')) AS ws_tokens,
                      len(regexp_extract_all(text,
                          '{TOKEN_REGEX.replace("'", "''")}')) AS bpe_tokens
               FROM documents)
@@ -584,11 +590,11 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=f"""
             WITH s AS (
               SELECT doc_id,
-                     len(string_split(lower(trim(text)), ' ')) AS n_words,
+                     len(string_split(lower(trim(coalesce(text, ''))), ' ')) AS n_words,
                      round(len(list_filter(
-                         string_split(lower(trim(text)), ' '),
+                         string_split(lower(trim(coalesce(text, ''))), ' '),
                          w -> w IN ({_STOP_SQL}))) * 1.0
-                       / len(string_split(lower(trim(text)), ' ')), 6)
+                       / len(string_split(lower(trim(coalesce(text, ''))), ' ')), 6)
                        AS stop_ratio,
                      round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
                        / len(text), 6) AS punct_ratio,
@@ -618,11 +624,11 @@ QUERIES: dict[str, QuerySpec] = {
         oracle="""
             WITH scores AS (
               SELECT lang,
-                     len(list_filter(string_split(lower(trim(text)), ' '),
+                     len(list_filter(string_split(lower(trim(coalesce(text, ''))), ' '),
                          w -> w IN ('the','and','of'))) AS s_en,
-                     len(list_filter(string_split(lower(trim(text)), ' '),
+                     len(list_filter(string_split(lower(trim(coalesce(text, ''))), ' '),
                          w -> w IN ('el','la','de'))) AS s_es,
-                     len(list_filter(string_split(lower(trim(text)), ' '),
+                     len(list_filter(string_split(lower(trim(coalesce(text, ''))), ' '),
                          w -> w IN ('der','die','und'))) AS s_de
               FROM documents),
             pred AS (
@@ -644,9 +650,9 @@ QUERIES: dict[str, QuerySpec] = {
         oracle="""
             WITH words AS (
               SELECT doc_id,
-                     unnest(string_split(lower(trim(text)), ' ')) AS w,
+                     unnest(string_split(lower(trim(coalesce(text, ''))), ' ')) AS w,
                      generate_subscripts(
-                       string_split(lower(trim(text)), ' '), 1) AS pos
+                       string_split(lower(trim(coalesce(text, ''))), ' '), 1) AS pos
               FROM documents)
             SELECT doc_id,
                    CAST(sum(pos * (31 * len(w) + ascii(w))) % 2147483647
@@ -697,14 +703,17 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_simhash_near_dup": QuerySpec(
         spark=llm_simhash_near_dup,
         oracle="""
-            -- the trim-empty guard mirrors the engine: null/empty/
-            -- whitespace docs are unsignable (simhash emits NULL and
-            -- filters it), so no twin pair exists for them
+            -- signability guard mirrors the engine exactly: a doc is
+            -- simhash-able iff it has at least one non-WHITESPACE
+            -- character (tab/newline-only docs tokenize to no valid
+            -- token and are dropped) — space-only trim() would let a
+            -- tab-only doc through
             SELECT doc_id AS id_a,
                    doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
                    0 AS hamming
             FROM documents
-            WHERE doc_id < 50 AND trim(coalesce(text, '')) <> ''
+            WHERE doc_id < 50
+              AND regexp_replace(coalesce(text, ''), '\\s', '', 'g') <> ''
         """,
         doc="SimHash banded candidates rediscover order-permuted twins",
         tags=("§2.11",),
@@ -822,9 +831,11 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_lsh_cosine_topk": QuerySpec(
         spark=llm_lsh_cosine_topk,
         oracle="""
-            -- null/empty-vector guard: the SRP stage emits NULL
-            -- signatures for null/ragged vectors and drops them, so
-            -- such a query has no twin row
+            -- signability guard: the SRP stage emits NULL signatures
+            -- for null/ragged vectors and drops them, and a zero-norm
+            -- vector's cosine is NULL (0/0) in the exact re-rank so
+            -- its twin never reaches rank 1 — such a query has no
+            -- twin row
             SELECT vec_id AS query_id,
                    vec_id + (SELECT max(vec_id) + 1 FROM embeddings)
                      AS neighbor_id,
@@ -832,6 +843,8 @@ QUERIES: dict[str, QuerySpec] = {
             FROM embeddings
             WHERE vec_id < 5 AND embedding IS NOT NULL
               AND len(embedding) > 0
+              AND list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
         """,
         doc="Hyperplane-LSH cosine top-k finds planted twins at rank 1",
         tags=("§2.11",),
@@ -839,7 +852,8 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_ivf_cosine_topk": QuerySpec(
         spark=llm_ivf_cosine_topk,
         oracle="""
-            -- same null/empty-vector guard as the LSH probe
+            -- same signability guard as the LSH probe (null/empty/
+            -- zero-norm vectors produce no rank-1 twin)
             SELECT vec_id AS query_id,
                    vec_id + (SELECT max(vec_id) + 1 FROM embeddings)
                      AS neighbor_id,
@@ -847,6 +861,8 @@ QUERIES: dict[str, QuerySpec] = {
             FROM embeddings
             WHERE vec_id < 5 AND embedding IS NOT NULL
               AND len(embedding) > 0
+              AND list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
         """,
         doc="IVF cosine top-k (k-means codebook) finds planted twins",
         tags=("§2.11",),
@@ -854,16 +870,18 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_incremental_near_dup": QuerySpec(
         spark=llm_incremental_near_dup,
         oracle="""
-            -- trim-empty guard: unsignable docs (all shingles '')
-            -- never enter the signature store, so their copies
-            -- produce no verdict (mirrors minhash_signatures' drop)
+            -- signability guard: docs with no non-whitespace char
+            -- produce only degenerate shingles, never enter the
+            -- signature store, and their copies produce no verdict
+            -- (mirrors minhash_signatures' whitespace-aware drop)
             SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
                      AS new_id,
                    doc_id AS dup_of,
                    CAST(1.0 AS DOUBLE) AS est_jaccard,
                    'index' AS scope
             FROM documents
-            WHERE doc_id < 20 AND trim(coalesce(text, '')) <> ''
+            WHERE doc_id < 20
+              AND regexp_replace(coalesce(text, ''), '\\s', '', 'g') <> ''
         """,
         doc="Incremental store probe flags planted copies cross-batch",
         tags=("§2.11",),

@@ -304,10 +304,19 @@ QUERIES: dict[str, QuerySpec] = {
     "streaming_hourly_rollup": QuerySpec(
         spark=streaming_hourly_rollup,
         oracle="""
+            -- the engine dedups on (user_id, event_id) before
+            -- windowing; mirror it with a full-row DISTINCT, which is
+            -- identical under at-least-once REDELIVERY (duplicate
+            -- keys carry identical payloads — the semantics event_id
+            -- exists for). Key-duplicates with DIFFERING payloads are
+            -- outside the contract on both sides: the engine's
+            -- dropDuplicates survivor is then nondeterministic.
+            WITH d AS (
+              SELECT DISTINCT user_id, event_id, ts, value FROM events)
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
-            FROM events GROUP BY 1
+            FROM d GROUP BY 1
         """,
         doc="End-to-end streaming pipeline: landing readStream → watermark "
         "dedup → tumbling window (T1/T2/T4, batch-parity oracle)",

@@ -404,3 +404,27 @@ def test_kmeans_fit_dim_vote_survives_corrupt_first_seed(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = kmeans_fit(df, k=4, n_iters=1).collect()
     assert cents and all(len(r.embedding) == 4 for r in cents)
+
+
+def test_multimodal_null_payload_survives(spark):
+    """A null payload (e.g. a null-text document) features and resizes
+    as NULLs instead of crashing the Arrow batch (sha256(None))."""
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.llm.multimodal import resize_assets
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="real payload", lang="en", source="s"),
+            Row(doc_id=2, text=None, lang="en", source="s"),
+        ]
+    )
+    assets = documents_as_assets(docs)
+    feats = {r.asset_id: r for r in featurize_assets(assets).collect()}
+    assert feats[1].digest is not None and feats[1].n_bytes > 0
+    assert feats[2].digest is None and feats[2].n_bytes is None
+    assert feats[2].feat is None
+    resized = {r.asset_id: r for r in resize_assets(assets, 4).collect()}
+    assert resized[1].payload == b"real"
+    assert resized[2].payload is None
+    assert resized[2].meta["resized"] == "false"
