@@ -776,12 +776,17 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_embedding_near_dup": QuerySpec(
         spark=llm_embedding_near_dup,
         oracle="""
+            -- null vectors are excluded UP FRONT: the engine's SRP
+            -- stage drops them (NULL signature), and DuckDB's
+            -- list_inner_product raises outright on a NULL list
+            -- rather than returning NULL
             WITH aug AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL
               UNION ALL
               SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
                      embedding::DOUBLE[]
-              FROM embeddings WHERE vec_id < 20)
+              FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_inner_product(a.v, b.v)
                          / (sqrt(list_inner_product(a.v, a.v))

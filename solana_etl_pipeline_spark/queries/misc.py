@@ -48,7 +48,11 @@ def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, chunk_words int")
     class WordChunks:
         def eval(self, text: str):
-            words = text.strip().lower().split()
+            # (text or '') + literal-space split: null/empty text is
+            # ONE empty token (the repo-wide convention) — bare
+            # .split() would crash on None and count degenerates as
+            # zero words while the oracle counts one
+            words = (text or "").strip(" ").lower().split(" ")
             for i in range(0, max(len(words), 1), 10):
                 yield i // 10, min(10, len(words) - i)
 
@@ -271,7 +275,8 @@ QUERIES: dict[str, QuerySpec] = {
         spark=udtf_word_chunks,
         oracle="""
             WITH sized AS (
-              SELECT len(string_split(lower(trim(text)), ' ')) AS n_words
+              SELECT len(string_split(lower(trim(coalesce(text, ''))), ' '))
+                AS n_words
               FROM documents),
             chunks AS (
               SELECT n_words,

@@ -177,7 +177,10 @@ def nested_array_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14/F6: array indexing with defaults over split text — first and
     last word per document (``(x or [""])[0]``, ``key.split('/')[-1]``)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # coalesce: null text indexes as [''] on BOTH sides — without it
+    # Spark's size(split(NULL)) is -1 (a bogus word count folded into
+    # avg_words) while DuckDB groups the null docs separately
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     return (
         docs.select(
             F.coalesce(F.element_at(words, 1), F.lit("")).alias("first_word"),
@@ -264,10 +267,12 @@ QUERIES: dict[str, QuerySpec] = {
     "nested_array_access": QuerySpec(
         spark=nested_array_access,
         oracle="""
-            SELECT string_split(text, ' ')[1] AS first_word,
+            SELECT string_split(coalesce(text, ''), ' ')[1] AS first_word,
                    count(*) AS n_docs,
-                   round(avg(len(string_split(text, ' '))), 6) AS avg_words,
-                   count(DISTINCT string_split(text, ' ')[-1]) AS n_last_words
+                   round(avg(len(string_split(coalesce(text, ''), ' '))), 6)
+                     AS avg_words,
+                   count(DISTINCT string_split(coalesce(text, ''), ' ')[-1])
+                     AS n_last_words
             FROM documents GROUP BY 1
         """,
         doc="Array element access w/ defaults (clean_data.py:43)",

@@ -260,9 +260,12 @@ QUERIES: dict[str, QuerySpec] = {
               FROM events),
             marked AS (
               SELECT user_id, ts_ms, event_id,
+                     -- strict >: an event at exactly start+gap still
+                     -- belongs to the session (session_window merges
+                     -- touching windows — see window_sessionize_batch)
                      CASE WHEN lag(ts_ms) OVER w IS NULL
                           OR ts_ms - lag(ts_ms) OVER w
-                             >= INTERVAL 30 MINUTE
+                             > INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_session
               FROM e
               WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),

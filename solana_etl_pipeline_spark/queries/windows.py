@@ -168,17 +168,24 @@ QUERIES: dict[str, QuerySpec] = {
     "window_sessionize_batch": QuerySpec(
         spark=window_sessionize_batch,
         oracle="""
+            -- STRICT > on the gap: Spark's session_window treats an
+            -- event at exactly start+gap as belonging to the session
+            -- (windows that touch merge) — '>= gap starts a new
+            -- session' splits one session in two at the boundary.
+            -- The islands sum also carries the event_id tie-break
+            -- (duplicate (user_id, ts) rows must consume the marker
+            -- in the order marked assigned it).
             WITH marked AS (
-              SELECT user_id, ts, value,
+              SELECT user_id, ts, value, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_session
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             islands AS (
               SELECT user_id, ts, value,
                      sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_id
               FROM marked)
             SELECT user_id,
