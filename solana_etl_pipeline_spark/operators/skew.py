@@ -101,7 +101,24 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: salt the fact side, replicate the build
     side across all salt values, join on (key, salt). The build side
-    must be the small one — it grows ``buckets``×."""
+    must be the small one — it grows ``buckets``×.
+
+    Only fact-preserving join types are legal: a build row that
+    matches nothing exists ``buckets`` times after replication, so a
+    right/full outer join would emit ``buckets`` null-padded copies
+    of it — silently wrong results, hence the guard.
+    """
+    allowed = {"inner", "left", "leftouter", "left_outer", "cross",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti",
+               "left_anti"}
+    if how.lower().replace("_", "") not in {
+        a.replace("_", "") for a in allowed
+    }:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"(inner/left/semi/anti), not {how!r}: replicated build "
+            f"rows would duplicate unmatched right-side output"
+        )
     salted_facts = facts.withColumn("_salt", _salt(facts, buckets))
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(buckets - 1))

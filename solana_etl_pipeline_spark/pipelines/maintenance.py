@@ -68,17 +68,18 @@ def overwrite_day_partitions(
     corrected day reruns as one job over that day's input, never a
     full-table rewrite, and reruns converge to the same bytes (the
     reference's delete-then-reupload loop, ``cleandata1.py:62-77``,
-    without its lost-update window). STATIC mode would silently drop
-    the untouched partitions; this helper scopes the conf flip and
-    restores it.
+    without its lost-update window).
+
+    The mode is set as a PER-WRITER option, not a session conf flip: a
+    try/finally around ``spark.conf.set`` races with any concurrent
+    write on the shared session — the other writer could plan its
+    overwrite after the finally restored STATIC mode and truncate
+    every partition it didn't touch. The writer option is scoped to
+    this write alone.
     """
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
-    try:
-        (
-            updates.write.mode("overwrite")
-            .partitionBy(day_col)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        updates.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(day_col)
+        .parquet(path)
+    )

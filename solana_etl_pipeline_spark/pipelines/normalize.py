@@ -193,6 +193,14 @@ def normalize_websocket_messages(raw: DataFrame, json_col: str = "raw") -> DataF
     (``clean_data.py:210-226``, P4); ``unionByName(allowMissingColumns)``
     against the canonical schema would also work — explicit literals
     keep types exact.
+
+    EXCEPT the signature: the reference's ``""`` pad is a trap here,
+    because the silver merge dedups on (mint, signature) — with a
+    constant signature every websocket row for a mint shares one key
+    and all but one would be silently dropped. Websocket rows instead
+    carry a content-derived signature (``ws:<sha256(raw)>``): exact
+    redeliveries of the same message still dedup, distinct events
+    never collide, and the value is deterministic under replay.
     """
     parsed = raw.withColumn("m", F.from_json(F.col(json_col), WEBSOCKET_MESSAGE))
     m = F.col("m")
@@ -202,7 +210,9 @@ def normalize_websocket_messages(raw: DataFrame, json_col: str = "raw") -> DataF
         F.lit("websocket").alias("source"),
         F.lit(0).cast("long").alias("fee"),
         F.lit("").alias("fee_payer"),
-        F.lit("").alias("signature"),
+        F.concat(
+            F.lit("ws:"), F.sha2(F.coalesce(F.col(json_col), F.lit("")), 256)
+        ).alias("signature"),
         F.lit(0).cast("long").alias("slot"),
         F.lit(None).cast("timestamp").alias("ts"),
         _s(m["name"]).alias("token_name"),

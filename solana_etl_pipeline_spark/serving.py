@@ -24,6 +24,7 @@ of a ≤100-row display page — the driver never holds the working set.
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Callable
 
@@ -41,23 +42,45 @@ from solana_etl_pipeline_spark.pipelines.gold import (
 
 class TTLCache:
     """``st.cache_data(ttl=...)`` parity: memoize a zero-arg loader for
-    ``ttl_sec`` (monotonic clock injectable for tests)."""
+    ``ttl_sec`` (monotonic clock injectable for tests).
 
-    def __init__(self, ttl_sec: float, clock: Callable[[], float] = time.monotonic):
+    Thread-safe (the HTTP server is a ThreadingHTTPServer — two
+    requests straddling an expiry must not both run the loader), and
+    an optional ``releaser`` is called with each REPLACED value so
+    holders of persisted DataFrames can unpersist them — without it a
+    long-running dashboard leaks one persisted snapshot per TTL
+    cycle."""
+
+    def __init__(
+        self,
+        ttl_sec: float,
+        clock: Callable[[], float] = time.monotonic,
+        releaser: "Callable[[object], None] | None" = None,
+    ):
         self.ttl_sec = ttl_sec
         self.clock = clock
+        self.releaser = releaser
         self._value = None
         self._loaded_at: float | None = None
+        self._lock = threading.Lock()
 
     def get(self, loader: Callable[[], object]):
-        now = self.clock()
-        if self._loaded_at is None or now - self._loaded_at >= self.ttl_sec:
-            self._value = loader()
-            self._loaded_at = now
-        return self._value
+        with self._lock:
+            now = self.clock()
+            if (
+                self._loaded_at is None
+                or now - self._loaded_at >= self.ttl_sec
+            ):
+                old = self._value
+                self._value = loader()
+                self._loaded_at = now
+                if old is not None and self.releaser is not None:
+                    self.releaser(old)
+            return self._value
 
     def invalidate(self) -> None:
-        self._loaded_at = None
+        with self._lock:
+            self._loaded_at = None
 
 
 class Dashboard:
@@ -81,7 +104,14 @@ class Dashboard:
         self.silver_path = silver_path
         self.token_names = token_names
         self.working_set_rows = working_set_rows
-        self._cache = TTLCache(data_ttl_sec, clock)
+        self._cache = TTLCache(
+            data_ttl_sec, clock, releaser=self._release_snapshot
+        )
+
+    @staticmethod
+    def _release_snapshot(snap) -> None:
+        for df in snap.values():
+            df.unpersist()
 
     # -- data ----------------------------------------------------------
 

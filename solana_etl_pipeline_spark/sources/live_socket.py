@@ -39,6 +39,7 @@ from solana_etl_pipeline_spark.sources.message_stream import (
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 # opcodes (RFC 6455 §5.2)
+OP_CONT = 0x0
 OP_TEXT = 0x1
 OP_CLOSE = 0x8
 OP_PING = 0x9
@@ -69,9 +70,15 @@ def encode_frame(payload: bytes, opcode: int, mask: bool) -> bytes:
     return head + key + masked
 
 
-async def read_frame(reader: asyncio.StreamReader) -> tuple[int, bytes]:
-    """→ (opcode, payload). Unmasks if the mask bit is set."""
+async def read_frame(
+    reader: asyncio.StreamReader,
+) -> tuple[bool, int, bytes]:
+    """→ (fin, opcode, payload). Unmasks if the mask bit is set. The
+    FIN bit matters: servers may fragment a large message into a text
+    frame with FIN=0 plus continuation frames (opcode 0x0) — dropping
+    it would hand partial JSON to the consumer."""
     b0, b1 = await reader.readexactly(2)
+    fin = bool(b0 & 0x80)
     opcode = b0 & 0x0F
     masked = bool(b1 & 0x80)
     n = b1 & 0x7F
@@ -83,7 +90,7 @@ async def read_frame(reader: asyncio.StreamReader) -> tuple[int, bytes]:
     payload = await reader.readexactly(n)
     if key:
         payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
-    return opcode, payload
+    return fin, opcode, payload
 
 
 async def websocket_connect(
@@ -117,31 +124,38 @@ async def websocket_connect(
         )
     port = u.port or (443 if u.scheme == "wss" else 80)
     reader, writer = await asyncio.open_connection(u.hostname, port, ssl=ssl_ctx)
-    key = base64.b64encode(os.urandom(16)).decode()
-    path = u.path or "/"
-    request = (
-        f"GET {path} HTTP/1.1\r\n"
-        f"Host: {u.hostname}:{port}\r\n"
-        "Upgrade: websocket\r\n"
-        "Connection: Upgrade\r\n"
-        f"Sec-WebSocket-Key: {key}\r\n"
-        "Sec-WebSocket-Version: 13\r\n\r\n"
-    )
-    writer.write(request.encode())
-    await writer.drain()
-    status = await reader.readline()
-    if b"101" not in status:
-        raise ConnectionError(f"handshake rejected: {status!r}")
-    accept = None
-    while True:
-        line = await reader.readline()
-        if line in (b"\r\n", b""):
-            break
-        name, _, value = line.decode().partition(":")
-        if name.strip().lower() == "sec-websocket-accept":
-            accept = value.strip()
-    if accept != _accept_key(key):
-        raise ConnectionError("bad Sec-WebSocket-Accept")
+    try:
+        key = base64.b64encode(os.urandom(16)).decode()
+        path = u.path or "/"
+        request = (
+            f"GET {path} HTTP/1.1\r\n"
+            f"Host: {u.hostname}:{port}\r\n"
+            "Upgrade: websocket\r\n"
+            "Connection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        )
+        writer.write(request.encode())
+        await writer.drain()
+        status = await reader.readline()
+        if b"101" not in status:
+            raise ConnectionError(f"handshake rejected: {status!r}")
+        accept = None
+        while True:
+            line = await reader.readline()
+            if line in (b"\r\n", b""):
+                break
+            name, _, value = line.decode().partition(":")
+            if name.strip().lower() == "sec-websocket-accept":
+                accept = value.strip()
+        if accept != _accept_key(key):
+            raise ConnectionError("bad Sec-WebSocket-Accept")
+    except BaseException:
+        # a rejected handshake must not leak the TCP/TLS connection:
+        # a reconnect-with-backoff loop would otherwise accumulate one
+        # open socket per attempt until fd exhaustion
+        writer.close()
+        raise
     return reader, writer
 
 
@@ -163,9 +177,10 @@ async def websocket_messages(
             )
         await writer.drain()
         served = 0
+        fragments: list[bytes] = []  # in-flight fragmented text message
         while max_messages is None or served < max_messages:
             try:
-                opcode, payload = await read_frame(reader)
+                fin, opcode, payload = await read_frame(reader)
             except (asyncio.IncompleteReadError, ConnectionResetError):
                 break
             if opcode == OP_CLOSE:
@@ -176,7 +191,22 @@ async def websocket_messages(
                 writer.write(encode_frame(payload, OP_PONG, mask=True))
                 await writer.drain()
                 continue
-            if opcode != OP_TEXT:
+            # RFC 6455 §5.4 fragmentation: a text frame with FIN=0
+            # starts a message; continuation frames (opcode 0) carry
+            # the rest; only the final fragment completes the JSON.
+            # Control frames may interleave (handled above).
+            if opcode == OP_TEXT and not fin:
+                fragments = [payload]
+                continue
+            if opcode == OP_CONT:
+                if not fragments:
+                    continue  # stray continuation: drop, keep stream up
+                fragments.append(payload)
+                if not fin:
+                    continue
+                payload = b"".join(fragments)
+                fragments = []
+            elif opcode != OP_TEXT:
                 continue
             served += 1
             yield json.loads(payload.decode())

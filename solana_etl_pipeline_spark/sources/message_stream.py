@@ -111,10 +111,24 @@ async def write_messages_to_landing(
     wrapping its socket client; tests pass a fake iterator. Returns the
     number of files written."""
     os.makedirs(landing_dir, exist_ok=True)
+    # Resume numbering AFTER any file already in the dir: restarting
+    # at 0 on a reconnect would os.rename over the previous run's
+    # files, and Spark's file source tracks seen files by PATH — the
+    # replaced message is never re-read and the new one never
+    # ingested (silent loss on every restart).
+    start = 0
+    plen = len(prefix) + 1
+    for name in os.listdir(landing_dir):
+        if name.startswith(f"{prefix}-") and name.endswith(".json"):
+            try:
+                start = max(start, int(name[plen:-5]) + 1)
+            except ValueError:
+                continue
     n = 0
     async for msg in messages:
-        tmp = os.path.join(landing_dir, f".{prefix}-{n:012d}.json.tmp")
-        final = os.path.join(landing_dir, f"{prefix}-{n:012d}.json")
+        idx = start + n
+        tmp = os.path.join(landing_dir, f".{prefix}-{idx:012d}.json.tmp")
+        final = os.path.join(landing_dir, f"{prefix}-{idx:012d}.json")
         with open(tmp, "w") as f:
             json.dump(msg, f)
         os.rename(tmp, final)  # atomic: readers never see partial files

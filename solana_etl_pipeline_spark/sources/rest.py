@@ -58,6 +58,26 @@ def fetch_batch_to_dataframe(
     return spark.createDataFrame(rows, schema=schema)
 
 
+def _retry_after_seconds(value: "str | None", fallback: float) -> float:
+    """RFC 7231 Retry-After is delay-SECONDS *or* an HTTP-DATE —
+    ``float()`` alone crashes the retry path on the date form (the one
+    place a crash turns rate limiting into job failure). Falls back to
+    exponential backoff on anything unparseable."""
+    if value is None:
+        return fallback
+    try:
+        return max(0.0, float(value))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(value)
+        return max(0.0, dt.timestamp() - time.time())
+    except (TypeError, ValueError):
+        return fallback
+
+
 def http_json_fetcher(
     url_template: str,
     *,
@@ -116,11 +136,9 @@ def http_json_fetcher(
                 raise RuntimeError(f"GET {url} -> {status} (not retryable)")
             last_status = status
             if attempt < max_retries:
-                retry_after = hdrs.get("Retry-After")
-                delay = (
-                    float(retry_after)
-                    if retry_after is not None
-                    else backoff_base_sec * (2**attempt)
+                delay = _retry_after_seconds(
+                    hdrs.get("Retry-After"),
+                    backoff_base_sec * (2**attempt),
                 )
                 sleeper(delay)
         raise RuntimeError(

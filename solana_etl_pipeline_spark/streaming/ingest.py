@@ -67,8 +67,21 @@ def deduplicated(
     """T4: exactly-once by key — the reference's *intended* ledger
     semantics (``my_websocket.py:101-105``). The watermark bounds dedup
     state: keys older than the horizon are evicted, so state is O(keys
-    within the watermark), not O(all history)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    within the watermark), not O(all history).
+
+    The event-time column is APPENDED to the dedup keys: Spark's
+    streaming dropDuplicates only evicts state when the watermark
+    column is part of the key set — ``dropDuplicates(keys)`` alone
+    would keep the watermark for late-row dropping but grow dedup
+    state with every key ever seen (the unbounded-ledger failure this
+    operator exists to prevent). Redelivered rows carry the same
+    event time, so the dedup decision is unchanged; duplicates whose
+    event times differ need
+    ``withWatermark(ts).dropDuplicatesWithinWatermark(keys)`` (see
+    tests/test_streaming.py::test_drop_duplicates_within_watermark).
+    """
+    key_set = list(keys) if ts_col in keys else [*keys, ts_col]
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_set)
 
 
 def hourly_window_counts(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -190,6 +203,19 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def _await_drain(query, timeout_sec: int) -> None:
+    """awaitTermination(timeout) returns False WITHOUT stopping the
+    query when the drain outruns the timeout — callers would then read
+    a partially-filled sink while the query keeps running (and a retry
+    collides on the live checkpoint). Stop it and fail loudly."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"availableNow drain exceeded {timeout_sec}s; query stopped "
+            f"(partial sink contents discarded by the caller)"
+        )
+
+
 def run_available_now(
     result: DataFrame,
     checkpoint_dir: str,
@@ -218,7 +244,7 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    _await_drain(query, timeout_sec)
     return name
 
 
@@ -240,7 +266,7 @@ def foreach_batch_refresh(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    _await_drain(query, timeout_sec)
 
 
 def with_observed_metrics(stream: DataFrame, name: str = "metrics") -> DataFrame:
@@ -278,4 +304,4 @@ def run_available_now_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    _await_drain(query, timeout_sec)

@@ -61,7 +61,7 @@ async def _start_fake_server(
             ).encode()
         )
         await writer.drain()
-        opcode, payload = await read_frame(reader)
+        _fin, opcode, payload = await read_frame(reader)
         assert opcode == OP_TEXT
         received_subs.append(json.loads(payload.decode()))
         writer.write(encode_frame(b"hb", OP_PING, mask=False))
@@ -74,7 +74,7 @@ async def _start_fake_server(
         # wait for the client's pong + close echo, then drop
         try:
             while True:
-                op, _ = await read_frame(reader)
+                _f, op, _ = await read_frame(reader)
                 if op == OP_CLOSE:
                     break
         except asyncio.IncompleteReadError:
@@ -290,3 +290,76 @@ def test_live_socket_ssl_context_with_ws_uri_rejected(tmp_path):
                 "ws://127.0.0.1:1/", ssl_context=ssl.create_default_context()
             )
         )
+
+
+def test_fragmented_text_message_is_assembled(tmp_path):
+    """RFC 6455 §5.4: a text message split across a FIN=0 text frame,
+    a FIN=0 continuation, an interleaved PING, and a FIN=1
+    continuation must arrive as ONE message; a reconnect into the
+    same landing dir must not overwrite previously landed files."""
+    import json as _json
+    import os
+
+    from solana_etl_pipeline_spark.sources.live_socket import (
+        OP_CONT,
+        _accept_key,
+        run_live_ingest,
+    )
+
+    def raw_frame(payload: bytes, opcode: int, fin: bool) -> bytes:
+        b0 = (0x80 if fin else 0) | opcode
+        assert len(payload) < 126
+        return bytes([b0, len(payload)]) + payload
+
+    msg = _json.dumps({"mint": "mFrag", "txType": "buy"}).encode()
+    third = len(msg) // 3
+
+    async def handler(reader, writer):
+        key = None
+        while True:
+            line = await reader.readline()
+            if line in (b"\r\n", b""):
+                break
+            name, _, value = line.decode().partition(":")
+            if name.strip().lower() == "sec-websocket-key":
+                key = value.strip()
+        writer.write(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+            ).encode()
+        )
+        writer.write(raw_frame(msg[:third], OP_TEXT, fin=False))
+        writer.write(raw_frame(msg[third : 2 * third], OP_CONT, fin=False))
+        writer.write(raw_frame(b"hb", OP_PING, fin=True))  # interleaved
+        writer.write(raw_frame(msg[2 * third :], OP_CONT, fin=True))
+        writer.write(raw_frame(b"", OP_CLOSE, fin=True))
+        await writer.drain()
+
+    landing = str(tmp_path / "landing")
+
+    async def run():
+        server = await asyncio.start_server(handler, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            return await run_live_ingest(
+                f"ws://127.0.0.1:{port}/s", landing, max_messages=1
+            )
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    assert asyncio.run(run()) == 1
+    files = sorted(os.listdir(landing))
+    assert files == ["msg-000000000000.json"]
+    with open(os.path.join(landing, files[0])) as f:
+        assert _json.load(f) == {"mint": "mFrag", "txType": "buy"}
+
+    # second run into the SAME landing dir resumes numbering past the
+    # existing file instead of renaming over it
+    assert asyncio.run(run()) == 1
+    assert sorted(os.listdir(landing)) == [
+        "msg-000000000000.json",
+        "msg-000000000001.json",
+    ]

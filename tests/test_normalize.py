@@ -147,7 +147,11 @@ def test_websocket_normalize_pads_constants(spark):
     assert row.source == "websocket"
     assert row.type == "create"
     assert row.token_amount == 2.25
-    assert row.fee == 0 and row.signature == "" and row.ts is None
+    # signature is content-derived (ws:<sha256(raw)>), NOT the
+    # reference's '' pad — a constant would collapse all websocket
+    # rows for a mint under the (mint, signature) silver dedup
+    assert row.fee == 0 and row.ts is None
+    assert row.signature.startswith("ws:") and len(row.signature) == 67
     assert len(out.columns) == 15
 
 

@@ -67,7 +67,11 @@ def test_build_silver_merges_and_dedups(spark):
     silver = build_silver(helius_raw, ws_raw)
     rows = silver.collect()
     assert len(rows) == 3  # sig1 kept once, sig2, websocket row
-    assert sorted(r.signature for r in rows) == ["", "sig1", "sig2"]
+    sigs = sorted(r.signature for r in rows)
+    assert sigs[:2] == ["sig1", "sig2"]
+    # websocket rows carry a content-derived signature so the
+    # (mint, signature) dedup cannot collapse distinct ws events
+    assert sigs[2].startswith("ws:") and len(sigs[2]) == 3 + 64
     assert silver.columns == silver_schema_columns()
 
 
@@ -275,3 +279,20 @@ def test_write_zordered_localizes_both_dimensions(spark, tmp_path):
     assert max_span("z", "y") <= 31
     back = spark.read.parquet(zpath)
     assert back.count() == 64 * 64
+
+
+def test_build_silver_keeps_distinct_websocket_events(spark):
+    """Two different websocket messages for the SAME mint must both
+    survive the (mint, signature) dedup — a constant '' signature
+    would collapse them (the reference's pad is a trap here)."""
+    ws_rows = [
+        Row(raw=json.dumps({"mint": "mintX", "txType": "buy", "solAmount": 1.0})),
+        Row(raw=json.dumps({"mint": "mintX", "txType": "buy", "solAmount": 2.0})),
+        # exact redelivery of the first message: MUST dedup
+        Row(raw=json.dumps({"mint": "mintX", "txType": "buy", "solAmount": 1.0})),
+    ]
+    helius_raw = spark.createDataFrame([], "raw string")
+    silver = build_silver(helius_raw, spark.createDataFrame(ws_rows))
+    rows = silver.collect()
+    assert len(rows) == 2
+    assert {r.token_amount for r in rows} == {1.0, 2.0}

@@ -104,3 +104,32 @@ def test_serve_http_renders_overview(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_ttl_cache_releases_replaced_value_and_is_thread_safe():
+    """Expiry hands the REPLACED value to the releaser (the dashboard
+    unpersists its old snapshot there), and concurrent gets at expiry
+    run the loader exactly once."""
+    import threading
+
+    now = [0.0]
+    released, loads = [], [0]
+    cache = TTLCache(
+        ttl_sec=10.0, clock=lambda: now[0], releaser=released.append
+    )
+
+    def loader():
+        loads[0] += 1
+        return f"snap{loads[0]}"
+
+    assert cache.get(loader) == "snap1"
+    now[0] = 20.0  # expired: next get reloads and releases snap1
+    threads = [
+        threading.Thread(target=cache.get, args=(loader,)) for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert loads[0] == 2  # one reload total, not one per thread
+    assert released == ["snap1"]

@@ -62,3 +62,20 @@ def test_salted_join_parity(spark):
     left = salted_join(facts, dim_partial, "k", buckets=4, how="left")
     assert left.count() == facts.count()
     assert left.filter(F.col("name").isNull()).count() == 100
+
+
+def test_salted_join_rejects_build_preserving_modes(spark):
+    """right/full outer would emit `buckets` null-padded copies of
+    every unmatched build row — refused loudly."""
+    import pytest
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame([Row(k=1, v=1.0)])
+    build = spark.createDataFrame([Row(k=2, name="b")])
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError):
+            salted_join(facts, build, key="k", how=how)
+    # fact-preserving modes stay allowed
+    assert salted_join(facts, build, key="k", how="left").count() == 1

@@ -238,3 +238,23 @@ def test_http_fetcher_pagination_and_backoff(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_retry_after_http_date_forms_parse_to_delays():
+    """RFC 7231: Retry-After may be delay-seconds OR an HTTP-date —
+    float() on the date form used to raise ValueError and turn rate
+    limiting into job failure."""
+    import email.utils
+    import time as _time
+
+    from solana_etl_pipeline_spark.sources.rest import _retry_after_seconds
+
+    assert _retry_after_seconds("3", 9.0) == 3.0
+    assert _retry_after_seconds(None, 9.0) == 9.0
+    date_header = email.utils.formatdate(_time.time() + 5, usegmt=True)
+    assert 0.0 <= _retry_after_seconds(date_header, 9.0) <= 6.0
+    # a date in the past clamps to zero rather than sleeping negative
+    past = email.utils.formatdate(_time.time() - 60, usegmt=True)
+    assert _retry_after_seconds(past, 9.0) == 0.0
+    # garbage falls back to exponential backoff
+    assert _retry_after_seconds("soon-ish", 9.0) == 9.0
