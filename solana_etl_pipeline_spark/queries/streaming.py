@@ -163,31 +163,35 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an interval bound: purchases
     within one hour of the same user's signup. Two independent
-    ``readStream`` sources over one landing dir (filtered to signup /
-    purchase), watermarked on both sides, time-bounded both ways —
-    the state-evictable production shape (see
+    ``readStream`` sources — each over its OWN pre-filtered landing
+    dir (the production shape: distinct topics land separately; it
+    also means each source parses only its 20% slice instead of both
+    scanning the full feed) — watermarked on both sides, time-bounded
+    both ways, so join state evicts (see
     :func:`stream_interval_join`). One availableNow batch in append
     mode ⇒ result equals the batch twin, so a plain SQL interval join
     is the oracle. Output avoids raw timestamps (ids +
     ``millis_after``) so the hash compare is timezone-proof."""
     ev = load_table(spark, sf_dir, "events")
     work = _stream_workdir("spark_stream_ij_")
-    landing = f"{work}/landing"
-    ev.write.mode("overwrite").json(landing)
-
-    signups = (
-        landing_stream(spark, landing, EVENTS, max_files_per_trigger=None)
-        .filter(F.col("event_type") == "signup")
-        .select("user_id", F.col("event_id").alias("signup_id"), "ts")
+    signup_landing = f"{work}/signups"
+    purchase_landing = f"{work}/purchases"
+    ev.filter(F.col("event_type") == "signup").write.mode("overwrite").json(
+        signup_landing
     )
-    purchases = (
-        landing_stream(spark, landing, EVENTS, max_files_per_trigger=None)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("_r_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
+    ev.filter(F.col("event_type") == "purchase").write.mode(
+        "overwrite"
+    ).json(purchase_landing)
+
+    signups = landing_stream(
+        spark, signup_landing, EVENTS, max_files_per_trigger=None
+    ).select("user_id", F.col("event_id").alias("signup_id"), "ts")
+    purchases = landing_stream(
+        spark, purchase_landing, EVENTS, max_files_per_trigger=None
+    ).select(
+        F.col("user_id").alias("_r_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
     )
     joined = stream_interval_join(
         signups,
