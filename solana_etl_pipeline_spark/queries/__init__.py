@@ -61,84 +61,20 @@ for _mod in (
 
 # Driver-facing ordering. The verify harness checks a prefix of the
 # registry (~50 queries per round), so the order is score-bearing.
-# Rounds 2-3 front-loaded one query per SURVEY §2 component family
-# (all driver-green in CORRECTNESS_r03); round 4 rotated in the
-# TPC-H suite, rollup/cube, window variants, quality/io and the r4
-# self-banded/ranking/curation queries (all green in
-# CORRECTNESS_r04). Round 5 front-loads the last queries with no
-# driver CORRECTNESS row: the three registered after the r4 prefix
-# was packed (llm_export_shards, llm_token_heavy_hitters,
-# sink_zorder_roundtrip), the seven near-dup/ANN queries that
-# gained self-banded oracles this round (previously rows-only by
-# contract), and the five queries newly registered in r5 (session
-# windows + the corpus-hygiene family). The remaining slots
-# re-witness r3 greens — the longest-unwitnessed rows — so every
-# query's most recent green row is at most two rounds old.
+# Rotation invariant (see README.md "Prefix rotation" and
+# tools/staleness.py): every query's most recent driver-green
+# CORRECTNESS row must be at most two rounds old. Each round the
+# prefix is regenerated mechanically with
+#     python tools/staleness.py --budget 50
+# which orders never-witnessed queries first, then witnessed queries
+# stalest-first. The round-6 prefix below is that tool's output at
+# HEAD: the 17 queries last driver-witnessed in r3 (sinks/enrich/
+# UDTF/pivot/sliding-windows + the nine r3 llm queries), then 33 of
+# the 50 r4-green queries in their r4 order. Positions 51-67 hold
+# the remaining 17 r4 greens (aged 2 rounds after r6 — first in line
+# for the r7 prefix), then the r5-green prefix in its r5 order.
 _PRIORITY = (
-    # --- round-5 prefix ---
-    # oracle-paired but never driver-witnessed (registered post-r4-
-    # prefix; judge-verified at sf0.01 in r4)
-    "llm_export_shards",
-    "llm_token_heavy_hitters",
-    "sink_zorder_roundtrip",
-    # near-dup/ANN family: gained self-banded oracles in r5
-    # (exact-verified output or planted-probe form — queries/llm.py)
-    "llm_minhash_near_dup",
-    "llm_simhash_near_dup",
-    "llm_near_dup_survivors",
-    "llm_embedding_near_dup",
-    "llm_lsh_cosine_topk",
-    "llm_ivf_cosine_topk",
-    "llm_incremental_near_dup",
-    # registered in r5: streaming session_window state (new coverage)
-    "streaming_session_windows",
-    # registered in r5: corpus-hygiene family (queries/hygiene.py)
-    "llm_decontaminate",
-    "llm_repetition_rules",
-    "llm_mixture_sample",
-    "llm_chunk_documents",
-    # registered in r5: stream-stream interval join (§2.9)
-    "streaming_interval_join",
-    # registered in r5: deterministic train/val/test split
-    "llm_split_assign",
-    # registered in r5: CCNet-style unigram LM quality score
-    "llm_lm_quality_score",
-    # --- re-witness: r3 greens (oldest rows), r3 order ---
-    "risk_scores_topk",
-    "risk_banding_report",
-    "events_json_extract_agg",
-    "nested_helius_flatten",
-    "nested_explode_padding",
-    "nested_tojson_roundtrip",
-    "nested_array_access",
-    "typed_props_parse",
-    "events_project_filter",
-    "events_not_in_filter",
-    "negative_substring_filter",
-    "epoch_rendering_pst",
-    "timestamp_parse_roundtrip",
-    "string_functions_zoo",
-    "regexp_extract_sources",
-    "join_broadcast_lookup",
-    "join_left_anti",
-    "join_theta_range",
-    "nullsafe_join_counts",
-    "asof_prior_purchase",
-    "skew_salted_join_priority_revenue",
-    "window_topk_per_hour",
-    "window_sessionize_batch",
-    "setop_union_harmonize",
-    "setop_except_all",
-    "sort_topk_recent",
-    "agg_first_latest_per_group",
-    "agg_active_users_threshold",
-    "events_dedup_by_key",
-    "agg_grouping_sets",
-    "agg_percentiles_stddev",
-    "streaming_hourly_rollup",
-    # --- position 51+: r3 greens not re-witnessed this round (the
-    # r5 insertions displaced the eight below — each holds an r3
-    # driver-green row), then the r4-green prefix in its r4 order ---
+    # --- round-6 prefix: staleness-2 rows (last green in r3) ---
     "streaming_sliding_windows",
     "sink_parquet_partitioned",
     "sink_csv_roundtrip",
@@ -156,6 +92,7 @@ _PRIORITY = (
     "llm_ngram_jaccard",
     "llm_cosine_topk",
     "llm_multimodal_featurize",
+    # --- round-6 prefix: staleness-1 rows (last green in r4) ---
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
@@ -189,6 +126,7 @@ _PRIORITY = (
     "window_rank_customers",
     "setop_intersect",
     "distinct_event_types",
+    # --- position 51+: remaining r4 greens (r7 prefix candidates) ---
     "agg_rollup_returnflag",
     "agg_cube_orders",
     "agg_collect_set_sorted",
@@ -206,6 +144,57 @@ _PRIORITY = (
     "llm_pii_redact",
     "llm_pack_sequences",
     "llm_corpus_filter",
+    # --- r5-green prefix, r5 order (freshest rows) ---
+    "llm_export_shards",
+    "llm_token_heavy_hitters",
+    "sink_zorder_roundtrip",
+    "llm_minhash_near_dup",
+    "llm_simhash_near_dup",
+    "llm_near_dup_survivors",
+    "llm_embedding_near_dup",
+    "llm_lsh_cosine_topk",
+    "llm_ivf_cosine_topk",
+    "llm_incremental_near_dup",
+    "streaming_session_windows",
+    "llm_decontaminate",
+    "llm_repetition_rules",
+    "llm_mixture_sample",
+    "llm_chunk_documents",
+    "streaming_interval_join",
+    "llm_split_assign",
+    "llm_lm_quality_score",
+    "risk_scores_topk",
+    "risk_banding_report",
+    "events_json_extract_agg",
+    "nested_helius_flatten",
+    "nested_explode_padding",
+    "nested_tojson_roundtrip",
+    "nested_array_access",
+    "typed_props_parse",
+    "events_project_filter",
+    "events_not_in_filter",
+    "negative_substring_filter",
+    "epoch_rendering_pst",
+    "timestamp_parse_roundtrip",
+    "string_functions_zoo",
+    "regexp_extract_sources",
+    "join_broadcast_lookup",
+    "join_left_anti",
+    "join_theta_range",
+    "nullsafe_join_counts",
+    "asof_prior_purchase",
+    "skew_salted_join_priority_revenue",
+    "window_topk_per_hour",
+    "window_sessionize_batch",
+    "setop_union_harmonize",
+    "setop_except_all",
+    "sort_topk_recent",
+    "agg_first_latest_per_group",
+    "agg_active_users_threshold",
+    "events_dedup_by_key",
+    "agg_grouping_sets",
+    "agg_percentiles_stddev",
+    "streaming_hourly_rollup",
 )
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

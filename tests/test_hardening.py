@@ -89,6 +89,91 @@ def test_sink_format_seam_delta_needs_package():
         assert resolve_sink_format("delta") == "delta"
 
 
+def test_sink_format_seam_delta_writer_wiring(spark, monkeypatch, tmp_path):
+    """Exercise the delta BRANCH of the seam without delta-spark: with
+    an importable ``delta`` module faked in, ``write_parquet(...,
+    format='delta')`` must thread ``delta`` through
+    ``resolve_sink_format`` into the DataFrameWriter's ``.format()``
+    call with mode/partitioning intact. The real ``.save()`` stays
+    env-gated (no Delta JVM classes here), so it is intercepted and
+    recorded instead of executed."""
+    import sys
+    import types
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    monkeypatch.setitem(sys.modules, "delta", types.ModuleType("delta"))
+    assert resolve_sink_format("delta") == "delta"
+
+    calls: dict[str, object] = {}
+    orig_format = DataFrameWriter.format
+    orig_partition_by = DataFrameWriter.partitionBy
+    orig_mode = DataFrameWriter.mode
+
+    def rec_format(self, source):
+        calls["format"] = source
+        return orig_format(self, "parquet" if source == "delta" else source)
+
+    def rec_partition_by(self, *cols):
+        calls["partitionBy"] = cols
+        return orig_partition_by(self, *cols)
+
+    def rec_mode(self, saveMode):
+        calls["mode"] = saveMode
+        return orig_mode(self, saveMode)
+
+    def rec_save(self, path=None, **kw):
+        calls["save_path"] = path
+
+    monkeypatch.setattr(DataFrameWriter, "format", rec_format)
+    monkeypatch.setattr(DataFrameWriter, "partitionBy", rec_partition_by)
+    monkeypatch.setattr(DataFrameWriter, "mode", rec_mode)
+    monkeypatch.setattr(DataFrameWriter, "save", rec_save)
+
+    df = spark.range(4).select(F.col("id"), (F.col("id") % 2).alias("p"))
+    path = str(tmp_path / "delta_seam")
+    write_parquet(df, path, partition_cols=["p"], mode="overwrite",
+                  format="delta")
+
+    assert calls["format"] == "delta"
+    assert calls["partitionBy"] == ("p",)
+    assert calls["mode"] == "overwrite"
+    assert calls["save_path"] == path
+
+
+# -------------------------------------------- witness-staleness gate
+
+
+def test_correctness_witnesses_not_stale():
+    """Prefix-rotation invariant (README 'Prefix rotation'): every
+    driver-witnessed query's most recent green CORRECTNESS row is at
+    most two rounds old. tools/staleness.py computes this from the
+    CORRECTNESS_r*.json files; a missed rotation trips this test one
+    round later instead of silently aging the evidence."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    try:
+        from tools.staleness import load_witness_rounds, registry_names
+    finally:
+        sys.path.pop(0)
+
+    latest, last_green = load_witness_rounds()
+    if latest == 0:  # pragma: no cover - fresh checkout without rows
+        pytest.skip("no CORRECTNESS files on disk")
+    names = registry_names()
+    over = {
+        n: latest - last_green[n]
+        for n in names
+        if n in last_green and latest - last_green[n] > 2
+    }
+    assert not over, (
+        f"stale correctness witnesses (regenerate _PRIORITY with "
+        f"`python tools/staleness.py --budget 50`): {over}"
+    )
+
+
 # ------------------------------------------------- brute-force guard
 
 
