@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from solana_etl_pipeline_spark.llm import tokenize
+
 # RE2-safe patterns (work identically under Java regex and DuckDB/RE2).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
@@ -69,9 +71,7 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
-    words = F.split(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-    )
+    words = tokenize.words(F.col(text_col))
     # Materialize the token array before the generator references it:
     # sibling columns of an explode are re-evaluated per output row,
     # so an inlined split would re-tokenize once per chunk.
@@ -111,9 +111,7 @@ def pack_sequences(
     toks = df.select(
         F.col(stream_col).alias("stream"),
         F.col(id_col).alias("doc"),
-        F.size(
-            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), " ")
-        ).alias("tokens"),
+        F.size(tokenize.words(F.col(text_col))).alias("tokens"),
     )
     w = (
         Window.partitionBy("stream")

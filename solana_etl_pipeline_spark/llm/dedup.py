@@ -38,13 +38,14 @@ it instead (that is what ``llm/incremental.py`` does).
 from __future__ import annotations
 
 import contextlib
-import re
 import threading
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.llm import tokenize
 
 #: Active cache scopes (innermost last). Module-level because the pair
 #: generators are plain functions; a scope collects every DataFrame
@@ -145,7 +146,7 @@ def _word_shingles(text: Column, shingle_len: int) -> Column:
     boundary), recomputing the tokenization once per shingle — a
     measured ~7× slowdown on the documents fixture.
     """
-    words = F.split(F.lower(F.trim(text)), "\\s+")
+    words = tokenize.words(text)
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - shingle_len + 1, F.lit(1)))
     return F.array_distinct(
@@ -155,17 +156,14 @@ def _word_shingles(text: Column, shingle_len: int) -> Column:
     )
 
 
-_WS_ASCII = re.compile(r"\s+", re.ASCII)
-
-
 def _word_tokens(t: "str | None") -> list[str]:
     """The Python tokenization convention, shared by every Arrow text
-    path (shingles here, n-grams in ``llm.textstats``): ``re.ASCII``
-    matches Java's ASCII-only ``\\s``; ``strip(' ')`` matches Spark's
-    space-only ``trim`` (bare ``strip()`` also eats tabs/newlines —
-    found by the Hypothesis twin test); None renders ``['']`` like
-    ``split(lower(trim(NULL)))`` under the expression twins."""
-    return _WS_ASCII.split((t or "").strip(" ").lower())
+    path (shingles here, n-grams in ``llm.textstats``). The actual
+    convention — collapse whitespace runs, trim, literal-space split,
+    None → ``['']`` — lives in :mod:`llm.tokenize` alongside its
+    Spark-expression and DuckDB-oracle twins, so a convention change
+    lands in all three engines at once."""
+    return tokenize.py_words(t)
 
 
 def _shingle_list(t: "str | None", shingle_len: int) -> list[str]:
@@ -227,7 +225,7 @@ def shingle_sets_expr(
     referenced non-cheap aliases in their own project)."""
     words_df = df.select(
         F.col(id_col).alias("_id"),
-        F.split(F.lower(F.trim(F.col(text_col))), "\\s+").alias("_words"),
+        tokenize.words(F.col(text_col)).alias("_words"),
     )
     w = F.col("_words")
     idx = F.sequence(
@@ -606,9 +604,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if t is None:
                 out.append(None)
                 continue
-            # strip(' ') mirrors Spark's space-only trim; the w filter
-            # drops the degenerate '' tokens either way
-            words = [w for w in _WS_ASCII.split(t.strip(" ").lower()) if w]
+            # the w filter drops the degenerate '' token of
+            # empty/whitespace-only text
+            words = [w for w in tokenize.py_words(t) if w]
             if not words:
                 out.append(None)
                 continue
@@ -650,15 +648,12 @@ def simhash_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("_id"),
         # outer: split() never yields an empty array, and inner explode
         # would re-evaluate the split inside an inferred size()>0 filter
-        F.explode_outer(
-            F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-        ).alias("w"),
+        F.explode_outer(tokenize.words(F.col(text_col))).alias("w"),
     ).filter(
-        # split(NULL) is NULL ⇒ outer explode emits one w=NULL row per
-        # null-text doc (xxhash64(NULL) returns the seed), and empty
-        # text splits to [''] — either way all such docs would share
-        # one signature and pair with each other. Drop both degenerate
-        # tokens. Filtering the generated column avoids the
+        # null/empty/whitespace-only text tokenizes to [''] — all such
+        # docs would share one signature and pair with each other.
+        # Drop the degenerate token (isNotNull kept for belt-and-
+        # braces). Filtering the generated column avoids the
         # InferFiltersFromGenerate split re-inlining.
         F.col("w").isNotNull() & (F.col("w") != "")
     ).withColumn("h", F.xxhash64("w"))

@@ -29,16 +29,23 @@ under the repo's 1e-6 rounding convention (see the ``ln`` note in
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.llm import tokenize
+
+# At most one UNSCOPED vocab persist survives at a time (see
+# unigram_score's docstring).
+_UNSCOPED_LOCK = threading.Lock()
+_UNSCOPED_VOCAB: list[DataFrame] = []
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, _h) — one row per token occurrence, token as 64-bit
     hash."""
-    words = F.split(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-    )
+    words = tokenize.words(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc"), F.explode(words).alias("_t")
     ).select("doc", F.xxhash64("_t").alias("_h"))
@@ -63,6 +70,7 @@ def unigram_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab: bool = True,
+    include_raw: bool = False,
 ) -> DataFrame:
     """Per-document cross-entropy under the fitted model:
     ``(id, n_tokens, avg_neg_logprob)`` — nats/token, add-one
@@ -79,10 +87,34 @@ def unigram_score(
     the probe join read it, and an uncached vocab would re-run the
     whole fit aggregation per consumer (measured 15.1 s → 4.4 s on a
     50 k-doc corpus).
-    """
-    from solana_etl_pipeline_spark.llm.dedup import _scoped_persist
 
-    vocab = _scoped_persist(vocab)
+    Callers that run many scoring jobs in one session should scope
+    them; UNSCOPED calls (the registry/driver path) are still
+    bounded — each unscoped call releases the previous unscoped
+    vocab, so repeated invocations keep at most one stale vocab
+    cached instead of accumulating one per run. (Two concurrent
+    unscoped calls on different threads may evict each other's vocab
+    mid-flight — a recompute-latency blip, not a correctness issue;
+    scope them to avoid it.)
+    """
+    from solana_etl_pipeline_spark.llm.dedup import _scope_stack, _scoped_persist
+
+    if not _scope_stack():
+        # Release BEFORE persisting the replacement: Spark's cache is
+        # keyed by analyzed-plan equality, so for the common case of a
+        # plan-identical re-fit (bench reps, driver re-runs) the two
+        # vocabs share ONE cache entry — unpersisting the old frame
+        # after persisting the new would evict that shared entry and
+        # leave the new vocab uncached.
+        with _UNSCOPED_LOCK:
+            prev, _UNSCOPED_VOCAB[:] = _UNSCOPED_VOCAB[:], []
+        for old in prev:
+            old.unpersist()
+        vocab = _scoped_persist(vocab)
+        with _UNSCOPED_LOCK:
+            _UNSCOPED_VOCAB.append(vocab)
+    else:
+        vocab = _scoped_persist(vocab)
     totals = vocab.agg(
         F.sum("c").cast("bigint").alias("_n"),
         F.count(F.lit(1)).cast("bigint").alias("_v"),
@@ -94,12 +126,18 @@ def unigram_score(
         (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
         / (F.col("_n") + F.col("_v"))
     )
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(neg_logprob), 6).alias("avg_neg_logprob"),
+    ]
+    if include_raw:
+        # unrounded score for the rounding-boundary canary
+        # (tests/test_hygiene.py); never set in oracle-paired paths —
+        # it changes the schema
+        aggs.append(F.avg(neg_logprob).alias("_raw"))
     return (
         toks.join(vocab, "_h", "left")
         .join(F.broadcast(totals))  # 1-row scalar combine
         .groupBy(F.col("doc").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(neg_logprob), 6).alias("avg_neg_logprob"),
-        )
+        .agg(*aggs)
     )

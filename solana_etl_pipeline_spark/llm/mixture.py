@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from solana_etl_pipeline_spark.llm import tokenize
+
 from solana_etl_pipeline_spark.llm.export import SHARD_P, shard_scramble
 
 _MICRO = 1_000_000
@@ -54,13 +56,11 @@ def mixture_plan(
     bit-portable (same reasoning as the tfidf ``ln`` note in
     ``llm/ranking.py``).
     """
-    # coalesce on BOTH sides (here and the hygiene oracle's
-    # _WORDS_SQL): a null-text doc must count 1 token in each engine,
-    # not silently drop out of the Spark-side sum (the same symmetric-
-    # coalesce trap queries/curation.py documents).
-    words = F.split(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-    )
+    # tokenize.words coalesces on BOTH sides (here and the hygiene
+    # oracle's _WORDS_SQL): a null-text doc must count 1 token in each
+    # engine, not silently drop out of the Spark-side sum (the same
+    # symmetric-coalesce trap queries/curation.py documents).
+    words = tokenize.words(F.col(text_col))
     per_source = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(words)).cast("bigint").alias("tokens"),

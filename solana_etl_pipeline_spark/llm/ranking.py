@@ -35,15 +35,17 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from solana_etl_pipeline_spark.llm import tokenize
+
 # BM25 constants (Robertson et al.; the standard Okapi defaults).
 BM25_K1 = 1.2
 BM25_B = 0.75
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per (doc, token): lower-cased space-split tokens (the
-    literal-space split is the whitespace convention every oracle in
-    this repo mirrors with DuckDB ``string_split(..., ' ')``).
+    """One row per (doc, token) under the repo-wide tokenization
+    convention (``llm.tokenize``: collapse whitespace runs → trim →
+    literal-space split — mirrored verbatim by every oracle).
 
     Null/empty-text documents contribute no token rows — they are
     dropped by the non-empty filter. ``explode_outer`` instead of
@@ -57,9 +59,7 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         df.select(
             F.col(id_col).alias("doc"),
-            F.explode_outer(
-                F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), " ")
-            ).alias("term"),
+            F.explode_outer(tokenize.words(F.col(text_col))).alias("term"),
         )
         .filter(F.col("term").isNotNull() & (F.col("term") != ""))
     )
@@ -70,6 +70,7 @@ def tfidf_top_terms(
     id_col: str,
     text_col: str,
     k: int = 3,
+    include_raw: bool = False,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document.
 
@@ -81,7 +82,10 @@ def tfidf_top_terms(
     Returns ``(doc_id, term, rank, tfidf)`` with ``rank`` 1..k.
     Ranking is on the ROUNDED score (ties broken by term ascending)
     so a last-ulp ``ln`` divergence vs the oracle engine cannot
-    reorder rows — see the module docstring.
+    reorder rows — see the module docstring. ``include_raw`` appends
+    the UNROUNDED score as ``_raw`` (the rounding-boundary canary in
+    tests/test_ranking.py reads it; never set in oracle-paired paths —
+    it changes the schema).
     """
     toks = _tokens(df, id_col, text_col)
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -106,15 +110,18 @@ def tfidf_top_terms(
     w = Window.partitionBy("doc").orderBy(
         F.desc(F.round("tfidf", 4)), F.asc("term")
     )
+    cols = [
+        F.col("doc").alias("doc_id"),
+        F.col("term"),
+        F.col("rank"),
+        F.round("tfidf", 4).alias("tfidf"),
+    ]
+    if include_raw:
+        cols.append(F.col("tfidf").alias("_raw"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            F.col("doc").alias("doc_id"),
-            "term",
-            "rank",
-            F.round("tfidf", 4).alias("tfidf"),
-        )
+        .select(*cols)
     )
 
 
@@ -126,6 +133,7 @@ def bm25_topk(
     k: int = 20,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    include_raw: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents for a keyword query under Okapi BM25.
 
@@ -186,11 +194,15 @@ def bm25_topk(
         F.desc(F.round("score", 4)), F.asc("doc")
     ).limit(k)
     w = Window.orderBy(F.desc(F.round("score", 4)), F.asc("doc"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
+    cols = [
         F.col("doc").alias("doc_id"),
-        "rank",
+        F.col("rank"),
         F.round("score", 4).alias("bm25"),
-    )
+    ]
+    if include_raw:
+        # unrounded score for the boundary canary (see tfidf docstring)
+        cols.append(F.col("score").alias("_raw"))
+    return top.withColumn("rank", F.row_number().over(w)).select(*cols)
 
 
 def idf_smooth(n_docs: int, df: int) -> float:

@@ -146,7 +146,15 @@ def lsh_bucket_assignments(
             valid_lens = lengths[lengths >= 0]
             if valid_lens.empty:
                 return pd.Series([None] * len(vecs), dtype=object)
-            expect = int(valid_lens.mode().iloc[0])
+            # Most frequent length; ties break toward the LARGER
+            # length (mode().iloc[0] picks the smallest, so a batch
+            # evenly split between corrupt short vectors and real ones
+            # would elect the corrupt dim and null every real vector).
+            # Still per-batch best-effort: pin dim for production
+            # indexes — it is part of the index definition.
+            expect = int(
+                valid_lens.value_counts().sort_index(ascending=False).idxmax()
+            )
         ok = lengths == expect
         if not ok.any():
             return pd.Series([None] * len(vecs), dtype=object)
@@ -229,10 +237,14 @@ def kmeans_fit(
             raise ValueError("kmeans_fit: no valid vectors to seed from")
         # majority length over the probe sample — a single corrupt
         # short vector that happens to sort first must not redefine
-        # dim and silently filter out the whole real corpus
+        # dim and silently filter out the whole real corpus. Ties
+        # break toward the larger length (same rule as the SRP
+        # majority vote above): most_common order on a tie is
+        # insertion order, which would be arbitrary here.
         from collections import Counter
 
-        dim = Counter(len(r.v) for r in probe).most_common(1)[0][0]
+        counts = Counter(len(r.v) for r in probe)
+        dim = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
     valid = valid.filter(F.size(F.col(vec_col)) == dim)
     seeds = _pick_seeds(valid)
     if not seeds:

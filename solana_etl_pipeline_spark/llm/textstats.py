@@ -12,6 +12,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from solana_etl_pipeline_spark.llm import tokenize
+
 #: Small function-word list used by stats/quality/lang-id (shared with
 #: the DuckDB oracles — keep in sync with queries/llm.py).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "or", "is")
@@ -31,20 +33,21 @@ _P = 2_147_483_647
 
 
 def _words(text: Column) -> Column:
-    # coalesce: a null-text doc tokenizes to [''] (one empty word),
-    # matching the SQL mirrors' coalesce(text, '') — without it
+    # The repo-wide convention lives in llm.tokenize (collapse
+    # whitespace runs → trim → literal-space split; null text → ['']).
+    # The coalesce inside it matters here: without it
     # size(split(NULL)) is -1 under ANSI-off and every ratio built on
     # it goes silently bogus (-1 word counts, stopword_ratio 1.0)
     # while the oracles' NULL rows drop out of avg/sum.
-    return F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), "\\s+")
+    return tokenize.words(text)
 
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Ordered word n-grams (with duplicates): the building block for
     decontamination and repetition scoring.
 
-    Tokenization matches :func:`_words` (lowercase, trim, split on
-    whitespace runs). Documents shorter than ``n`` words yield one
+    Tokenization matches :func:`_words` (the ``llm.tokenize``
+    convention). Documents shorter than ``n`` words yield one
     whole-text gram (``slice`` truncates past the end) — the same
     short-doc convention as ``llm.dedup._word_shingles``.
     """

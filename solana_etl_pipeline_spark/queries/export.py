@@ -19,6 +19,7 @@ from solana_etl_pipeline_spark.llm.export import (
 from solana_etl_pipeline_spark.llm.textstats import STOPWORDS
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
+from solana_etl_pipeline_spark.llm import tokenize
 
 N_SHARDS = 8
 
@@ -77,12 +78,10 @@ def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, split): counts and token volume. The per-cell counts ARE
     the disjointness/exhaustiveness proof — they sum to the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    # coalesce: size(split(NULL)) is -1 under ANSI-off, so a null-text
-    # doc would subtract from the token sum while the oracle's NULL
-    # drops out — both sides count it as one empty token instead
-    words = F.split(
-        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
-    )
+    # tokenize.words coalesces: size(split(NULL)) is -1 under ANSI-off,
+    # so a null-text doc would subtract from the token sum while the
+    # oracle's NULL drops out — both sides count one empty token instead
+    words = tokenize.words(F.col("text"))
     return (
         assign_splits(docs, "doc_id", val_frac=VAL_FRAC, test_frac=TEST_FRAC)
         .groupBy("source", "split")
@@ -101,20 +100,20 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 _SCORED_SQL = f"""
   feats AS (
     SELECT doc_id, source, text,
-           len(string_split(lower(trim(coalesce(text, ''))), ' ')) AS n_words,
+           len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS n_words,
            round(len(list_filter(
-               string_split(lower(trim(coalesce(text, ''))), ' '),
+               string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
                w -> w IN ({_STOP_SQL}))) * 1.0
-             / len(string_split(lower(trim(coalesce(text, ''))), ' ')), 6) AS stop_ratio,
+             / len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')), 6) AS stop_ratio,
            round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
              / len(text), 6) AS punct_ratio,
            round(len(regexp_extract_all(text, '[0-9]')) * 1.0
              / len(text), 6) AS digit_ratio,
-           len(list_filter(string_split(lower(trim(coalesce(text, ''))), ' '),
+           len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
                w -> w IN ('the','and','of'))) AS s_en,
-           len(list_filter(string_split(lower(trim(coalesce(text, ''))), ' '),
+           len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
                w -> w IN ('el','la','de'))) AS s_es,
-           len(list_filter(string_split(lower(trim(coalesce(text, ''))), ' '),
+           len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
                w -> w IN ('der','die','und'))) AS s_de
     FROM documents),
   scored AS (
@@ -138,7 +137,7 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=f"""
             WITH scrambled AS (
               SELECT source,
-                     len(string_split(lower(trim(coalesce(text, ''))), ' '))
+                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '))
                        AS doc_tokens,
                      ((doc_id % {SHARD_P}) * {KNUTH % SHARD_P})
                        % {SHARD_P} * 1000000 AS scaled

@@ -24,6 +24,7 @@ from solana_etl_pipeline_spark.llm.mixture import mixture_plan, mixture_sample
 from solana_etl_pipeline_spark.llm.textstats import repetition_report
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
+from solana_etl_pipeline_spark.llm import tokenize
 
 # Eval split: ~2.4% of doc ids. 41 is coprime with the fixture's dup
 # plant stride so the eval set contains members of cross-split
@@ -72,9 +73,7 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per side of the audit."""
     docs = load_table(spark, sf_dir, "documents")
     plan = mixture_plan(docs, token_budget=MIXTURE_BUDGET)
-    words = F.split(
-        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
-    )
+    words = tokenize.words(F.col("text"))
     kept = (
         mixture_sample(docs, plan=plan)
         .groupBy("source")
@@ -125,12 +124,13 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared oracle CTE: whitespace-run tokenization matches Spark's \s+
-# on the single-spaced fixture corpus (COVERAGE.md convention 1).
-_WORDS_SQL = """
+# Shared oracle CTE: the repo-wide tokenization convention, derived
+# from its single source of truth (llm/tokenize.py) so the oracle can
+# never drift from the Spark expression.
+_WORDS_SQL = f"""
   w AS (
     SELECT doc_id, source,
-           string_split(lower(trim(coalesce(text, ''))), ' ') AS ws
+           {tokenize.words_sql("text")} AS ws
     FROM documents)
 """
 

@@ -48,11 +48,13 @@ def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, chunk_words int")
     class WordChunks:
         def eval(self, text: str):
-            # (text or '') + literal-space split: null/empty text is
-            # ONE empty token (the repo-wide convention) — bare
-            # .split() would crash on None and count degenerates as
-            # zero words while the oracle counts one
-            words = (text or "").strip(" ").lower().split(" ")
+            # the repo-wide tokenization convention (null/empty text
+            # is ONE empty token; whitespace runs collapse) — a bare
+            # .split() would crash on None, count degenerates as zero
+            # words, and diverge from the oracle on tabs/newlines
+            from solana_etl_pipeline_spark.llm.tokenize import py_words
+
+            words = py_words(text)
             for i in range(0, max(len(words), 1), 10):
                 yield i // 10, min(10, len(words) - i)
 
@@ -275,7 +277,7 @@ QUERIES: dict[str, QuerySpec] = {
         spark=udtf_word_chunks,
         oracle="""
             WITH sized AS (
-              SELECT len(string_split(lower(trim(coalesce(text, ''))), ' '))
+              SELECT len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '))
                 AS n_words
               FROM documents),
             chunks AS (

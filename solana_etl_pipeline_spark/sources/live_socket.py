@@ -208,6 +208,13 @@ async def websocket_messages(
                 fragments = []
             elif opcode != OP_TEXT:
                 continue
+            else:
+                # FIN=1 TEXT while a fragmented message is in flight
+                # (server violating RFC 6455 §5.4): drop the stale
+                # buffer, or a later stray continuation would be
+                # appended to it and the joined garbage would kill the
+                # generator inside json.loads.
+                fragments = []
             served += 1
             yield json.loads(payload.decode())
     finally:

@@ -7,9 +7,14 @@ and null/zero embedding vectors.
 
 The driver's fixtures contain none of these, so the ordinary parity
 gate cannot witness the fixture-proofing fixes; this module generates
-the hostile tables once per session (within the documented conventions
-— single-spaced text per COVERAGE.md convention 1) and re-runs the
-same rows+schema+hash comparison over the full registry.
+the hostile tables once per session and re-runs the same
+rows+schema+hash comparison over the full registry. Since the
+tokenization convention moved to llm/tokenize.py (collapse whitespace
+runs → trim → literal-space split, identical in Spark, DuckDB and the
+Arrow paths), the fixture ALSO includes whitespace-hostile documents —
+tabs, newlines, carriage returns, form feeds, multi-space runs,
+leading/trailing whitespace — so the gate, not a doc note, enforces
+cross-engine tokenization agreement.
 """
 
 from __future__ import annotations
@@ -65,6 +70,18 @@ def _hostile_documents() -> pa.Table:
     # a second null-text doc: null/empty docs must group together in
     # exact dedup (content-hash NULL == '') yet never near-dup pair
     doc(nid + 10, None, lang="zh", source="srcH2")
+    # --- whitespace-hostile docs (llm/tokenize.py convention): every
+    # engine must tokenize these identically or the text-family
+    # queries (stats, ranking, hygiene, dedup shingles) hash-diverge
+    doc(nid + 11, "tab\tseparated\ttokens here")
+    doc(nid + 12, "line\nbroken\r\ntext and  double  spaces")
+    doc(nid + 13, "  leading and trailing  ")
+    doc(nid + 14, "\t\n")  # whitespace-only (beyond the space-only doc)
+    doc(nid + 15, "form\ffeed mixed \t with\nthe rest of it")
+    # near-dup pair differing ONLY in whitespace shape: identical
+    # token streams ⇒ identical shingles/signatures in every engine
+    doc(nid + 16, " ".join(vocab * 5))
+    doc(nid + 17, "\t" + "\n".join(vocab * 5) + "  ")
     hostile = pa.Table.from_pylist(rows, schema=schema)
     return pa.concat_tables([keep, hostile])
 

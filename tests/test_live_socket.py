@@ -363,3 +363,78 @@ def test_fragmented_text_message_is_assembled(tmp_path):
         "msg-000000000000.json",
         "msg-000000000001.json",
     ]
+
+
+def test_stale_fragment_buffer_cleared_by_complete_text_frame(tmp_path):
+    """A server that (violating RFC 6455 §5.4) abandons a fragmented
+    message and sends a complete FIN=1 TEXT frame must not leave the
+    stale fragment buffer armed: a later stray continuation frame
+    would otherwise be appended to it and the joined garbage would
+    kill the generator inside json.loads. Expected: the complete
+    messages arrive, the abandoned fragment and the stray continuation
+    are dropped."""
+    import json as _json
+    import os
+
+    from solana_etl_pipeline_spark.sources.live_socket import (
+        OP_CONT,
+        _accept_key,
+        run_live_ingest,
+    )
+
+    def raw_frame(payload: bytes, opcode: int, fin: bool) -> bytes:
+        b0 = (0x80 if fin else 0) | opcode
+        assert len(payload) < 126
+        return bytes([b0, len(payload)]) + payload
+
+    msg2 = _json.dumps({"mint": "mWhole", "txType": "buy"}).encode()
+    msg3 = _json.dumps({"mint": "mAfter", "txType": "sell"}).encode()
+
+    async def handler(reader, writer):
+        key = None
+        while True:
+            line = await reader.readline()
+            if line in (b"\r\n", b""):
+                break
+            name, _, value = line.decode().partition(":")
+            if name.strip().lower() == "sec-websocket-key":
+                key = value.strip()
+        writer.write(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+            ).encode()
+        )
+        # abandoned fragment start (never completed)...
+        writer.write(raw_frame(b'{"mint": "mAband', OP_TEXT, fin=False))
+        # ...interrupted by a complete message (must clear the buffer)
+        writer.write(raw_frame(msg2, OP_TEXT, fin=True))
+        # stray continuation: joined with the stale buffer pre-fix,
+        # dropped post-fix
+        writer.write(raw_frame(b'oned"}', OP_CONT, fin=True))
+        writer.write(raw_frame(msg3, OP_TEXT, fin=True))
+        writer.write(raw_frame(b"", OP_CLOSE, fin=True))
+        await writer.drain()
+
+    landing = str(tmp_path / "landing")
+
+    async def run():
+        server = await asyncio.start_server(handler, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            return await run_live_ingest(
+                f"ws://127.0.0.1:{port}/s", landing, max_messages=2
+            )
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    assert asyncio.run(run()) == 2
+    files = sorted(os.listdir(landing))
+    assert len(files) == 2
+    got = []
+    for f in files:
+        with open(os.path.join(landing, f)) as fh:
+            got.append(_json.load(fh)["mint"])
+    assert got == ["mWhole", "mAfter"]

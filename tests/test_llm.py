@@ -291,6 +291,33 @@ def test_lsh_null_and_ragged_embeddings_dropped(spark):
     assert by_id[2] == [None] and by_id[3] == [None]
 
 
+def test_lsh_dim_inference_tie_breaks_to_larger_length(spark):
+    """With dim=None and an Arrow batch evenly split between corrupt
+    short vectors and real long ones, the majority-length vote must
+    elect the LARGER length (mode() would pick the smallest and null
+    every real vector in the batch — ADVICE r5)."""
+    from solana_etl_pipeline_spark.llm.similarity import (
+        lsh_bucket_assignments,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),  # corrupt short
+        Row(vec_id=1, embedding=[0.0, 1.0]),  # corrupt short
+        Row(vec_id=2, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),
+    ]
+    # one partition => one Arrow batch => a genuine 2-vs-2 tie
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).coalesce(1)
+    by_id = {}
+    for r in lsh_bucket_assignments(df, dim=None).collect():
+        by_id.setdefault(r.vec_id, []).append(r.band_val)
+    # len-4 vectors hash; len-2 vectors are the ones nulled
+    assert all(v is not None for v in by_id[2] + by_id[3])
+    assert by_id[0] == [None] and by_id[1] == [None]
+
+
 def test_kmeans_fit_recovers_planted_clusters(spark):
     """3 tight planted clusters around orthogonal axes: Lloyd
     iterations must land one centroid near each cluster mean, and IVF

@@ -167,13 +167,14 @@ def test_pack_sequences_conserves_docs_and_tokens(spark, texts):
         "source string, doc_id long, text string",
     )
     packs = pack_sequences(df, "doc_id", "text", budget=3).collect()
-    toks = df.select(
-        F.size(
-            F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), " ")
-        ).alias("n")
-    ).collect()
+    # expectation via the PYTHON twin of the canonical tokenizer, so
+    # this property also cross-checks the py/expression pair
+    from solana_etl_pipeline_spark.llm.tokenize import py_words
+
     assert sum(p.n_docs for p in packs) == len(texts)
-    assert sum(p.sum_tokens for p in packs) == sum(r.n for r in toks)
+    assert sum(p.sum_tokens for p in packs) == sum(
+        len(py_words(t)) for t in texts
+    )
 
 
 # ASCII-ish text with whitespace runs, tabs/newlines, repeats, and the

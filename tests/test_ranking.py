@@ -104,3 +104,44 @@ def test_ranking_tolerates_null_and_empty_text(spark):
 def test_idf_twins_match_definitions():
     assert idf_smooth(10, 1) == pytest.approx(math.log(11 / 2) + 1)
     assert idf_bm25(10, 1) == pytest.approx(math.log((9.5 / 1.5) + 1))
+
+
+# ------------------------------------------- rounding-boundary canary
+
+# COVERAGE.md convention 8: tfidf/bm25 go through java.lang.Math.log
+# vs the oracle's libm — not ULP-identical. The parity contract is
+# that every emitted score is rounded to a 1e-4 grain far above the
+# ~1e-15 relative ulp, so a last-ulp divergence cannot flip a rounded
+# value UNLESS a raw score sits essentially ON a rounding boundary
+# (x.5 at the grain). This canary asserts no driver-fixture score
+# does: a fixture regeneration that lands a score on the boundary
+# fails HERE, loudly, instead of flaking the oracle hash comparison.
+_GRAIN_EPS = 1e-6  # distance from .5 in grain units; ulp noise ~1e-11
+
+
+def _assert_off_boundary(raw_scores, digits):
+    scale = 10**digits
+    for s in raw_scores:
+        frac = (s * scale) % 1.0
+        assert abs(frac - 0.5) > _GRAIN_EPS, (
+            f"raw score {s!r} sits within {_GRAIN_EPS} grain-units of "
+            f"the 1e-{digits} rounding boundary — regenerate or adjust "
+            f"the fixture (COVERAGE.md convention 8)"
+        )
+
+
+@pytest.mark.parametrize(
+    "fixture_sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+)
+def test_tfidf_bm25_scores_off_rounding_boundary(spark, fixture_sf):
+    from solana_etl_pipeline_spark.queries.ranking import BM25_QUERY
+    from solana_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, fixture_sf, "documents")
+    tfidf = tfidf_top_terms(docs, "doc_id", "text", k=3, include_raw=True)
+    _assert_off_boundary([r["_raw"] for r in tfidf.collect()], 4)
+    bm25 = bm25_topk(
+        docs, BM25_QUERY, "doc_id", "text", k=20, include_raw=True
+    )
+    _assert_off_boundary([r["_raw"] for r in bm25.collect()], 4)

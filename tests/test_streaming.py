@@ -559,3 +559,124 @@ def test_stream_static_broadcast_join_enriches_stream(spark, tmp_path):
         (11, 2, 3.0, "silver"),
         (12, 3, 4.0, "none"),
     }
+
+
+def test_stream_stream_interval_join_state_evicts(spark, tmp_path):
+    """Soak the §2.9 interval join across MANY micro-batches with a
+    processingTime trigger and assert — via the progress reports'
+    stateOperators metrics — that buffered join state is actually
+    EVICTED once the watermark passes it, turning the bounded-state
+    argument in streaming/ingest.py into a measured fact. Batches far
+    past the watermark horizon (T0+6h with a 2h watermark and 1h
+    interval) must remove the T0-era buffered rows."""
+    from solana_etl_pipeline_spark.streaming.ingest import (
+        stream_interval_join,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = time.time()
+
+    def _typed(eid, uid, ts, etype):
+        e = _event(eid, uid, ts)
+        e["event_type"] = etype
+        return e
+
+    t0 = "2024-01-01T00:00:00.000Z"
+    # one file per micro-batch (maxFilesPerTrigger=1), mtimes ascending
+    # so discovery order is deterministic. Every file carries BOTH a
+    # signup and a purchase: each side's watermark node only sees rows
+    # surviving that side's filter, so advancing the GLOBAL watermark
+    # (the min over both) needs fresh event-times on both sides.
+    files = [
+        # batch 1: the matching pair (purchase 30 min after signup)
+        [
+            _typed(1, 10, t0, "signup"),
+            _typed(2, 10, "2024-01-01T00:30:00.000Z", "purchase"),
+        ],
+        # batch 2: T0+2h — state builds, nothing evictable yet
+        [
+            _typed(3, 20, "2024-01-01T02:00:00.000Z", "signup"),
+            _typed(4, 21, "2024-01-01T02:00:00.000Z", "purchase"),
+        ],
+        # batch 3: T0+6h — watermark (maxEventTime - 2h = T0+4h)
+        # passes T0 + within + delay, making the T0-era rows evictable
+        [
+            _typed(5, 30, "2024-01-01T06:00:00.000Z", "signup"),
+            _typed(6, 31, "2024-01-01T06:00:00.000Z", "purchase"),
+        ],
+        # batch 4: T0+7h — the batch DURING which the batch-3
+        # watermark is applied and eviction executes
+        [
+            _typed(7, 40, "2024-01-01T07:00:00.000Z", "signup"),
+            _typed(8, 41, "2024-01-01T07:00:00.000Z", "purchase"),
+        ],
+    ]
+    for i, rows in enumerate(files):
+        _write_landing_file(
+            str(landing / f"f{i}.json"), rows, now - 40 + 10 * i
+        )
+
+    def _side(etype, renames):
+        s = landing_stream(
+            spark, str(landing), EVENTS, max_files_per_trigger=1
+        ).filter(F.col("event_type") == etype)
+        return s.select(*[F.col(c).alias(a) for c, a in renames.items()])
+
+    signups = _side(
+        "signup", {"user_id": "user_id", "event_id": "signup_id", "ts": "ts"}
+    )
+    purchases = _side(
+        "purchase",
+        {"user_id": "_r_user_id", "event_id": "purchase_id", "ts": "p_ts"},
+    )
+    joined = stream_interval_join(
+        signups,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        within="1 hour",
+        watermark="2 hours",
+    ).select("user_id", "signup_id", "purchase_id")
+
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("soak_interval_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        progresses = [p for p in query.recentProgress if p]
+    finally:
+        query.stop()
+
+    # correctness: only the in-interval pair emitted
+    got = {
+        (r.user_id, r.signup_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM soak_interval_join").collect()
+    }
+    assert got == {(10, 1, 2)}
+
+    # state metrics: rows were buffered, then REMOVED once the
+    # watermark passed them — the bounded-state contract, measured
+    state_ops = [
+        op
+        for p in progresses
+        for op in (p.get("stateOperators") or [])
+        if op.get("operatorName", "").startswith("symmetricHashJoin")
+        or "numRowsTotal" in op
+    ]
+    assert state_ops, f"no stateOperators in progress: {progresses}"
+    peak = max(op["numRowsTotal"] for op in state_ops)
+    removed = sum(op.get("numRowsRemoved", 0) for op in state_ops)
+    final_total = state_ops[-1]["numRowsTotal"]
+    assert peak >= 4  # both sides buffered multiple rows at some point
+    assert removed > 0, (
+        f"watermark never evicted join state (peak={peak}, "
+        f"progress={state_ops})"
+    )
+    assert final_total < peak

@@ -1,0 +1,168 @@
+"""Hygiene-family scale rehearsal: one decade past fixture scale.
+
+Synthesizes a deterministic N-doc corpus (default 500k docs, ~50
+tokens each — an order of magnitude past the 50k-doc measurements in
+COVERAGE.md conventions 5/7), lands it as parquet, then times:
+
+  * ``decontaminate``  (train side vs a ~2.4% eval split)
+  * ``repetition_report``  (Arrow path)
+  * ``unigram_fit`` + ``unigram_score``  (scoped vocab persist)
+  * ``incremental_near_dup_batch``  (one arrival batch against a
+    pre-seeded signature store — probe cost ∝ batch, not store)
+
+Run:  python tools/scale_rehearsal.py [n_docs] [workdir]
+
+Generation is pure-expression (no Python row loops): per-position
+vocab picks via xxhash64(id, pos), plus a planted dup plant (every
+200th doc copies its predecessor's text) so the near-dup paths do
+real candidate work. The corpus is WRITTEN to parquet first so the
+timed jobs scan files, not a range-lineage.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from solana_etl_pipeline_spark.session import build_session  # noqa: E402
+
+VOCAB = (
+    "the of and to in data table row scan value fast merge batch "
+    "spark vector customer order region part supply query join "
+    "window stream state shuffle broadcast partition bucket salt "
+    "skew sketch rollup delta parquet schema column filter push "
+    "down prune codegen arrow pandas numpy hash band bucketed"
+).split()
+DOC_TOKENS = 50
+
+
+def build_corpus(spark, n_docs: int, out_dir: str) -> None:
+    vocab_arr = F.array(*[F.lit(w) for w in VOCAB])
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(DOC_TOKENS)),
+        lambda i: F.element_at(
+            vocab_arr,
+            (F.pmod(F.xxhash64(F.col("id"), i), F.lit(len(VOCAB))) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"),
+        F.concat(
+            F.lit("src"), F.pmod(F.col("id"), F.lit(5)).cast("string")
+        ).alias("source"),
+    )
+    # dup plant: every 200th doc copies its predecessor (same token
+    # stream) so near-dup candidate generation does real work
+    planted = base.withColumn(
+        "text",
+        F.when(
+            (F.pmod(F.col("doc_id"), F.lit(200)) == 0)
+            & (F.col("doc_id") > 0),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(DOC_TOKENS)),
+                    lambda i: F.element_at(
+                        F.array(*[F.lit(w) for w in VOCAB]),
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col("doc_id") - 1, i),
+                                F.lit(len(VOCAB)),
+                            )
+                            + 1
+                        ).cast("int"),
+                    ),
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    planted.repartition(32).write.mode("overwrite").parquet(out_dir)
+
+
+def timed(label: str, fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    print(f"{label}: {dt:.1f}s", flush=True)
+    return dt
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    workdir = (
+        sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="rehearse_")
+    )
+    spark = build_session(app_name="scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_dir = f"{workdir}/corpus"
+    print(f"n_docs={n_docs} workdir={workdir}", flush=True)
+    timed("generate+land corpus", lambda: build_corpus(spark, n_docs, corpus_dir))
+    docs = spark.read.parquet(corpus_dir)
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    from solana_etl_pipeline_spark.llm import lm
+    from solana_etl_pipeline_spark.llm.decontaminate import decontaminate
+    from solana_etl_pipeline_spark.llm.dedup import dedup_cache_scope
+    from solana_etl_pipeline_spark.llm.incremental import (
+        incremental_near_dup_batch,
+    )
+    from solana_etl_pipeline_spark.llm.textstats import repetition_report
+
+    is_eval = F.pmod(F.col("doc_id"), F.lit(41)) == 3
+
+    def run_decon():
+        with dedup_cache_scope():
+            noop(
+                decontaminate(
+                    docs.filter(~is_eval), docs.filter(is_eval), n=5
+                )
+            )
+
+    timed("decontaminate", run_decon)
+    spark.catalog.clearCache()
+
+    timed("repetition_report", lambda: noop(repetition_report(docs)))
+    spark.catalog.clearCache()
+
+    def run_lm():
+        with dedup_cache_scope():
+            vocab = lm.unigram_fit(docs.filter(~is_eval))
+            noop(lm.unigram_score(docs, vocab))
+
+    timed("unigram_fit+score", run_lm)
+    spark.catalog.clearCache()
+
+    # incremental: seed the store with 90% of the corpus as batch 0,
+    # then time ONE 10%-sized arrival batch (the steady-state cost)
+    store = f"{workdir}/store"
+    seed = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    arrival = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    timed(
+        "incremental seed (batch 0, 90%)",
+        lambda: incremental_near_dup_batch(seed, store, 0).count(),
+    )
+    spark.catalog.clearCache()
+    timed(
+        "incremental probe (batch 1, 10%)",
+        lambda: incremental_near_dup_batch(arrival, store, 1).count(),
+    )
+
+    if len(sys.argv) <= 2:
+        shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
