@@ -46,10 +46,22 @@ class TTLCache:
 
     Thread-safe (the HTTP server is a ThreadingHTTPServer — two
     requests straddling an expiry must not both run the loader), and
-    an optional ``releaser`` is called with each REPLACED value so
+    an optional ``releaser`` is called with each RETIRED value so
     holders of persisted DataFrames can unpersist them — without it a
-    long-running dashboard leaks one persisted snapshot per TTL
-    cycle."""
+    long-running dashboard leaks one persisted snapshot per TTL cycle.
+
+    Two refresh-latency properties (ADVICE r5):
+
+    * The loader runs OUTSIDE the lock — readers arriving during a
+      refresh are served the previous (stale-by-under-one-poll)
+      snapshot instead of queueing behind the reload; only the very
+      first load (nothing to serve yet) blocks peers.
+    * Release is deferred ONE generation: a replaced snapshot is
+      retired, and released only when the NEXT refresh retires its
+      successor — so a reader that fetched the old value just before
+      expiry has a full TTL cycle to finish rendering from it before
+      it is unpersisted. Steady-state memory cost: one extra snapshot.
+    """
 
     def __init__(
         self,
@@ -62,24 +74,49 @@ class TTLCache:
         self.releaser = releaser
         self._value = None
         self._loaded_at: float | None = None
-        self._lock = threading.Lock()
+        self._retired = None
+        self._loading = False
+        self._cond = threading.Condition(threading.Lock())
 
     def get(self, loader: Callable[[], object]):
-        with self._lock:
-            now = self.clock()
-            if (
-                self._loaded_at is None
-                or now - self._loaded_at >= self.ttl_sec
-            ):
-                old = self._value
-                self._value = loader()
-                self._loaded_at = now
-                if old is not None and self.releaser is not None:
-                    self.releaser(old)
-            return self._value
+        with self._cond:
+            while True:
+                fresh = (
+                    self._loaded_at is not None
+                    and self.clock() - self._loaded_at < self.ttl_sec
+                )
+                if fresh:
+                    return self._value
+                if not self._loading:
+                    break  # this thread refreshes
+                if self._loaded_at is not None:
+                    # refresh in flight elsewhere: serve the previous
+                    # snapshot rather than serializing reads behind
+                    # the loader
+                    return self._value
+                # first-ever load in flight: nothing to serve, wait
+                self._cond.wait()
+            self._loading = True
+        try:
+            value = loader()
+        except BaseException:
+            with self._cond:
+                self._loading = False
+                self._cond.notify_all()
+            raise
+        with self._cond:
+            to_release = self._retired
+            self._retired = self._value
+            self._value = value
+            self._loaded_at = self.clock()
+            self._loading = False
+            self._cond.notify_all()
+        if to_release is not None and self.releaser is not None:
+            self.releaser(to_release)
+        return value
 
     def invalidate(self) -> None:
-        with self._lock:
+        with self._cond:
             self._loaded_at = None
 
 
@@ -132,11 +169,10 @@ class Dashboard:
         return self._cache.get(self._load)
 
     def refresh(self) -> None:
-        """Drop caches so the next view re-reads silver."""
-        snap = self._cache._value
-        if snap is not None:
-            for df in snap.values():
-                df.unpersist()
+        """Invalidate so the next view re-reads silver. The replaced
+        snapshot is released by the cache's one-generation retirement
+        (NOT unpersisted here — a concurrent request thread may still
+        be rendering from it)."""
         self._cache.invalidate()
 
     # -- views (each collects ≤ display-page rows) ---------------------

@@ -5,6 +5,7 @@ HTTP refresh page)."""
 from __future__ import annotations
 
 import json
+import time
 import urllib.request
 
 from pyspark.sql import Row
@@ -106,10 +107,11 @@ def test_serve_http_renders_overview(spark, tmp_path):
         server.server_close()
 
 
-def test_ttl_cache_releases_replaced_value_and_is_thread_safe():
-    """Expiry hands the REPLACED value to the releaser (the dashboard
-    unpersists its old snapshot there), and concurrent gets at expiry
-    run the loader exactly once."""
+def test_ttl_cache_releases_one_generation_late_and_is_thread_safe():
+    """Expiry retires the REPLACED value and releases it one refresh
+    LATER (a reader that fetched it just before expiry gets a full TTL
+    cycle to render from it — ADVICE r5), and concurrent gets at
+    expiry run the loader exactly once."""
     import threading
 
     now = [0.0]
@@ -123,7 +125,7 @@ def test_ttl_cache_releases_replaced_value_and_is_thread_safe():
         return f"snap{loads[0]}"
 
     assert cache.get(loader) == "snap1"
-    now[0] = 20.0  # expired: next get reloads and releases snap1
+    now[0] = 20.0  # expired: next get reloads; snap1 retires (held)
     threads = [
         threading.Thread(target=cache.get, args=(loader,)) for _ in range(8)
     ]
@@ -132,4 +134,46 @@ def test_ttl_cache_releases_replaced_value_and_is_thread_safe():
     for t in threads:
         t.join()
     assert loads[0] == 2  # one reload total, not one per thread
+    assert released == []  # snap1 retired, still renderable
+    now[0] = 40.0  # second expiry: snap2 retires, snap1 releases
+    assert cache.get(loader) == "snap3"
     assert released == ["snap1"]
+
+
+def test_ttl_cache_serves_stale_value_during_refresh():
+    """A reader arriving while another thread runs the loader is served
+    the previous snapshot immediately instead of queueing behind the
+    reload (the loader runs outside the lock — ADVICE r5)."""
+    import threading
+
+    now = [0.0]
+    in_loader = threading.Event()
+    release_loader = threading.Event()
+    cache = TTLCache(ttl_sec=10.0, clock=lambda: now[0])
+
+    calls = [0]
+
+    def slow_loader():
+        calls[0] += 1
+        if calls[0] > 1:
+            in_loader.set()
+            assert release_loader.wait(timeout=30)
+        return f"snap{calls[0]}"
+
+    assert cache.get(slow_loader) == "snap1"
+    now[0] = 20.0  # expired
+
+    refresher = threading.Thread(target=cache.get, args=(slow_loader,))
+    refresher.start()
+    try:
+        assert in_loader.wait(timeout=30)
+        # loader is mid-flight on the other thread: this get must
+        # return the stale snapshot immediately, not block
+        t0 = time.monotonic()
+        assert cache.get(slow_loader) == "snap1"
+        assert time.monotonic() - t0 < 5.0
+        assert calls[0] == 2  # no second concurrent reload
+    finally:
+        release_loader.set()
+        refresher.join(timeout=30)
+    assert cache.get(slow_loader) == "snap2"
