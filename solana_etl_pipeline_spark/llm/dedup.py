@@ -76,6 +76,36 @@ def _scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def single_slot_persist(
+    df: DataFrame, slot: "list[DataFrame]", lock
+) -> DataFrame:
+    """Persist a lazily-consumed internal frame with BOUNDED unscoped
+    accumulation (the llm/lm.py vocab pattern, shared by any operator
+    whose registry path cannot wrap its consume in a scope).
+
+    Inside a :func:`dedup_cache_scope`: plain scoped persist — the
+    scope exit releases it. Outside a scope: the previous occupant of
+    ``slot`` is released FIRST, then the new frame is persisted and
+    parked in the slot — release-before-persist because Spark's cache
+    is keyed by analyzed-plan equality, so a plan-identical refit
+    shares ONE cache entry and the reversed order would evict the
+    fresh persist. Repeated unscoped calls therefore keep at most one
+    stale frame cached. Two concurrent unscoped calls on different
+    threads may evict each other mid-flight — a recompute-latency
+    blip, not a correctness issue; scope them to avoid it.
+    """
+    if _scope_stack():
+        return _scoped_persist(df)
+    with lock:
+        prev, slot[:] = slot[:], []
+    for old in prev:
+        old.unpersist()
+    df = _scoped_persist(df)
+    with lock:
+        slot.append(df)
+    return df
+
+
 @contextlib.contextmanager
 def dedup_cache_scope() -> Iterator[None]:
     """Scope the dedup family's internal caches to a block::

@@ -97,24 +97,9 @@ def unigram_score(
     mid-flight — a recompute-latency blip, not a correctness issue;
     scope them to avoid it.)
     """
-    from solana_etl_pipeline_spark.llm.dedup import _scope_stack, _scoped_persist
+    from solana_etl_pipeline_spark.llm.dedup import single_slot_persist
 
-    if not _scope_stack():
-        # Release BEFORE persisting the replacement: Spark's cache is
-        # keyed by analyzed-plan equality, so for the common case of a
-        # plan-identical re-fit (bench reps, driver re-runs) the two
-        # vocabs share ONE cache entry — unpersisting the old frame
-        # after persisting the new would evict that shared entry and
-        # leave the new vocab uncached.
-        with _UNSCOPED_LOCK:
-            prev, _UNSCOPED_VOCAB[:] = _UNSCOPED_VOCAB[:], []
-        for old in prev:
-            old.unpersist()
-        vocab = _scoped_persist(vocab)
-        with _UNSCOPED_LOCK:
-            _UNSCOPED_VOCAB.append(vocab)
-    else:
-        vocab = _scoped_persist(vocab)
+    vocab = single_slot_persist(vocab, _UNSCOPED_VOCAB, _UNSCOPED_LOCK)
     totals = vocab.agg(
         F.sum("c").cast("bigint").alias("_n"),
         F.count(F.lit(1)).cast("bigint").alias("_v"),

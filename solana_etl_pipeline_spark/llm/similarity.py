@@ -380,6 +380,74 @@ def ivf_cosine_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a k-means codebook,
+    compare cosine ONLY within a cluster, and flag every vector that
+    duplicates (``round(cos, 6) >= threshold``) a smaller-id vector.
+
+    Returns the duplicate verdicts ``(keep_id, drop_id, cos_sim)``
+    with ``keep_id < drop_id``; the greedy survivor set is "all ids
+    not appearing as drop_id" (a vector may appear in several rows
+    when it duplicates several smaller ids — ``DISTINCT drop_id`` is
+    the drop set). For transitive-cluster resolution over
+    lower-threshold graphs use ``llm/cluster.py``'s connected
+    components; at SemDeDup's near-1 thresholds the greedy rule and
+    CC coincide in practice and the greedy rule is one join, not an
+    iteration.
+
+    Scale shape: the cluster equi-join bounds pair generation to
+    Σ|cluster|² instead of n² — with k centroids sized so clusters
+    hold ~n/k vectors, candidate volume is n²/k, and k grows with the
+    corpus (the codebook stays a broadcast: k × dim doubles). Exact
+    duplicates always share a cluster (identical vector ⇒ identical
+    nearest centroid), so recall at cos=1.0 is exact; near-misses
+    across a centroid boundary are the documented approximation, as
+    in any IVF-bucketed scheme. Null/zero-norm vectors are dropped
+    UP FRONT by an explicit norm guard: their cosine is NULL/NaN, and
+    Spark orders NaN ABOVE every double — ``NaN >= threshold`` is
+    TRUE — so without the guard a zero vector would "duplicate"
+    every vector in its cluster (the class-6 NaN trap,
+    COVERAGE.md).
+    """
+    assigned = (
+        ivf_assignments(emb, centroids, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            _as_double(F.col(vec_col)).alias("_v"),
+            "cluster_id",
+        )
+        .filter(_norm(F.col("_v")) > 0)
+    )
+    from solana_etl_pipeline_spark.llm.dedup import _scoped_persist
+
+    # both sides of the self-join read the assignment (a k-way
+    # broadcast crossJoin + window per vector) — compute it once
+    assigned = _scoped_persist(assigned)
+    a = assigned.select(
+        F.col("_id").alias("keep_id"), F.col("_v").alias("_va"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col("_id").alias("drop_id"), F.col("_v").alias("_vb"), "cluster_id"
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("keep_id", "drop_id", "cos_sim")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.queries import aggs as _aggs
+from solana_etl_pipeline_spark.queries import classify as _classify
 from solana_etl_pipeline_spark.queries import curation as _curation
 from solana_etl_pipeline_spark.queries import export as _export
 from solana_etl_pipeline_spark.queries import functions_zoo as _functions_zoo
@@ -53,6 +54,7 @@ for _mod in (
     _curation,
     _export,
     _hygiene,
+    _classify,
 ):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard
@@ -74,6 +76,11 @@ for _mod in (
 # the remaining 17 r4 greens (aged 2 rounds after r6 — first in line
 # for the r7 prefix), then the r5-green prefix in its r5 order.
 _PRIORITY = (
+    # --- round-6 prefix: NEVER-witnessed queries first (registered
+    # this round; the staleness tool orders unwitnessed ahead of
+    # stale) ---
+    "llm_nb_source_classifier",
+    "llm_semantic_dedup",
     # --- round-6 prefix: staleness-2 rows (last green in r3) ---
     "streaming_sliding_windows",
     "sink_parquet_partitioned",

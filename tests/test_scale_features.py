@@ -115,6 +115,14 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "llm_bm25_search",
         # LM scoring: (N, V) totals ride a 1-row broadcast scalar
         "llm_lm_quality_score",
+        # NB scoring: per-label stats (|labels| rows, tens) + two
+        # 1-row scalars (V, D) ride broadcast cross joins — the
+        # doc×label fan-out is the NB scoring shape, bounded by the
+        # label count, never corpus×corpus
+        "llm_nb_source_classifier",
+        # SemDeDup: the k-means codebook (k rows) broadcasts into
+        # every assignment, as in the sanctioned IVF queries
+        "llm_semantic_dedup",
     }
     offenders = []
     for name, spec in QUERIES.items():
