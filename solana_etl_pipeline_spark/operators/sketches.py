@@ -59,3 +59,113 @@ def hll_range_estimate(
         F.sum("n_events").alias("n_events"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+# ------------------------------------------------ histogram quantiles
+
+
+def value_histogram_rollup(
+    events: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 512.0,
+) -> DataFrame:
+    """Roll raw events up to per-day fixed-bin value histograms — the
+    quantile twin of :func:`hll_daily_user_sketches`.
+
+    ``percentile_approx`` over raw rows is linear in history per
+    dashboard refresh; the scalable design rolls each day up ONCE into
+    ``n_bins`` integer counts (one tiny row group per day), after
+    which any date-range quantile question merges bin counts — cost
+    ∝ days × bins, never events. Bin counts are exact BIGINTs and
+    merging is exact addition, so rollup → merge loses nothing
+    (unlike sketch-based quantiles, the only approximation is the
+    fixed bin width, chosen up front and engine-portable: no t-digest
+    centroids, no implementation-defined compression).
+
+    Values are clamped into ``[lo, hi)``; nulls are dropped. Returns
+    ``(day, bin, n)`` with ``bin`` in ``[0, n_bins)``.
+    """
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    return (
+        events.filter(v.isNotNull())
+        .groupBy(F.to_date("ts").alias("day"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def range_quantile_estimates(
+    rollup: DataFrame,
+    qs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    start_day: str | None = None,
+    end_day: str | None = None,
+    n_bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 512.0,
+) -> DataFrame:
+    """Quantile estimates over a day range from the histogram rollup.
+
+    Deterministic PURE-INTEGER rank definition, identical in any
+    engine: with ``q_micro = round(q * 1e6)``,
+    ``rank(q) = greatest(1, ceil_div(q_micro * total, 1e6))`` computed
+    with BIGINT arithmetic (``(a + 999999) DIV 1000000``) — a float
+    ``ceil(q * total)`` would sit one ulp either side of an exact
+    boundary depending on how the engine types the literal (DuckDB
+    parses 0.9 as DECIMAL, Spark as DOUBLE). The answer is the
+    midpoint of the first bin whose cumulative count reaches the rank
+    (``lo + (bin + 0.5) * width`` — two exact float ops, no libm).
+    Error vs the true quantile is bounded by the bin width.
+
+    Returns one row per q: ``(q, rank, total, est)``.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    scoped = rollup
+    if start_day is not None:
+        scoped = scoped.filter(F.col("day") >= F.lit(start_day))
+    if end_day is not None:
+        scoped = scoped.filter(F.col("day") < F.lit(end_day))
+    merged = scoped.groupBy("bin").agg(F.sum("n").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the cumsum window runs over ≤ n_bins rows — a bounded single
+    # partition over the ROLLUP, never the corpus
+    cum = merged.select(
+        "bin", "n", F.sum("n").over(w).alias("cum")
+    ).crossJoin(
+        F.broadcast(
+            merged.agg(F.sum("n").cast("bigint").alias("total"))
+        )
+    )
+    out = None
+    for q in qs:
+        q_micro = int(round(q * 1_000_000))
+        rank = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"({q_micro} * total + 999999) DIV 1000000"),
+        )
+        hit = (
+            cum.filter(F.col("cum") >= rank)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                (F.lit(q_micro) / F.lit(1_000_000.0)).alias("q"),
+                rank.cast("bigint").alias("rank"),
+                F.col("total"),
+                F.round(
+                    F.lit(lo) + (F.col("bin") + F.lit(0.5)) * F.lit(width), 6
+                ).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.queries import aggs as _aggs
+from solana_etl_pipeline_spark.queries import analytics as _analytics
 from solana_etl_pipeline_spark.queries import classify as _classify
 from solana_etl_pipeline_spark.queries import curation as _curation
 from solana_etl_pipeline_spark.queries import export as _export
@@ -55,6 +56,7 @@ for _mod in (
     _export,
     _hygiene,
     _classify,
+    _analytics,
 ):
     for _name, _spec in _mod.QUERIES.items():
         if _name in QUERIES:  # pragma: no cover - registry bug guard
@@ -81,6 +83,8 @@ _PRIORITY = (
     # stale) ---
     "llm_nb_source_classifier",
     "llm_semantic_dedup",
+    "agg_histogram_quantiles",
+    "funnel_conversion_steps",
     # --- round-6 prefix: staleness-2 rows (last green in r3) ---
     "streaming_sliding_windows",
     "sink_parquet_partitioned",

@@ -1,0 +1,154 @@
+"""Unit tests for the histogram-quantile rollup and the ordered
+funnel — hand-built event sets with hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.operators.funnel import ordered_funnel
+from solana_etl_pipeline_spark.operators.sketches import (
+    range_quantile_estimates,
+    value_histogram_rollup,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=ts,
+                user_id=uid,
+                event_type=et,
+                value=float(v),
+                props="{}",
+            )
+            for i, (ts, uid, et, v) in enumerate(rows)
+        ]
+    )
+
+
+# --- histogram quantiles -------------------------------------------------
+
+
+def test_histogram_rollup_bins_and_clamp(spark):
+    d1 = dt.datetime(2024, 3, 1, 12)
+    rows = [
+        (d1, 1, "view", 0.0),     # bin 0
+        (d1, 1, "view", 7.99),    # bin 0 (width 8)
+        (d1, 1, "view", 8.0),     # bin 1
+        (d1, 1, "view", 600.0),   # clamped into the last bin
+        (d1, 1, "view", -5.0),    # clamped into bin 0
+    ]
+    roll = {
+        (r.day.isoformat(), r.bin): r.n
+        for r in value_histogram_rollup(
+            _ev(spark, rows), n_bins=64, lo=0.0, hi=512.0
+        ).collect()
+    }
+    assert roll == {
+        ("2024-03-01", 0): 3,
+        ("2024-03-01", 1): 1,
+        ("2024-03-01", 63): 1,
+    }
+
+
+def test_range_quantiles_hand_computed_with_day_pruning(spark):
+    """10 in-range values spread over two days (plus an out-of-range
+    day that must be pruned): p50 rank 5 lands in bin 1, p90 rank 9 in
+    bin 3; estimates are bin midpoints."""
+    d1 = dt.datetime(2024, 3, 1, 1)
+    d2 = dt.datetime(2024, 3, 2, 1)
+    d_out = dt.datetime(2024, 3, 9, 1)
+    vals_d1 = [1.0, 2.0, 3.0, 9.0, 10.0]   # bins 0,0,0,1,1
+    vals_d2 = [11.0, 17.0, 18.0, 25.0, 30.0]  # bins 1,2,2,3,3
+    rows = [(d1, 1, "view", v) for v in vals_d1]
+    rows += [(d2, 1, "view", v) for v in vals_d2]
+    rows += [(d_out, 1, "view", 400.0)] * 50  # would shift everything
+    roll = value_histogram_rollup(_ev(spark, rows), n_bins=64)
+    got = {
+        r.q: (r.rank, r.total, r.est)
+        for r in range_quantile_estimates(
+            roll,
+            qs=(0.5, 0.9),
+            start_day="2024-03-01",
+            end_day="2024-03-05",
+        ).collect()
+    }
+    # width 8: bin midpoints 4.0, 12.0, 20.0, 28.0
+    assert got[0.5] == (5, 10, 12.0)   # cum: bin0=3, bin1=6 -> bin 1
+    assert got[0.9] == (9, 10, 28.0)   # cum reaches 9 at bin 3
+
+
+def test_range_quantiles_exact_boundary_rank_is_integer_exact(spark):
+    """q*total on an exact integer boundary: rank must be exactly
+    q*total (ceil of the true rational), not one above — the
+    pure-BIGINT formulation cannot drift an ulp."""
+    d1 = dt.datetime(2024, 3, 1, 1)
+    rows = [(d1, 1, "view", float(8 * i)) for i in range(10)]  # 10 rows
+    roll = value_histogram_rollup(_ev(spark, rows), n_bins=64)
+    got = {
+        r.q: r.rank
+        for r in range_quantile_estimates(roll, qs=(0.5, 0.9)).collect()
+    }
+    assert got[0.5] == 5 and got[0.9] == 9
+
+
+# --- ordered funnel ------------------------------------------------------
+
+
+def _t(minute: int, day: int = 1) -> dt.datetime:
+    return dt.datetime(2024, 4, day, 10, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_funnel_orders_and_budget(spark):
+    rows = [
+        # user 1 completes all three in order
+        (_t(0), 1, "signup", 1.0),
+        (_t(5), 1, "click", 1.0),
+        (_t(9), 1, "purchase", 1.0),
+        # user 2: click BEFORE signup (doesn't count), none after
+        (_t(0), 2, "click", 1.0),
+        (_t(5), 2, "signup", 1.0),
+        # user 3: signup + click, purchase OUTSIDE the 7-day budget
+        (_t(0), 3, "signup", 1.0),
+        (_t(10), 3, "click", 1.0),
+        (_t(0, day=9), 3, "purchase", 1.0),
+        # user 4: purchase then click then signup (all out of order)
+        (_t(0), 4, "purchase", 1.0),
+        (_t(1), 4, "click", 1.0),
+        (_t(2), 4, "signup", 1.0),
+    ]
+    got = {
+        r.step_idx: (r.step, r.n_users, r.conversion)
+        for r in ordered_funnel(_ev(spark, rows)).collect()
+    }
+    assert got[1] == ("signup", 4, 1.0)
+    assert got[2] == ("click", 2, 0.5)      # users 1 and 3
+    assert got[3] == ("purchase", 1, 0.25)  # user 1 only
+    # redelivery duplicates must not change anything (min is idempotent)
+    dup = _ev(spark, rows + rows[:3])
+    got_dup = {
+        r.step_idx: r.n_users for r in ordered_funnel(dup).collect()
+    }
+    assert got_dup == {1: 4, 2: 2, 3: 1}
+
+
+def test_funnel_greedy_earliest_completion_maximizes_budget(spark):
+    """Step-2 completion is the EARLIEST qualifying click; a user whose
+    later click would push the purchase past its window still
+    converts, because min(ts) anchors the earliest chain."""
+    rows = [
+        (_t(0), 1, "signup", 1.0),
+        (_t(1), 1, "click", 1.0),
+        (_t(60), 1, "click", 1.0),
+        (_t(30), 1, "purchase", 1.0),  # after first click, before 2nd
+    ]
+    got = {
+        r.step_idx: r.n_users
+        for r in ordered_funnel(_ev(spark, rows)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}

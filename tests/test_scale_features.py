@@ -123,6 +123,12 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # SemDeDup: the k-means codebook (k rows) broadcasts into
         # every assignment, as in the sanctioned IVF queries
         "llm_semantic_dedup",
+        # histogram quantiles: the 1-row total broadcasts into the
+        # ≤ n_bins cumsum rows (a rollup-sized combine, never corpus)
+        "agg_histogram_quantiles",
+        # funnel: the 1-row step-1 count broadcasts into the
+        # per-step count rows for the conversion ratio
+        "funnel_conversion_steps",
     }
     offenders = []
     for name, spec in QUERIES.items():
