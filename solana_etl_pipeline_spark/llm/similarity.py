@@ -448,6 +448,228 @@ def semantic_dedup(
     )
 
 
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train a product-quantization codebook (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): the vector
+    space is split into ``m`` contiguous subspaces of ``dim/m`` dims;
+    each subspace gets its own ``ksub``-word codebook.
+
+    Returned value is the codebook as a nested Python list
+    ``[m][ksub][dim/m]`` — index METADATA (m·ksub·dsub doubles,
+    bounded by the index definition, never by the corpus), the same
+    driver-side footprint :func:`kmeans_fit` carries between Lloyd
+    iterations.
+
+    Seeding mirrors ``kmeans_fit``: the ``ksub`` vectors with the
+    smallest mod-prime scramble of their id, sliced per subspace —
+    deterministic, order-decorrelated, no RNG state. Each refinement
+    iteration is ONE distributed pass: an Arrow-batched encode
+    (argmin L2 per subspace against the broadcast-closure codebook)
+    followed by a single groupBy (subspace, code) computing the
+    element-wise mean as ``dim/m`` avg columns. Empty cells keep
+    their previous codeword.
+    """
+    import numpy as np
+
+    from solana_etl_pipeline_spark.llm.export import shard_scramble
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    valid = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
+    seeds = (
+        valid.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(shard_scramble(F.col(id_col)), F.col(id_col))
+        .limit(ksub)
+        .collect()
+    )
+    if len(seeds) < ksub:
+        raise ValueError(
+            f"pq_fit: need >= {ksub} valid vectors to seed, got {len(seeds)}"
+        )
+    book = np.array(
+        [
+            [list(r.v[s * dsub : (s + 1) * dsub]) for r in seeds]
+            for s in range(m)
+        ],
+        dtype=np.float64,
+    )  # (m, ksub, dsub)
+
+    for _ in range(n_iters):
+        codes = _pq_encode_udf(book)
+        # one exploded pass: (subspace, code, subvector) -> per-cell
+        # element-wise mean as dsub avg columns (single partial+final
+        # shuffle of m*ksub*dsub doubles, mirroring kmeans_fit)
+        sub_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.element_at(F.col("_codes"), s + 1).alias("code"),
+                    F.slice(F.col("_v"), s * dsub + 1, dsub).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+        means = (
+            valid.select(
+                _as_double(F.col(vec_col)).alias("_v")
+            )
+            .withColumn("_codes", codes(F.col("_v")))
+            .select(F.explode(sub_structs).alias("e"))
+            .groupBy(F.col("e.sub").alias("sub"), F.col("e.code").alias("code"))
+            .agg(*[F.avg(F.col("e.sv")[i]).alias(f"c{i}") for i in range(dsub)])
+            .collect()
+        )
+        for r in means:
+            book[r.sub][r.code] = [r[f"c{i}"] for i in range(dsub)]
+    return book.tolist()
+
+
+def _pq_encode_udf(book) -> "F.pandas_udf":
+    """Arrow-batched PQ encoder: per subspace, argmin L2 against the
+    closure-captured codebook (first-min tie — the lowest code id).
+    Null / length-mismatched vectors yield NULL codes (dropped by the
+    callers' joins) rather than encoding against a differently-shaped
+    codebook."""
+    import numpy as np
+
+    cbook = np.asarray(book, dtype=np.float64)  # (m, ksub, dsub)
+    m, _, dsub = cbook.shape
+    dim = m * dsub
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _encode(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        ok = vecs.map(lambda v: v is not None and len(v) == dim)
+        if not ok.any():
+            return pd.Series([None] * len(vecs), dtype=object)
+        mat = np.stack(vecs[ok].to_numpy()).astype(np.float64)
+        parts = mat.reshape(len(mat), m, dsub)
+        codes = np.empty((len(mat), m), dtype=np.int64)
+        for s in range(m):
+            # (n, ksub) squared distances; argmin keeps the first min
+            d2 = ((parts[:, s, None, :] - cbook[s][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            codes[:, s] = np.argmin(d2, axis=1)
+        it = iter(codes)
+        return pd.Series(
+            [next(it) if flag else None for flag in ok.to_numpy()],
+            dtype=object,
+        )
+
+    return _encode
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC search: corpus vectors are stored as ``m`` small codes;
+    each query scores candidates with an asymmetric-distance lookup
+    table (``lut[s][c] = <q_sub_s, codeword_c>``, computed in-plan
+    from the broadcast query vector and the literal codebook), takes
+    an ADC shortlist, and re-ranks it with exact cosine. Output shape
+    matches :func:`cosine_topk`. The shortlist ranks by raw ADC inner
+    product — exact for cosine on unit-normalized corpora (the
+    embedding-pipeline norm); for un-normalized vectors divide by the
+    quantized norm (a second codeword-self-IP lookup table) before
+    ranking.
+
+    Scale shape: the scan side touches only the code columns (m
+    bytes-ish per vector instead of dim floats — the reason PQ exists
+    at 100 TB), the per-candidate cost is m table lookups inside a
+    JVM higher-order expression, and the only Python is the
+    Arrow-batched encoder. The query side is broadcast under the same
+    small-side contract as ``cosine_topk``; for a large query set or
+    sub-scan latency, compose with :func:`ivf_assignments` — probe
+    cells first, ADC only within the probed cells (IVF-PQ).
+    """
+    import numpy as np
+
+    cbook = np.asarray(codebook, dtype=np.float64)
+    m, ksub, dsub = cbook.shape
+    encode = _pq_encode_udf(codebook)
+    enc = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cvec"),
+        )
+        .withColumn("codes", encode(F.col("cvec")))
+        .filter(F.col("codes").isNotNull())
+    )
+    # per-query ADC lookup table, computed as a JVM expression against
+    # the codebook literal: lut[s][c] = dot(q_sub_s, codeword_{s,c})
+    book_lit = F.lit(cbook.tolist()).cast("array<array<array<double>>>")
+    lut = F.transform(
+        book_lit,
+        lambda sub_cb, s: F.transform(
+            sub_cb,
+            lambda cw: _dot(
+                F.slice(F.col("qvec"), s * dsub + 1, dsub), cw
+            ),
+        ),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qvec"),
+        ).withColumn("lut", lut)
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda c, s: F.element_at(
+                F.element_at(F.col("lut"), s.cast("int")),
+                c.cast("int") + 1,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_ip"), F.asc("neighbor_id")
+    )
+    cand = (
+        q.crossJoin(enc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_ip", est)
+        .withColumn("adc_rn", F.row_number().over(w_adc))
+        .filter(F.col("adc_rn") <= shortlist)
+    )
+    cos = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -169,3 +169,111 @@ def range_quantile_estimates(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# ------------------------------------------------- count-min sketch
+
+
+def _cms_bucket(row_idx: "F.Column", item: "F.Column", width: int):
+    """Hash row ``d`` of the CMS: the first 8 hex chars of
+    ``md5(d || ':' || item)`` read as an unsigned 32-bit int, mod
+    ``width``. md5 is bit-identical in Spark and DuckDB, so the
+    sketch an oracle rebuilds in SQL lands every item in the SAME
+    cell — the estimate is fully value-checkable, not just
+    bound-checkable."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row_idx.cast("string"), F.lit(":"), item)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cms_daily_rollup(
+    events: DataFrame,
+    item_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Roll raw events up to one count-min sketch per day (Cormode &
+    Muthukrishnan 2005) — the per-key FREQUENCY twin of the HLL
+    (distinct) and histogram (quantile) rollups.
+
+    Each day compresses to at most ``depth × width`` integer cells
+    regardless of item cardinality; merging days is exact cell-wise
+    addition, so any date-range point-frequency question reads the
+    rollup, never raw events. Estimates are biased UP only:
+    ``exact <= est <= exact + collisions`` — the classic guarantee,
+    with overshoot shrinking as ``width`` grows.
+
+    Spark shape: the depth-way explode fans each event into ``depth``
+    (row, bucket) cells and the groupBy partially aggregates map-side,
+    so the shuffle carries day × depth × width cells, not events.
+    Returns ``(day, row_idx, bucket, cnt)``; null items are dropped
+    (count them separately if they matter).
+    """
+    item = F.col(item_col).cast("string")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias(
+        "row_idx"
+    )
+    return (
+        events.filter(F.col(item_col).isNotNull())
+        .select(F.to_date("ts").alias("day"), item.alias("item"))
+        .select("day", "item", rows)
+        .groupBy(
+            "day",
+            "row_idx",
+            _cms_bucket(F.col("row_idx"), F.col("item"), width).alias(
+                "bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_range_estimates(
+    rollup: DataFrame,
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 256,
+    start_day: str | None = None,
+    end_day: str | None = None,
+) -> DataFrame:
+    """Point-frequency estimates over a day range from the CMS rollup:
+    merge the covered days cell-wise, probe each item's ``depth``
+    cells, take the min. ``items`` is the (small or large — it joins
+    on (row, bucket), no broadcast needed) set of keys to estimate.
+    Returns ``(item, cms_estimate)``.
+    """
+    scoped = rollup
+    if start_day is not None:
+        scoped = scoped.filter(F.col("day") >= F.lit(start_day))
+    if end_day is not None:
+        scoped = scoped.filter(F.col("day") < F.lit(end_day))
+    merged = scoped.groupBy("row_idx", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    probes = items.select(
+        F.col(item_col).cast("string").alias("item")
+    ).select(
+        "item",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_idx"),
+    ).withColumn(
+        "bucket", _cms_bucket(F.col("row_idx"), F.col("item"), width)
+    )
+    return (
+        probes.join(merged, ["row_idx", "bucket"], "left")
+        .groupBy("item")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
+    )

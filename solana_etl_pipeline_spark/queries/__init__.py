@@ -81,6 +81,9 @@ _PRIORITY = (
     # --- round-6 prefix: NEVER-witnessed queries first (registered
     # this round; the staleness tool orders unwitnessed ahead of
     # stale) ---
+    "llm_paragraph_dedup",
+    "llm_pq_cosine_topk",
+    "sketch_cms_user_counts",
     "llm_nb_source_classifier",
     "llm_semantic_dedup",
     "agg_histogram_quantiles",

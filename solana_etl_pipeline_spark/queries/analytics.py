@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.operators.funnel import ordered_funnel
 from solana_etl_pipeline_spark.operators.sketches import (
+    cms_daily_rollup,
+    cms_range_estimates,
     range_quantile_estimates,
     value_histogram_rollup,
 )
@@ -57,6 +59,57 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ordered_funnel(
         ev, steps=FUNNEL_STEPS, within=FUNNEL_WITHIN
+    )
+
+
+CMS_DEPTH, CMS_WIDTH = 4, 256
+# Same mid-month range as the histogram rollup: the sketch is built
+# over ALL days and the range is resolved against rollup rows, so the
+# day pruning is load-bearing here too.
+CMS_START, CMS_END = HIST_START, HIST_END
+
+
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min per-user event frequencies over a two-week range,
+    pinned cell-by-cell against exact counts: the daily CMS rollup is
+    merged across the range, every in-range user's estimate is the
+    min over its ``depth`` probed cells, and the emitted
+    ``overestimate = est - exact`` is the sketch's collision error —
+    ≥ 0 by construction, exactly reproducible by the oracle because
+    the md5 cell hash is bit-identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    rollup = cms_daily_rollup(
+        ev, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    in_range = ev.filter(
+        F.col("user_id").isNotNull()
+        & (F.to_date("ts") >= F.lit(CMS_START).cast("date"))
+        & (F.to_date("ts") < F.lit(CMS_END).cast("date"))
+    )
+    exact = in_range.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    est = cms_range_estimates(
+        rollup,
+        exact.select("user_id"),
+        item_col="user_id",
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        start_day=CMS_START,
+        end_day=CMS_END,
+    )
+    return (
+        exact.join(
+            est, F.col("item") == F.col("user_id").cast("string")
+        )
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
     )
 
 
@@ -139,6 +192,51 @@ QUERIES: dict[str, QuerySpec] = {
             FROM counts
         """,
         doc="Ordered signup→click→purchase funnel, 7-day entry budget",
+        tags=("§2.11", "A"),
+    ),
+    "sketch_cms_user_counts": QuerySpec(
+        spark=sketch_cms_user_counts,
+        oracle=f"""
+            WITH ev AS (
+              SELECT user_id, CAST(user_id AS VARCHAR) AS item,
+                     CAST(ts AS DATE) AS day
+              FROM events WHERE user_id IS NOT NULL),
+            rws AS (SELECT unnest(range({CMS_DEPTH})) AS row_idx),
+            cells AS (
+              SELECT day, row_idx,
+                     ('0x' || substr(md5(CAST(row_idx AS VARCHAR)
+                       || ':' || item), 1, 8))::BIGINT % {CMS_WIDTH}
+                       AS bucket,
+                     count(*) AS cnt
+              FROM ev CROSS JOIN rws GROUP BY 1, 2, 3),
+            merged AS (
+              SELECT row_idx, bucket, sum(cnt) AS cnt FROM cells
+              WHERE day >= DATE '{CMS_START}' AND day < DATE '{CMS_END}'
+              GROUP BY 1, 2),
+            exact AS (
+              SELECT user_id, item, count(*) AS exact_count FROM ev
+              WHERE day >= DATE '{CMS_START}' AND day < DATE '{CMS_END}'
+              GROUP BY 1, 2),
+            probes AS (
+              SELECT e.user_id, e.exact_count, r.row_idx,
+                     ('0x' || substr(md5(CAST(r.row_idx AS VARCHAR)
+                       || ':' || e.item), 1, 8))::BIGINT % {CMS_WIDTH}
+                       AS bucket
+              FROM exact e CROSS JOIN rws r),
+            est AS (
+              SELECT user_id, exact_count,
+                     min(coalesce(m.cnt, 0)) AS cms_estimate
+              FROM probes p
+              LEFT JOIN merged m USING (row_idx, bucket)
+              GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(exact_count AS BIGINT) AS exact_count,
+                   CAST(cms_estimate AS BIGINT) AS cms_estimate,
+                   CAST(cms_estimate - exact_count AS BIGINT)
+                     AS overestimate
+            FROM est
+        """,
+        doc="Mergeable daily count-min rollup → range per-user counts",
         tags=("§2.11", "A"),
     ),
 }

@@ -22,6 +22,7 @@ from solana_etl_pipeline_spark.llm.curate import (
     pii_counts,
     redact_pii,
 )
+from solana_etl_pipeline_spark.llm.paragraphs import dedup_paragraphs
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
 
@@ -80,6 +81,43 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("stream").alias("source"), "pack_id", "n_docs", "sum_tokens"
     )
+
+
+def _para_augmented(docs: DataFrame) -> DataFrame:
+    """Give every fixture document three newline-delimited paragraphs
+    so line-level dedup has real work on the single-line fixture:
+
+    - para 0: the document text (the fixture's planted exact-dup
+      documents make these collide corpus-wide),
+    - para 1: a footer — shared boilerplate for ``doc_id % 3 == 0``
+      (the RefinedWeb boilerplate case), unique otherwise,
+    - para 2: a probe paragraph shared by every 50th id (~10 copies
+      per group at sf0.01), so keep-first must pick the smallest
+      ``doc_id`` per group.
+
+    Plain ``%`` (not pmod) on both sides: fixture ids are
+    non-negative, and Spark's ``%`` and DuckDB's ``%`` agree on the
+    dividend's sign anyway."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    footer = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("shared boilerplate footer")
+    ).otherwise(
+        F.concat(F.lit("unique footer "), F.col("doc_id").cast("string"))
+    )
+    probe = F.concat(
+        F.lit("probe paragraph group "),
+        (F.col("doc_id") % 50).cast("string"),
+    )
+    return docs.select(
+        "doc_id", F.concat_ws("\n", text, footer, probe).alias("text")
+    )
+
+
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style exact line dedup over the augmented corpus:
+    per-doc paragraph counts plus the reassembled clean text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_paragraphs(_para_augmented(docs))
 
 
 _AUG_SQL = """
@@ -142,6 +180,48 @@ QUERIES: dict[str, QuerySpec] = {
             FROM packed GROUP BY 1, 2
         """,
         doc="Contiguous-fill packing into 512-token context windows",
+        tags=("§2.11",),
+    ),
+    "llm_paragraph_dedup": QuerySpec(
+        spark=llm_paragraph_dedup,
+        oracle="""
+            -- keep-first line dedup. The first-occurrence key is
+            -- doc_id*1000000+pos, equivalent to the engine's
+            -- lexicographic min(struct(doc_id, pos)) because pos is
+            -- bounded far below 1e6 (3 paragraphs per augmented doc).
+            WITH aug AS (
+              SELECT doc_id,
+                     coalesce(text, '') || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'shared boilerplate footer'
+                          ELSE 'unique footer ' ||
+                               CAST(doc_id AS VARCHAR) END || chr(10) ||
+                     'probe paragraph group ' ||
+                     CAST(doc_id % 50 AS VARCHAR) AS text
+              FROM documents),
+            para AS (
+              SELECT doc_id,
+                     unnest(ps) AS para,
+                     unnest(range(len(ps))) AS pos
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ps
+                    FROM aug)),
+            firsts AS (
+              SELECT sha256(para) AS pk,
+                     min(doc_id * 1000000 + pos) AS fk
+              FROM para GROUP BY 1),
+            verdicts AS (
+              SELECT p.doc_id, p.pos, p.para,
+                     (p.doc_id * 1000000 + p.pos = f.fk) AS kept
+              FROM para p JOIN firsts f ON sha256(p.para) = f.pk)
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                   coalesce(string_agg(para, chr(10) ORDER BY pos)
+                              FILTER (WHERE kept), '') AS clean_text
+            FROM verdicts GROUP BY doc_id
+        """,
+        doc="RefinedWeb-style corpus-wide keep-first line dedup",
         tags=("§2.11",),
     ),
 }

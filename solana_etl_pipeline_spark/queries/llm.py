@@ -49,6 +49,8 @@ from solana_etl_pipeline_spark.llm.similarity import (
     ivf_cosine_topk,
     kmeans_fit,
     lsh_cosine_topk,
+    pq_cosine_topk,
+    pq_fit,
 )
 from solana_etl_pipeline_spark.llm.textstats import (
     STOPWORDS,
@@ -343,6 +345,34 @@ def llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + off).alias("vec_id"), "embedding"
     )
     topk = ivf_cosine_topk(emb.unionByName(twins), queries, centroids, k=5)
+    return topk.filter(
+        F.col("neighbor_id") == F.col("query_id") + off
+    )
+
+
+def llm_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k planted-probe (same contract as the LSH and IVF
+    probes): an 8-subspace × 16-codeword product-quantization
+    codebook is trained with one refinement pass over deterministic
+    scramble-seeded init (``pq_fit``), the corpus is stored as codes,
+    and each query's ADC shortlist is exact-cosine re-ranked. A
+    query's planted twin encodes to the query's own codes, so its ADC
+    score is maximal for identical content and the exact re-rank must
+    return it at rank 1 with cosine 1.0. Organic recall — inherently
+    approximate — stays pinned by tests/test_llm.py recall assertions
+    against the exact twin ``llm_cosine_topk``."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    off = _probe_offset(emb, "vec_id", sf_dir)
+    codebook = pq_fit(emb, m=8, ksub=16, dim=64, n_iters=1)
+    queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    twins = queries.select(
+        (F.col("vec_id") + off).alias("vec_id"), "embedding"
+    )
+    topk = pq_cosine_topk(
+        emb.unionByName(twins), queries, codebook, k=5, shortlist=50
+    )
     return topk.filter(
         F.col("neighbor_id") == F.col("query_id") + off
     )
@@ -869,6 +899,26 @@ QUERIES: dict[str, QuerySpec] = {
                                      embedding::DOUBLE[]) > 0
         """,
         doc="IVF cosine top-k (k-means codebook) finds planted twins",
+        tags=("§2.11",),
+    ),
+    "llm_pq_cosine_topk": QuerySpec(
+        spark=llm_pq_cosine_topk,
+        oracle="""
+            -- same signability guard as the LSH/IVF probes: a
+            -- null/empty vector never encodes (NULL codes are
+            -- dropped), and a zero-norm query's exact-cosine re-rank
+            -- is NULL, so such a query has no rank-1 twin row
+            SELECT vec_id AS query_id,
+                   vec_id + (SELECT max(vec_id) + 1 FROM embeddings)
+                     AS neighbor_id,
+                   1 AS rank, CAST(1.0 AS DOUBLE) AS cosine
+            FROM embeddings
+            WHERE vec_id < 5 AND embedding IS NOT NULL
+              AND len(embedding) > 0
+              AND list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
+        """,
+        doc="PQ/ADC cosine top-k (product codebook) finds planted twins",
         tags=("§2.11",),
     ),
     "llm_incremental_near_dup": QuerySpec(

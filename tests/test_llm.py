@@ -455,3 +455,103 @@ def test_multimodal_null_payload_survives(spark):
     assert resized[1].payload == b"real"
     assert resized[2].payload is None
     assert resized[2].meta["resized"] == "false"
+
+
+# --------------------------------------------------- product quantization
+
+
+def test_pq_finds_planted_twin_at_rank_1(spark, sf_dir):
+    """An exact copy encodes to the query's own codes, so its ADC
+    score ties the maximum and the exact re-rank must put it at rank 1
+    with cosine 1.0 — the same invariant the LSH/IVF probes pin."""
+    from solana_etl_pipeline_spark.llm.similarity import (
+        pq_cosine_topk,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    book = pq_fit(emb, m=8, ksub=16, dim=64, n_iters=1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    out = pq_cosine_topk(emb.unionByName(twins), queries, book, k=5)
+    rank1 = {
+        r.query_id: (r.neighbor_id, r.cosine)
+        for r in out.collect()
+        if r.rank == 1
+    }
+    for qid in range(5):
+        assert rank1[qid] == (qid + 1000, 1.0)
+
+
+def test_pq_vs_exact_sanity(spark, sf_dir):
+    """ADC shortlist + exact re-rank: recall floor on the random
+    fixture, and the invariant that the approximate rank-1 cosine can
+    never beat the exact rank-1."""
+    from solana_etl_pipeline_spark.llm.similarity import (
+        pq_cosine_topk,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_fit(emb, m=8, ksub=16, dim=64, n_iters=1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = pq_cosine_topk(emb, queries, book, k=5).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(a & e) / len(e) >= 0.3
+    e1 = {r.query_id: r.cosine for r in exact if r.rank == 1}
+    for r in approx:
+        if r.rank == 1:
+            assert r.cosine <= e1[r.query_id] + 1e-9
+
+
+def test_pq_fit_shape_and_determinism(spark, sf_dir):
+    """Codebook is [m][ksub][dim/m] metadata and the whole train path
+    (scramble seeding, argmin encode, cell means) is deterministic
+    across invocations."""
+    from solana_etl_pipeline_spark.llm.similarity import pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = pq_fit(emb, m=4, ksub=8, dim=64, n_iters=1)
+    b2 = pq_fit(emb, m=4, ksub=8, dim=64, n_iters=1)
+    assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
+    assert b1 == b2
+
+
+def test_pq_invalid_vectors_never_encode(spark):
+    """Null / length-mismatched corpus vectors yield NULL codes and
+    are dropped before the ADC join — they can never surface as
+    neighbors or poison a batch (mirrors the SRP/IVF guards)."""
+    from solana_etl_pipeline_spark.llm.similarity import (
+        pq_cosine_topk,
+        pq_fit,
+    )
+
+    dim = 4
+    rows = [
+        Row(vec_id=i, embedding=[float(i == j) for j in range(dim)])
+        for i in range(8)
+    ]
+    rows.append(Row(vec_id=100, embedding=None))
+    rows.append(Row(vec_id=101, embedding=[1.0, 2.0]))  # ragged
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    book = pq_fit(df, m=2, ksub=4, dim=dim, n_iters=1)
+    queries = df.filter(F.col("vec_id") < 2)
+    out = pq_cosine_topk(df, queries, book, k=5).collect()
+    assert out, "valid vectors must still rank"
+    assert all(r.neighbor_id not in (100, 101) for r in out)
+
+
+def test_pq_fit_rejects_indivisible_dim(spark, sf_dir):
+    from solana_etl_pipeline_spark.llm.similarity import pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(emb, m=7, ksub=4, dim=64)

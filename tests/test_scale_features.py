@@ -123,6 +123,10 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # SemDeDup: the k-means codebook (k rows) broadcasts into
         # every assignment, as in the sanctioned IVF queries
         "llm_semantic_dedup",
+        # PQ: the 5 query vectors (with their ADC lookup tables)
+        # broadcast into the code scan — same contract as the brute
+        # cosine probe; the corpus side carries codes, not vectors
+        "llm_pq_cosine_topk",
         # histogram quantiles: the 1-row total broadcasts into the
         # ≤ n_bins cumsum rows (a rollup-sized combine, never corpus)
         "agg_histogram_quantiles",

@@ -115,3 +115,127 @@ def test_approx_top_k_under_pressure_keeps_dominant_item(spark):
     got = {r.term: r.n for r in out}
     assert "hot" in got
     assert 300 <= got["hot"] <= 500
+
+
+# ------------------------------------------------- count-min sketch
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """The CMS guarantee: est >= exact for every probed key (collisions
+    only ever add)."""
+    from solana_etl_pipeline_spark.operators.sketches import (
+        cms_daily_rollup,
+        cms_range_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    rollup = cms_daily_rollup(ev, "user_id", depth=4, width=64)
+    exact = {
+        str(r.user_id): r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = cms_range_estimates(
+        rollup, ev.select("user_id").distinct(), "user_id", depth=4, width=64
+    )
+    for r in est.collect():
+        assert r.cms_estimate >= exact[r.item], r
+
+
+def test_cms_wide_sketch_is_exact(spark, sf_dir):
+    """With width far above the key cardinality the min over depth
+    rows erases every collision — the estimate equals the exact count
+    (the limit the error bound converges to)."""
+    from solana_etl_pipeline_spark.operators.sketches import (
+        cms_daily_rollup,
+        cms_range_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    rollup = cms_daily_rollup(ev, "user_id", depth=4, width=8192)
+    exact = {
+        str(r.user_id): r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = cms_range_estimates(
+        rollup, ev.select("user_id").distinct(), "user_id",
+        depth=4, width=8192,
+    )
+    rows = est.collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r.cms_estimate == exact[r.item], r
+
+
+def test_cms_daily_merge_equals_direct_cells(spark, sf_dir):
+    """Summing per-day cells reproduces the cells of a sketch built
+    over the raw range directly — the mergeability property that makes
+    the rollup a safe substitute for re-scanning history."""
+    from solana_etl_pipeline_spark.operators.sketches import (
+        _cms_bucket,
+        cms_daily_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    merged = {
+        (r.row_idx, r.bucket): r.cnt
+        for r in cms_daily_rollup(ev, "user_id", depth=4, width=64)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    direct = {
+        (r.row_idx, r.bucket): r.cnt
+        for r in ev.select(F.col("user_id").cast("string").alias("item"))
+        .select(
+            "item",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("row_idx"),
+        )
+        .groupBy(
+            "row_idx",
+            _cms_bucket(F.col("row_idx"), F.col("item"), 64).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_cms_null_items_dropped(spark):
+    """Null keys contribute no cells and produce a zero estimate when
+    probed (they are not silently folded into a 'null' bucket)."""
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.operators.sketches import (
+        cms_daily_rollup,
+        cms_range_estimates,
+    )
+
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            Row(ts=ts, user_id=1),
+            Row(ts=ts, user_id=1),
+            Row(ts=ts, user_id=None),
+        ],
+        "ts timestamp, user_id bigint",
+    )
+    rollup = cms_daily_rollup(ev, "user_id", depth=2, width=16)
+    total = rollup.agg(F.sum("cnt")).collect()[0][0]
+    assert total == 2 * 2  # 2 non-null events x depth
+    probe = spark.createDataFrame([Row(user_id=7)], "user_id bigint")
+    est = cms_range_estimates(rollup, probe, "user_id", depth=2, width=16)
+    got = est.collect()
+    # an unseen key reads whatever its cells hold — here 0 or the
+    # collision mass of user 1; with width 16 and one key, min()=0
+    # unless both probed cells collide, which the fixed md5 layout
+    # makes checkable: assert the estimate never goes negative and
+    # never exceeds the total insertions
+    assert 0 <= got[0].cms_estimate <= 2
