@@ -82,7 +82,11 @@ def main() -> None:
     # stdout JSON line must stay SHORT — the driver keeps only the tail
     # of the output and a ~3.5 KB line with all ~100 queries gets
     # truncated mid-line and fails to parse (BENCH_r02 "parsed": null).
-    with open("BENCH_FULL.json", "w") as fh:
+    # SPARK_GRAFT_BENCH_SIDECAR redirects the sidecar so a quick
+    # sf0.01 smoke drive (the verify recipe) can't clobber the
+    # committed sf0.1 record.
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_FULL.json")
+    with open(sidecar, "w") as fh:
         json.dump({"total_sec": total, "sf": sf_val, "queries": detail}, fh)
 
     headline = [
@@ -98,6 +102,10 @@ def main() -> None:
         "llm_cosine_topk",
         "llm_decontaminate",
         "llm_lm_quality_score",
+        "llm_paragraph_dedup",
+        "llm_pq_cosine_topk",
+        "llm_dsir_select",
+        "sketch_cms_user_counts",
         "streaming_hourly_rollup",
         "streaming_interval_join",
         "enrich_risk_grouped_map",

@@ -31,8 +31,29 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 # Base58 (no 0, O, I, l), Solana pubkey length band.
 ADDR_RE = r"\b[1-9A-HJ-NP-Za-km-z]{32,44}\b"
+# URL variants with the whitespace class spelled out (llm/tokenize.py's
+# rule: Java and RE2 disagree on \s membership — \x0B is whitespace to
+# Java but not RE2 — so cross-engine-checked extraction never uses \s).
+URL_WS_RE = r"https?://[^ \t\n\r\f]+"
+HOST_RE = r"https?://([^/ \t\n\r\f]+)"
 
 _REDACTIONS = ((EMAIL_RE, "<EMAIL>"), (URL_RE, "<URL>"), (ADDR_RE, "<ADDR>"))
+
+
+def extract_domains(text: Column) -> Column:
+    """Array of registrable hosts for every URL in ``text`` — the
+    per-document half of the domain-rollup curation pass (web-corpus
+    pipelines score and blocklist by domain before any text-level
+    filter runs). Pure JVM regexp expressions."""
+    # idx=0 = the whole match (PySpark's default is capture group 1,
+    # and URL_WS_RE deliberately has no groups; DuckDB's
+    # regexp_extract_all defaults to group 0 already)
+    return F.transform(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit(URL_WS_RE), 0
+        ),
+        lambda url: F.regexp_extract(url, HOST_RE, 1),
+    )
 
 
 def redact_pii(text: Column) -> Column:

@@ -28,8 +28,10 @@ Scale shape (the part that matters at 100 TB):
   that groupBy — partial aggregation runs map-side, so the shuffle
   carries one candidate per (partition, digest), not one per
   occurrence,
-- survivors come back via an equi-join on the same digest key (AQE
-  reuses the aggregation's partitioning for the probe side), and
+- survivors come back via an equi-join on the same digest key (at
+  fixture scale the ≤-|distinct paragraphs| aggregate side simply
+  broadcasts; at 100 TB it is a shuffle join whose agg side is
+  already partitioned on the key), and
 - reassembly is one groupBy on ``doc_id``. No global sort, no
   window over the corpus, no driver-side state.
 """

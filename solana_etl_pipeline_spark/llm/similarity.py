@@ -574,41 +574,13 @@ def _pq_encode_udf(book) -> "F.pandas_udf":
     return _encode
 
 
-def pq_cosine_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    codebook: list,
-    k: int = 5,
-    shortlist: int = 50,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _pq_encoded(
+    corpus: DataFrame, codebook: list, id_col: str, vec_col: str
 ) -> DataFrame:
-    """PQ/ADC search: corpus vectors are stored as ``m`` small codes;
-    each query scores candidates with an asymmetric-distance lookup
-    table (``lut[s][c] = <q_sub_s, codeword_c>``, computed in-plan
-    from the broadcast query vector and the literal codebook), takes
-    an ADC shortlist, and re-ranks it with exact cosine. Output shape
-    matches :func:`cosine_topk`. The shortlist ranks by raw ADC inner
-    product — exact for cosine on unit-normalized corpora (the
-    embedding-pipeline norm); for un-normalized vectors divide by the
-    quantized norm (a second codeword-self-IP lookup table) before
-    ranking.
-
-    Scale shape: the scan side touches only the code columns (m
-    bytes-ish per vector instead of dim floats — the reason PQ exists
-    at 100 TB), the per-candidate cost is m table lookups inside a
-    JVM higher-order expression, and the only Python is the
-    Arrow-batched encoder. The query side is broadcast under the same
-    small-side contract as ``cosine_topk``; for a large query set or
-    sub-scan latency, compose with :func:`ivf_assignments` — probe
-    cells first, ADC only within the probed cells (IVF-PQ).
-    """
-    import numpy as np
-
-    cbook = np.asarray(codebook, dtype=np.float64)
-    m, ksub, dsub = cbook.shape
+    """(neighbor_id, cvec, codes): the stored form of a PQ index —
+    invalid vectors (NULL codes) dropped up front."""
     encode = _pq_encode_udf(codebook)
-    enc = (
+    return (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("cvec"),
@@ -616,10 +588,18 @@ def pq_cosine_topk(
         .withColumn("codes", encode(F.col("cvec")))
         .filter(F.col("codes").isNotNull())
     )
-    # per-query ADC lookup table, computed as a JVM expression against
-    # the codebook literal: lut[s][c] = dot(q_sub_s, codeword_{s,c})
+
+
+def _pq_lut_expr(codebook: list):
+    """Per-row ADC lookup-table expression (expects a ``qvec`` column):
+    ``lut[s][c] = <q_sub_s, codeword_{s,c}>`` — a JVM higher-order
+    expression over the codebook literal."""
+    import numpy as np
+
+    cbook = np.asarray(codebook, dtype=np.float64)
+    _, _, dsub = cbook.shape
     book_lit = F.lit(cbook.tolist()).cast("array<array<array<double>>>")
-    lut = F.transform(
+    return F.transform(
         book_lit,
         lambda sub_cb, s: F.transform(
             sub_cb,
@@ -628,12 +608,28 @@ def pq_cosine_topk(
             ),
         ),
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("qvec"),
-        ).withColumn("lut", lut)
-    )
+
+
+def _pq_queries_with_lut(
+    queries: DataFrame, codebook: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, qvec, lut): the query side of an ADC scan."""
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("lut", _pq_lut_expr(codebook))
+
+
+def _adc_rerank_topk(
+    pairs: DataFrame, m: int, k: int, shortlist: int
+) -> DataFrame:
+    """ADC-score candidate pairs (query_id, qvec, lut, neighbor_id,
+    cvec, codes), keep the per-query ADC shortlist, re-rank it with
+    exact cosine. The shortlist ranks by raw ADC inner product —
+    exact for cosine on unit-normalized corpora (the
+    embedding-pipeline norm); for un-normalized vectors divide by the
+    quantized norm (a second codeword-self-IP lookup table) before
+    ranking."""
     est = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -650,8 +646,7 @@ def pq_cosine_topk(
         F.desc("adc_ip"), F.asc("neighbor_id")
     )
     cand = (
-        q.crossJoin(enc)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        pairs.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("adc_ip", est)
         .withColumn("adc_rn", F.row_number().over(w_adc))
         .filter(F.col("adc_rn") <= shortlist)
@@ -668,6 +663,90 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC search: corpus vectors are stored as ``m`` small codes;
+    each query scores every code row with an asymmetric-distance
+    lookup table, takes an ADC shortlist, and re-ranks it with exact
+    cosine. Output shape matches :func:`cosine_topk`.
+
+    Scale shape: the scan side touches only the code columns (m
+    bytes-ish per vector instead of dim floats — the reason PQ exists
+    at 100 TB), the per-candidate cost is m table lookups inside a
+    JVM higher-order expression, and the only Python is the
+    Arrow-batched encoder. The query side is broadcast under the same
+    small-side contract as ``cosine_topk``; for a large query set or
+    sub-scan latency, use :func:`ivfpq_cosine_topk` — probe cells
+    first, ADC only within the probed cells.
+    """
+    import numpy as np
+
+    m = np.asarray(codebook, dtype=np.float64).shape[0]
+    enc = _pq_encoded(corpus, codebook, id_col, vec_col)
+    q = F.broadcast(
+        _pq_queries_with_lut(queries, codebook, id_col, vec_col)
+    )
+    return _adc_rerank_topk(q.crossJoin(enc), m, k, shortlist)
+
+
+def ivfpq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: list,
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composition production ANN indexes actually ship
+    (Jégou et al. 2011 §V; FAISS ``IVFxPQy``): the IVF coarse
+    quantizer bounds WHICH rows are scored (a cluster equi-join
+    replaces the scan) and PQ bounds the COST PER ROW (m code lookups
+    replace a dim-float dot product). The two approximations stack:
+    at 100 TB with C cells, per-query work drops ~(C/nprobe)× from
+    IVF and a further ~dim/m× from ADC, and the scan reads code
+    columns instead of embeddings. Exact-cosine re-rank of the
+    shortlist restores precision at the top.
+
+    Same planted-twin invariant as each component alone: an exact
+    copy shares the query's cell AND its codes, so it reaches the
+    shortlist and wins rank 1 at cosine 1.0.
+    """
+    import numpy as np
+
+    m = np.asarray(codebook, dtype=np.float64).shape[0]
+    ca = ivf_assignments(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+        "cluster_id",
+    )
+    encode = _pq_encode_udf(codebook)
+    enc = ca.withColumn("codes", encode(F.col("cvec"))).filter(
+        F.col("codes").isNotNull()
+    )
+    # lut rides each (query, probed-cell) row directly — joining a
+    # lut-only frame back on query_id would square the nprobe fan-out
+    qa = ivf_assignments(queries, centroids, id_col, vec_col, nprobe)
+    q = qa.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+        "cluster_id",
+    ).withColumn("lut", _pq_lut_expr(codebook))
+    # each corpus vector lives in exactly one cell, so a (query,
+    # neighbor) pair matches at most one probed cell — no pair dedup
+    pairs = q.join(enc, "cluster_id")
+    return _adc_rerank_topk(pairs, m, k, shortlist)
 
 
 def lsh_cosine_topk(

@@ -72,11 +72,13 @@ for _mod in (
 #     python tools/staleness.py --budget 50
 # which orders never-witnessed queries first, then witnessed queries
 # stalest-first. The round-6 prefix below is that tool's output at
-# HEAD: the 17 queries last driver-witnessed in r3 (sinks/enrich/
-# UDTF/pivot/sliding-windows + the nine r3 llm queries), then 33 of
-# the 50 r4-green queries in their r4 order. Positions 51-67 hold
-# the remaining 17 r4 greens (aged 2 rounds after r6 — first in line
-# for the r7 prefix), then the r5-green prefix in its r5 order.
+# HEAD: the 10 queries registered this round (never witnessed), the
+# 17 queries last driver-witnessed in r3 (sinks/enrich/UDTF/pivot/
+# sliding-windows + the nine r3 llm queries), then the r4-green
+# queries in their r4 order up to the 50-query budget. Below the
+# budget line sit the remaining r4 greens (aged 2 rounds after r6 —
+# first in line for the r7 prefix), then the r5-green prefix in its
+# r5 order.
 _PRIORITY = (
     # --- round-6 prefix: NEVER-witnessed queries first (registered
     # this round; the staleness tool orders unwitnessed ahead of
@@ -84,6 +86,9 @@ _PRIORITY = (
     "llm_paragraph_dedup",
     "llm_pq_cosine_topk",
     "sketch_cms_user_counts",
+    "llm_dsir_select",
+    "llm_domain_rollup",
+    "llm_ivfpq_cosine_topk",
     "llm_nb_source_classifier",
     "llm_semantic_dedup",
     "agg_histogram_quantiles",

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 from solana_etl_pipeline_spark.llm.curate import (
     ADDR_RE,
     EMAIL_RE,
+    HOST_RE,
     URL_RE,
+    URL_WS_RE,
+    extract_domains,
     pack_sequences,
     pii_counts,
     redact_pii,
@@ -118,6 +121,50 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc paragraph counts plus the reassembled clean text."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_paragraphs(_para_augmented(docs))
+
+
+def _url_augmented(docs: DataFrame) -> DataFrame:
+    """Inject deterministic URLs so the domain rollup has real work on
+    the URL-free fixture: every doc links one of 7 content domains;
+    every 5th doc additionally carries a tracker link (the
+    blocklist-shaped skew the rollup exists to surface)."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            text,
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" https://tracker.example/t/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def llm_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain link rollup over the augmented corpus: URL and
+    document counts plus mean document length — the statistics a
+    domain blocklist/quality pass ranks on. One explode + one groupBy
+    on the host string; counts are map-side partially aggregated."""
+    docs = _url_augmented(load_table(spark, sf_dir, "documents"))
+    per_url = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(extract_domains(F.col("text"))).alias("domain"),
+    )
+    return per_url.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
 
 
 _AUG_SQL = """
@@ -223,5 +270,36 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="RefinedWeb-style corpus-wide keep-first line dedup",
         tags=("§2.11",),
+    ),
+    "llm_domain_rollup": QuerySpec(
+        spark=llm_domain_rollup,
+        oracle=f"""
+            WITH aug AS (
+              SELECT doc_id, n_chars,
+                     coalesce(text, '') || ' see https://site' ||
+                     CAST(doc_id % 7 AS VARCHAR) || '.example/p/' ||
+                     CAST(doc_id AS VARCHAR) ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN ' https://tracker.example/t/' ||
+                               CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS text
+              FROM documents),
+            urls AS (
+              SELECT doc_id, n_chars,
+                     unnest(regexp_extract_all(text, '{URL_WS_RE}'))
+                       AS url
+              FROM aug),
+            hosts AS (
+              SELECT doc_id, n_chars,
+                     regexp_extract(url, '{HOST_RE}', 1) AS domain
+              FROM urls)
+            SELECT domain,
+                   count(*) AS n_urls,
+                   count(DISTINCT doc_id) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM hosts GROUP BY 1
+        """,
+        doc="Per-domain URL rollup (blocklist/quality curation stats)",
+        tags=("§2.11", "F5"),
     ),
 }

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.curate import chunk_documents
 from solana_etl_pipeline_spark.llm.decontaminate import decontaminate
+from solana_etl_pipeline_spark.llm.dsir import importance_weights
 from solana_etl_pipeline_spark.llm.export import assign_splits
 from solana_etl_pipeline_spark.llm.lm import unigram_fit, unigram_score
 from solana_etl_pipeline_spark.llm.mixture import mixture_plan, mixture_sample
@@ -90,6 +91,28 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
     )
+
+
+DSIR_BUCKETS = 4096
+DSIR_TOP_K = 20
+
+
+def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: importance-weight every non-eval document
+    against the eval split as the target distribution (the same split
+    the decontamination pass uses) and keep the top 20 most
+    target-like — ``orderBy(desc(log_weight), doc_id).limit(k)``
+    compiles to TakeOrderedAndProject, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = F.pmod(F.col("doc_id"), F.lit(EVAL_MOD)) == EVAL_REM
+    weights = importance_weights(
+        docs.filter(~is_target),
+        docs.filter(is_target),
+        n_buckets=DSIR_BUCKETS,
+    )
+    return weights.orderBy(
+        F.desc("log_weight"), "doc_id"
+    ).limit(DSIR_TOP_K)
 
 
 LM_VAL_FRAC, LM_TEST_FRAC = 0.10, 0.10
@@ -168,6 +191,51 @@ QUERIES: dict[str, QuerySpec] = {
             FROM per
         """,
         doc="Eval-set 5-gram decontamination audit (hashed-gram probe)",
+        tags=("§2.11",),
+    ),
+    "llm_dsir_select": QuerySpec(
+        spark=llm_dsir_select,
+        oracle=f"""
+            WITH {_WORDS_SQL},
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_concat(ws,
+                       CASE WHEN len(ws) >= 2
+                            THEN list_transform(range(len(ws) - 1),
+                                   i -> ws[CAST(i AS INT) + 1] || ' ' ||
+                                        ws[CAST(i AS INT) + 2])
+                            ELSE CAST([] AS VARCHAR[]) END)) AS g
+              FROM w),
+            gb AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT
+                       % {DSIR_BUCKETS} AS bucket,
+                     doc_id % {EVAL_MOD} = {EVAL_REM} AS is_target
+              FROM grams),
+            tc AS (SELECT bucket, count(*) AS ct FROM gb
+                   WHERE is_target GROUP BY 1),
+            rc AS (SELECT bucket, count(*) AS cr FROM gb
+                   WHERE NOT is_target GROUP BY 1),
+            tot AS (SELECT
+                      (SELECT count(*) FROM gb WHERE is_target) AS nt,
+                      (SELECT count(*) FROM gb WHERE NOT is_target) AS nr),
+            ratios AS (
+              SELECT bucket,
+                     ln((coalesce(ct, 0) + 1)
+                        / (nt + {DSIR_BUCKETS}.0e0))
+                     - ln((coalesce(cr, 0) + 1)
+                          / (nr + {DSIR_BUCKETS}.0e0)) AS lr
+              FROM tc FULL JOIN rc USING (bucket) CROSS JOIN tot),
+            dw AS (
+              SELECT g.doc_id, count(*) AS n_grams,
+                     round(sum(r.lr), 6) AS log_weight
+              FROM gb g JOIN ratios r USING (bucket)
+              WHERE NOT g.is_target GROUP BY 1)
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, log_weight
+            FROM dw ORDER BY log_weight DESC, doc_id
+            LIMIT {DSIR_TOP_K}
+        """,
+        doc="DSIR importance-weighted selection vs the eval target set",
         tags=("§2.11",),
     ),
     "llm_repetition_rules": QuerySpec(

@@ -47,6 +47,7 @@ from solana_etl_pipeline_spark.llm.multimodal import (
 from solana_etl_pipeline_spark.llm.similarity import (
     cosine_topk,
     ivf_cosine_topk,
+    ivfpq_cosine_topk,
     kmeans_fit,
     lsh_cosine_topk,
     pq_cosine_topk,
@@ -372,6 +373,31 @@ def llm_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     topk = pq_cosine_topk(
         emb.unionByName(twins), queries, codebook, k=5, shortlist=50
+    )
+    return topk.filter(
+        F.col("neighbor_id") == F.col("query_id") + off
+    )
+
+
+def llm_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ planted-probe — the composed production index (coarse
+    cells bound which rows are scored, PQ codes bound the cost per
+    row, exact cosine re-ranks the shortlist). An exact twin shares
+    the query's cell AND its codes, so it must surface at rank 1 with
+    cosine 1.0 regardless of how either codebook partitions the
+    space. Component recall stays pinned by the IVF and PQ tests."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    off = _probe_offset(emb, "vec_id", sf_dir)
+    centroids = kmeans_fit(emb, k=8, dim=64, n_iters=1)
+    codebook = pq_fit(emb, m=8, ksub=16, dim=64, n_iters=1)
+    queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    twins = queries.select(
+        (F.col("vec_id") + off).alias("vec_id"), "embedding"
+    )
+    topk = ivfpq_cosine_topk(
+        emb.unionByName(twins), queries, centroids, codebook, k=5
     )
     return topk.filter(
         F.col("neighbor_id") == F.col("query_id") + off
@@ -919,6 +945,23 @@ QUERIES: dict[str, QuerySpec] = {
                                      embedding::DOUBLE[]) > 0
         """,
         doc="PQ/ADC cosine top-k (product codebook) finds planted twins",
+        tags=("§2.11",),
+    ),
+    "llm_ivfpq_cosine_topk": QuerySpec(
+        spark=llm_ivfpq_cosine_topk,
+        oracle="""
+            -- same signability guard as the LSH/IVF/PQ probes
+            SELECT vec_id AS query_id,
+                   vec_id + (SELECT max(vec_id) + 1 FROM embeddings)
+                     AS neighbor_id,
+                   1 AS rank, CAST(1.0 AS DOUBLE) AS cosine
+            FROM embeddings
+            WHERE vec_id < 5 AND embedding IS NOT NULL
+              AND len(embedding) > 0
+              AND list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
+        """,
+        doc="IVF-PQ composed index (cells x codes) finds planted twins",
         tags=("§2.11",),
     ),
     "llm_incremental_near_dup": QuerySpec(

@@ -76,3 +76,30 @@ def test_pack_sequences_null_text_counts_zeroish(spark):
     out = pack_sequences(df, "doc_id", "text", budget=4).collect()
     # split('', ' ') -> [''] : one (empty) token, never a crash
     assert out[0].n_docs == 1
+
+
+# ----------------------------------------------------- domain rollup
+
+
+def test_extract_domains_multi_and_none(spark):
+    from solana_etl_pipeline_spark.llm.curate import extract_domains
+
+    rows = [
+        Row(doc_id=1, text="a https://x.example/p http://y.example b"),
+        Row(doc_id=2, text="no links here"),
+        Row(doc_id=3, text=None),
+        # \x0B is whitespace to Java but not RE2 — the explicit class
+        # treats it as a URL character in BOTH engines (the convention
+        # llm/tokenize.py documents), so the host parse must agree too
+        Row(doc_id=4, text="see https://z.example/q\x0btail end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.ds
+        for r in df.select(
+            "doc_id", extract_domains(F.col("text")).alias("ds")
+        ).collect()
+    }
+    assert got[1] == ["x.example", "y.example"]
+    assert got[2] == [] and got[3] == []
+    assert got[4] == ["z.example"]

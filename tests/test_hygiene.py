@@ -353,3 +353,107 @@ def test_lm_scores_off_rounding_boundary(spark, fixture_sf):
         )
     lm._UNSCOPED_VOCAB and lm._UNSCOPED_VOCAB[0].unpersist(blocking=True)
     lm._UNSCOPED_VOCAB.clear()
+
+
+# --------------------------------------------------- DSIR selection
+
+
+def test_dsir_identical_pools_weigh_zero(spark):
+    """When raw and target hold the same texts, every bucket's target
+    and raw probabilities are identical floats, so each log-ratio is
+    exactly 0.0 and every document weighs 0 — no float tolerance
+    needed."""
+    from solana_etl_pipeline_spark.llm.dsir import importance_weights
+
+    texts = ["alpha beta gamma", "delta epsilon", "alpha delta"]
+    raw = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+    out = importance_weights(raw, target).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.log_weight == 0.0
+
+
+def test_dsir_target_like_doc_outweighs_unlike(spark):
+    """A raw doc sharing the target's vocabulary must weigh strictly
+    more than a raw doc with no target overlap."""
+    from solana_etl_pipeline_spark.llm.dsir import importance_weights
+
+    target = spark.createDataFrame(
+        [Row(doc_id=100, text="quality prose about spark engines")],
+        "doc_id bigint, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="quality prose about spark engines"),
+            Row(doc_id=1, text="zzz qqq xxx vvv kkk"),
+        ],
+        "doc_id bigint, text string",
+    )
+    w = {r.doc_id: r.log_weight for r in importance_weights(raw, target).collect()}
+    assert w[0] > w[1]
+
+
+def test_dsir_gram_counts_include_bigrams(spark):
+    """n_grams = unigrams + bigrams = 2*len - 1; a single-token doc
+    contributes exactly one gram (the bigram guard — Spark's sequence
+    would otherwise flip descending and fabricate indexes)."""
+    from solana_etl_pipeline_spark.llm.dsir import importance_weights
+
+    target = spark.createDataFrame(
+        [Row(doc_id=100, text="x")], "doc_id bigint, text string"
+    )
+    raw = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c"), Row(doc_id=1, text="solo")],
+        "doc_id bigint, text string",
+    )
+    n = {r.doc_id: r.n_grams for r in importance_weights(raw, target).collect()}
+    assert n[0] == 5  # 3 unigrams + 2 bigrams
+    assert n[1] == 1
+
+
+def test_dsir_deterministic(spark, sf_dir):
+    from solana_etl_pipeline_spark.queries import QUERIES
+
+    a = QUERIES["llm_dsir_select"].spark(spark, sf_dir).collect()
+    b = QUERIES["llm_dsir_select"].spark(spark, sf_dir).collect()
+    assert a == b
+
+
+@pytest.mark.parametrize(
+    "fixture_sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+)
+def test_dsir_weights_off_rounding_boundary(spark, fixture_sf):
+    """COVERAGE.md convention 8 canary for the DSIR weight: no raw
+    log_weight on the driver fixtures may sit essentially on its 1e-6
+    rounding boundary (mirrors the LM canary above)."""
+    from solana_etl_pipeline_spark.llm.dsir import importance_weights
+    from solana_etl_pipeline_spark.queries.hygiene import (
+        DSIR_BUCKETS,
+        EVAL_MOD,
+        EVAL_REM,
+    )
+    from solana_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, fixture_sf, "documents")
+    is_target = F.pmod(F.col("doc_id"), F.lit(EVAL_MOD)) == EVAL_REM
+    scored = importance_weights(
+        docs.filter(~is_target),
+        docs.filter(is_target),
+        n_buckets=DSIR_BUCKETS,
+        include_raw=True,
+    )
+    eps = 1e-6
+    for r in scored.select("_raw").collect():
+        frac = (r["_raw"] * 1e6) % 1.0
+        assert abs(frac - 0.5) > eps, (
+            f"raw DSIR weight {r['_raw']!r} sits on the 1e-6 rounding "
+            "boundary (COVERAGE.md convention 8)"
+        )

@@ -555,3 +555,45 @@ def test_pq_fit_rejects_indivisible_dim(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit(emb, m=7, ksub=4, dim=64)
+
+
+def test_ivfpq_finds_planted_twin_and_matches_components(spark, sf_dir):
+    """IVF-PQ composition: twins surface at rank 1 / cosine 1.0, and
+    with nprobe covering every cell the composed result for a query
+    equals plain PQ over the same corpus (IVF only prunes cells)."""
+    from solana_etl_pipeline_spark.llm.similarity import (
+        ivfpq_cosine_topk,
+        kmeans_fit,
+        pq_cosine_topk,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = kmeans_fit(emb, k=4, dim=64, n_iters=1)
+    book = pq_fit(emb, m=8, ksub=16, dim=64, n_iters=1)
+    queries = emb.filter(F.col("vec_id") < 3)
+    twins = queries.select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+
+    out = ivfpq_cosine_topk(corpus, queries, centroids, book, k=5)
+    rank1 = {
+        r.query_id: (r.neighbor_id, r.cosine)
+        for r in out.collect()
+        if r.rank == 1
+    }
+    for qid in range(3):
+        assert rank1[qid] == (qid + 5000, 1.0)
+
+    # nprobe = k cells ⇒ nothing pruned ⇒ identical to flat PQ
+    full = ivfpq_cosine_topk(
+        corpus, queries, centroids, book, k=5, nprobe=4
+    ).collect()
+    flat = pq_cosine_topk(corpus, queries, book, k=5).collect()
+    as_set = lambda rows: {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine) for r in rows
+    }
+    assert as_set(full) == as_set(flat)

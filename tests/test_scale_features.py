@@ -115,6 +115,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "llm_bm25_search",
         # LM scoring: (N, V) totals ride a 1-row broadcast scalar
         "llm_lm_quality_score",
+        # DSIR: the two pool totals ride 1-row broadcast scalars into
+        # the <= n_buckets ratio table (index metadata, never corpus)
+        "llm_dsir_select",
         # NB scoring: per-label stats (|labels| rows, tens) + two
         # 1-row scalars (V, D) ride broadcast cross joins — the
         # doc×label fan-out is the NB scoring shape, bounded by the
@@ -127,6 +130,10 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # broadcast into the code scan — same contract as the brute
         # cosine probe; the corpus side carries codes, not vectors
         "llm_pq_cosine_topk",
+        # IVF-PQ: the 8-row k-means codebook broadcasts into both
+        # coarse assignments (as in the IVF query); candidates join
+        # on the cell equi-key
+        "llm_ivfpq_cosine_topk",
         # histogram quantiles: the 1-row total broadcasts into the
         # ≤ n_bins cumsum rows (a rollup-sized combine, never corpus)
         "agg_histogram_quantiles",

@@ -9,6 +9,14 @@ COVERAGE.md conventions 5/7), lands it as parquet, then times:
   * ``unigram_fit`` + ``unigram_score``  (scoped vocab persist)
   * ``incremental_near_dup_batch``  (one arrival batch against a
     pre-seeded signature store — probe cost ∝ batch, not store)
+  * ``dedup_paragraphs``  (keep-first line dedup with the registry
+    query's three-paragraph augmentation — shared boilerplate + a
+    probe paragraph per id%50 group, so the digest groupBy sees hot
+    keys with n/50 occurrences)
+  * ``pq_fit`` + ``pq_cosine_topk``  (product-quantization train,
+    encode, and ADC search over n_docs/5 synthetic 64-dim vectors)
+  * ``cms_daily_rollup`` + ``cms_range_estimates``  (count-min cells
+    over 10x n_docs synthetic events across 30 days)
 
 Run:  python tools/scale_rehearsal.py [n_docs] [workdir]
 
@@ -158,6 +166,102 @@ def main() -> None:
         "incremental probe (batch 1, 10%)",
         lambda: incremental_near_dup_batch(arrival, store, 1).count(),
     )
+
+    spark.catalog.clearCache()
+
+    # paragraph dedup: same augmentation as the registry query —
+    # every doc gains a footer (1/3 shared boilerplate) and a probe
+    # paragraph shared by its id%50 group (n/50 occurrences per key)
+    from solana_etl_pipeline_spark.llm.paragraphs import dedup_paragraphs
+
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("shared boilerplate footer")
+            ).otherwise(
+                F.concat(F.lit("unique footer "), F.col("doc_id").cast("string"))
+            ),
+            F.concat(
+                F.lit("probe paragraph group "),
+                (F.col("doc_id") % 50).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    timed("paragraph_dedup", lambda: noop(dedup_paragraphs(aug)))
+    spark.catalog.clearCache()
+
+    # PQ: n_docs/5 synthetic 64-dim vectors (expression-generated),
+    # landed to parquet like the corpus; train (1 refinement pass),
+    # then ADC-search 5 queries over the encoded corpus
+    from solana_etl_pipeline_spark.llm.similarity import (
+        pq_cosine_topk,
+        pq_fit,
+    )
+
+    vec_dir = f"{workdir}/vectors"
+    n_vecs = max(1000, n_docs // 5)
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000
+            ).cast("double")
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    vecs.repartition(32).write.mode("overwrite").parquet(vec_dir)
+    emb = spark.read.parquet(vec_dir)
+    book = []
+    timed(
+        f"pq_fit ({n_vecs} vecs)",
+        lambda: book.append(pq_fit(emb, m=8, ksub=16, dim=64, n_iters=1)),
+    )
+    timed(
+        "pq_topk (encode + ADC + re-rank)",
+        lambda: noop(
+            pq_cosine_topk(
+                emb, emb.filter(F.col("vec_id") < 5), book[0], k=5
+            )
+        ),
+    )
+    spark.catalog.clearCache()
+
+    # CMS: 10x n_docs events over 30 days, ~n_docs/100 distinct users
+    from solana_etl_pipeline_spark.operators.sketches import (
+        cms_daily_rollup,
+        cms_range_estimates,
+    )
+
+    ev_dir = f"{workdir}/events"
+    n_events = n_docs * 10
+    spark.range(n_events).select(
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(days=F.pmod(F.col("id"), F.lit(30)).cast("int"))
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id"), F.lit(max(10, n_docs // 100))).alias(
+            "user_id"
+        ),
+    ).repartition(32).write.mode("overwrite").parquet(ev_dir)
+    events = spark.read.parquet(ev_dir)
+
+    def run_cms():
+        rollup = cms_daily_rollup(events, "user_id", depth=4, width=4096)
+        noop(
+            cms_range_estimates(
+                rollup,
+                events.select("user_id").distinct(),
+                "user_id",
+                depth=4,
+                width=4096,
+            )
+        )
+
+    timed(f"cms rollup+estimates ({n_events} events)", run_cms)
 
     if len(sys.argv) <= 2:
         shutil.rmtree(workdir, ignore_errors=True)
