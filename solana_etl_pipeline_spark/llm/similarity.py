@@ -310,28 +310,68 @@ def ivf_assignments(
     nprobe: int = 1,
 ) -> DataFrame:
     """(id, vec, cluster_id): assign each vector to its ``nprobe``
-    nearest centroids (IVF coarse quantizer; rows fan out ×nprobe for
-    nprobe > 1 — used on the query side to probe neighboring cells).
-    ``centroids`` is a small (cluster_id, centroid) table — broadcast,
-    so assignment is a narrow map stage. In a real index the centroids
-    come from k-means (see :func:`kmeans_fit`)."""
-    c = F.broadcast(
-        centroids.select(
-            F.col("cluster_id"), _as_double(F.col(vec_col)).alias("cvec")
-        )
+    nearest centroids by cosine (IVF coarse quantizer; rows fan out
+    ×nprobe for nprobe > 1 — used on the query side to probe
+    neighboring cells). In a real index the centroids come from
+    k-means (see :func:`kmeans_fit`).
+
+    The k×dim codebook is collected once (index METADATA, the same
+    driver-side footprint ``kmeans_fit`` carries between iterations)
+    and closure-captured into one Arrow-batched matmul per batch — a
+    genuinely NARROW map stage. The previous formulation (crossJoin
+    the centroid table, ``row_number`` per vector) fanned every corpus
+    row ×k and then shuffled + sorted the whole corpus just to take
+    the per-row argmax — at 100 TB that shuffle, not the math, was
+    the cost. Ties break toward the lower cluster_id (stable argsort
+    on -sim), matching the old window's (desc sim, asc cluster_id).
+
+    Null / dim-mismatched vectors get NO assignment row (dropped by
+    the generator, mirroring the SRP/PQ NULL-signature convention);
+    zero-norm vectors assign deterministically (all-zero sims →
+    cluster of the lowest id) and are left for the callers' own norm
+    guards."""
+    import numpy as np
+
+    rows = sorted(
+        centroids.select("cluster_id", _as_double(F.col(vec_col)).alias("v"))
+        .collect(),
+        key=lambda r: r.cluster_id,
     )
-    scored = (
-        df.select(F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("v"))
-        .crossJoin(c)
-        .withColumn(
-            "sim", _dot(F.col("v"), F.col("cvec")) / (_norm(F.col("v")) * _norm(F.col("cvec")))
+    if not rows:
+        raise ValueError("ivf_assignments: empty centroid table")
+    cids = np.array([r.cluster_id for r in rows], dtype=np.int64)
+    cmat = np.array([list(r.v) for r in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+    dim = cmat.shape[1]
+    n = min(nprobe, len(rows))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _topn(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        ok = vecs.map(lambda v: v is not None and len(v) == dim)
+        if not ok.any():
+            return pd.Series([None] * len(vecs), dtype=object)
+        m = np.stack(vecs[ok].to_numpy()).astype(np.float64)
+        vnorm = np.linalg.norm(m, axis=1)
+        vnorm[vnorm == 0.0] = 1.0
+        sims = (m @ cmat.T) / np.outer(vnorm, cnorm)
+        # stable sort on -sim keeps the lower cluster index on ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        picked = cids[order]
+        it = iter(picked)
+        return pd.Series(
+            [next(it) if flag else None for flag in ok.to_numpy()],
+            dtype=object,
         )
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cluster_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select(id_col, vec_col, "cluster_id")
+
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_topn(_as_double(F.col(vec_col)))).alias("cluster_id"),
     )
 
 

@@ -391,7 +391,12 @@ def llm_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     off = _probe_offset(emb, "vec_id", sf_dir)
     centroids = kmeans_fit(emb, k=8, dim=64, n_iters=1)
-    codebook = pq_fit(emb, m=8, ksub=16, dim=64, n_iters=1)
+    # n_iters=0: sampled sub-codebooks (seed vectors sliced, no Lloyd
+    # pass) — the standard big-index shortcut (PQ is routinely trained
+    # on a sample); drops one full corpus scan from the composed
+    # probe, and the twin invariant is training-independent. The flat
+    # PQ query keeps the refined fit as the training demo.
+    codebook = pq_fit(emb, m=8, ksub=16, dim=64, n_iters=0)
     queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
     twins = queries.select(
         (F.col("vec_id") + off).alias("vec_id"), "embedding"

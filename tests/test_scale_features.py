@@ -108,7 +108,6 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     sanctioned = {
         "llm_cosine_topk",
         "llm_lsh_cosine_topk",
-        "llm_ivf_cosine_topk",
         "sketch_rollup_distinct_users",
         # ranking: N / avgdl ride 1-row broadcast scalar combines
         "llm_tfidf_top_terms",
@@ -123,17 +122,13 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # doc×label fan-out is the NB scoring shape, bounded by the
         # label count, never corpus×corpus
         "llm_nb_source_classifier",
-        # SemDeDup: the k-means codebook (k rows) broadcasts into
-        # every assignment, as in the sanctioned IVF queries
-        "llm_semantic_dedup",
+        # SemDeDup / IVF / IVF-PQ no longer need sanctioning: coarse
+        # assignment is a closure-captured Arrow matmul (no codebook
+        # crossJoin remains in their plans)
         # PQ: the 5 query vectors (with their ADC lookup tables)
         # broadcast into the code scan — same contract as the brute
         # cosine probe; the corpus side carries codes, not vectors
         "llm_pq_cosine_topk",
-        # IVF-PQ: the 8-row k-means codebook broadcasts into both
-        # coarse assignments (as in the IVF query); candidates join
-        # on the cell equi-key
-        "llm_ivfpq_cosine_topk",
         # histogram quantiles: the 1-row total broadcasts into the
         # ≤ n_bins cumsum rows (a rollup-sized combine, never corpus)
         "agg_histogram_quantiles",
