@@ -222,6 +222,91 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every signup, with its
+    within-the-hour purchases — or one null-padded row when none ever
+    arrives. The outer side is the genuinely stateful half of the
+    story: Structured Streaming may emit the null row only after the
+    watermark proves no matching purchase can still arrive, so each
+    side carries a SENTINEL row 4 hours past the real data (filtered
+    from the output by ``user_id >= 0``) that drives both source
+    watermarks beyond every signup's eligibility window. With all
+    eligibility windows closed, the availableNow drain's final
+    watermark-flush batch must emit exactly the batch twin — a plain
+    SQL left join is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    work = _stream_workdir("spark_stream_ijo_")
+    signup_landing = f"{work}/signups"
+    purchase_landing = f"{work}/purchases"
+    horizon = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 4 HOURS")).alias("ts")
+    )
+    sentinel = horizon.select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "ts",
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    ev.filter(F.col("event_type") == "signup").unionByName(
+        sentinel
+    ).write.mode("overwrite").json(signup_landing)
+    ev.filter(F.col("event_type") == "purchase").unionByName(
+        sentinel
+    ).write.mode("overwrite").json(purchase_landing)
+
+    signups = (
+        landing_stream(
+            spark, signup_landing, EVENTS, max_files_per_trigger=None
+        )
+        .select("user_id", F.col("event_id").alias("signup_id"), "ts")
+    )
+    # no event_type filter here: the landing dir is already
+    # purchase-only + the sentinel, and filtering the sentinel out
+    # BEFORE the watermark operator would leave the right-side
+    # watermark at the last real purchase — the join's global
+    # watermark is the min of both sides, so the outer flush would
+    # never fire
+    purchases = landing_stream(
+        spark, purchase_landing, EVENTS, max_files_per_trigger=None
+    ).select(
+        F.col("user_id").alias("_r_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = (
+        stream_interval_join(
+            signups,
+            purchases,
+            key="user_id",
+            left_ts="ts",
+            right_ts="p_ts",
+            within="1 hour",
+            watermark="2 hours",
+            how="left_outer",
+        )
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "signup_id",
+            "purchase_id",
+            (F.unix_millis("p_ts") - F.unix_millis("ts")).alias(
+                "millis_after"
+            ),
+        )
+    )
+    with _state_partitions(spark, 8):
+        table = run_available_now(
+            joined,
+            checkpoint_dir=f"{work}/checkpoint",
+            output_mode="append",
+        )
+    return spark.table(table)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_interval_join": QuerySpec(
         spark=streaming_interval_join,

@@ -144,10 +144,10 @@ def stream_interval_join(
     right_ts: str,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner equi-join with a time-interval bound:
-    right rows within ``[left_ts, left_ts + within]`` of a matching
-    left row.
+    """Stream-stream equi-join with a time-interval bound: right rows
+    within ``[left_ts, left_ts + within]`` of a matching left row.
 
     Both sides carry watermarks and the join condition bounds
     ``right_ts`` relative to ``left_ts`` from BOTH directions — that
@@ -156,6 +156,16 @@ def stream_interval_join(
     ``watermark + within``, so state is bounded regardless of stream
     length. Without the time bound (or the watermarks) an inner
     stream-stream join must buffer both streams forever.
+
+    ``how='left_outer'`` emits the null-padded row for an unmatched
+    left only once the watermark proves no future right row can still
+    match (``left_ts + within`` falls behind the watermark) — so
+    outer results trail the data by up to ``watermark + within`` of
+    event time, and a bounded drain only emits them for left rows
+    whose eligibility window has closed. Callers that need
+    batch-equivalent output from a finite backlog must advance the
+    watermark past the last real row (see the registry query's
+    sentinel rows).
 
     The caller renames columns before joining (both sides usually
     originate from the same schema); ``key`` must exist on the left
@@ -169,7 +179,7 @@ def stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def stateful_running_totals(stream: DataFrame) -> DataFrame:
