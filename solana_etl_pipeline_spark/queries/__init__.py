@@ -71,70 +71,13 @@ for _mod in (
 # prefix is regenerated mechanically with
 #     python tools/staleness.py --budget 50
 # which orders never-witnessed queries first, then witnessed queries
-# stalest-first. The round-6 prefix below is that tool's output at
-# HEAD: the 10 queries registered this round (never witnessed), the
-# 17 queries last driver-witnessed in r3 (sinks/enrich/UDTF/pivot/
-# sliding-windows + the nine r3 llm queries), then the r4-green
-# queries in their r4 order up to the 50-query budget. Below the
-# budget line sit the remaining r4 greens (aged 2 rounds after r6 —
-# first in line for the r7 prefix), then the r5-green prefix in its
-# r5 order.
+# stalest-first. The round-7 ordering below is that tool's full-registry
+# output at r6 HEAD: the 27 queries last driver-witnessed in r4 (aged 2
+# after r6) lead, then the r5-green block, then the r6-green block
+# (freshest rows last). Queries registered during round 7 are inserted
+# at the very front (never witnessed).
 _PRIORITY = (
-    # --- round-6 prefix: NEVER-witnessed queries first (registered
-    # this round; the staleness tool orders unwitnessed ahead of
-    # stale) ---
-    "llm_paragraph_dedup",
-    "llm_pq_cosine_topk",
-    "sketch_cms_user_counts",
-    "llm_dsir_select",
-    "llm_domain_rollup",
-    "llm_ivfpq_cosine_topk",
-    "llm_nb_source_classifier",
-    "llm_semantic_dedup",
-    "agg_histogram_quantiles",
-    "funnel_conversion_steps",
-    # --- round-6 prefix: staleness-2 rows (last green in r3) ---
-    "streaming_sliding_windows",
-    "sink_parquet_partitioned",
-    "sink_csv_roundtrip",
-    "sink_json_roundtrip",
-    "enrich_risk_grouped_map",
-    "enrich_http_lookup",
-    "udtf_word_chunks",
-    "pivot_event_values",
-    "llm_exact_dedup",
-    "llm_text_stats",
-    "llm_token_count",
-    "llm_quality_banding",
-    "llm_lang_id",
-    "llm_fingerprint",
-    "llm_ngram_jaccard",
-    "llm_cosine_topk",
-    "llm_multimodal_featurize",
-    # --- round-6 prefix: staleness-1 rows (last green in r4) ---
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "events_hourly_rollup",
+    # --- staleness 2 (last green r04) ---
     "events_value_banding",
     "events_pst_rendering",
     "token_detail_view",
@@ -145,7 +88,6 @@ _PRIORITY = (
     "window_rank_customers",
     "setop_intersect",
     "distinct_event_types",
-    # --- position 51+: remaining r4 greens (r7 prefix candidates) ---
     "agg_rollup_returnflag",
     "agg_cube_orders",
     "agg_collect_set_sorted",
@@ -163,7 +105,7 @@ _PRIORITY = (
     "llm_pii_redact",
     "llm_pack_sequences",
     "llm_corpus_filter",
-    # --- r5-green prefix, r5 order (freshest rows) ---
+    # --- staleness 1 (last green r05) ---
     "llm_export_shards",
     "llm_token_heavy_hitters",
     "sink_zorder_roundtrip",
@@ -187,6 +129,7 @@ _PRIORITY = (
     "events_json_extract_agg",
     "nested_helius_flatten",
     "nested_explode_padding",
+    # --- position 51+: below the 50-query driver budget ---
     "nested_tojson_roundtrip",
     "nested_array_access",
     "typed_props_parse",
@@ -214,6 +157,57 @@ _PRIORITY = (
     "agg_grouping_sets",
     "agg_percentiles_stddev",
     "streaming_hourly_rollup",
+    # --- staleness 0 (last green r06) ---
+    "llm_paragraph_dedup",
+    "llm_pq_cosine_topk",
+    "sketch_cms_user_counts",
+    "llm_dsir_select",
+    "llm_domain_rollup",
+    "llm_ivfpq_cosine_topk",
+    "llm_nb_source_classifier",
+    "llm_semantic_dedup",
+    "agg_histogram_quantiles",
+    "funnel_conversion_steps",
+    "streaming_sliding_windows",
+    "sink_parquet_partitioned",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "enrich_risk_grouped_map",
+    "enrich_http_lookup",
+    "udtf_word_chunks",
+    "pivot_event_values",
+    "llm_exact_dedup",
+    "llm_text_stats",
+    "llm_token_count",
+    "llm_quality_banding",
+    "llm_lang_id",
+    "llm_fingerprint",
+    "llm_ngram_jaccard",
+    "llm_cosine_topk",
+    "llm_multimodal_featurize",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "events_hourly_rollup",
 )
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
