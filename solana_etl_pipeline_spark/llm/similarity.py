@@ -660,17 +660,12 @@ def _pq_queries_with_lut(
     ).withColumn("lut", _pq_lut_expr(codebook))
 
 
-def _adc_rerank_topk(
-    pairs: DataFrame, m: int, k: int, shortlist: int
-) -> DataFrame:
-    """ADC-score candidate pairs (query_id, qvec, lut, neighbor_id,
-    cvec, codes), keep the per-query ADC shortlist, re-rank it with
-    exact cosine. The shortlist ranks by raw ADC inner product —
-    exact for cosine on unit-normalized corpora (the
-    embedding-pipeline norm); for un-normalized vectors divide by the
-    quantized norm (a second codeword-self-IP lookup table) before
-    ranking."""
-    est = F.aggregate(
+def _adc_ip_expr(m: int):
+    """ADC inner-product estimate for a (lut, codes) pair row: the
+    sum of ``m`` per-subspace LUT lookups. Shared by the shortlist
+    ranking and the twin-margin guard test (which needs ranks BEYOND
+    the shortlist cut)."""
+    return F.aggregate(
         F.zip_with(
             F.col("codes"),
             F.sequence(F.lit(1), F.lit(m)),
@@ -682,6 +677,19 @@ def _adc_rerank_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _adc_rerank_topk(
+    pairs: DataFrame, m: int, k: int, shortlist: int
+) -> DataFrame:
+    """ADC-score candidate pairs (query_id, qvec, lut, neighbor_id,
+    cvec, codes), keep the per-query ADC shortlist, re-rank it with
+    exact cosine. The shortlist ranks by raw ADC inner product —
+    exact for cosine on unit-normalized corpora (the
+    embedding-pipeline norm); for un-normalized vectors divide by the
+    quantized norm (a second codeword-self-IP lookup table) before
+    ranking."""
+    est = _adc_ip_expr(m)
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc_ip"), F.asc("neighbor_id")
     )

@@ -77,6 +77,8 @@ for _mod in (
 # (freshest rows last). Queries registered during round 7 are inserted
 # at the very front (never witnessed).
 _PRIORITY = (
+    # --- registered in round 7: never driver-witnessed, lead the prefix ---
+    "streaming_interval_join_outer",
     # --- staleness 2 (last green r04) ---
     "events_value_banding",
     "events_pst_rendering",

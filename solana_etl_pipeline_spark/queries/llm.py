@@ -358,10 +358,18 @@ def llm_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scramble-seeded init (``pq_fit``), the corpus is stored as codes,
     and each query's ADC shortlist is exact-cosine re-ranked. A
     query's planted twin encodes to the query's own codes, so its ADC
-    score is maximal for identical content and the exact re-rank must
-    return it at rank 1 with cosine 1.0. Organic recall — inherently
-    approximate — stays pinned by tests/test_llm.py recall assertions
-    against the exact twin ``llm_cosine_topk``."""
+    score equals the query's self-quantized inner product — NOT
+    necessarily the maximum (argmin-L2 encoding does not maximize the
+    ADC inner product, so other vectors can out-score the twin). The
+    rank-1 guarantee therefore holds iff the twin survives into the
+    ADC shortlist; once there, exact re-rank puts cosine 1.0 first.
+    The shortlist (50) must stay well above the count of
+    ADC-superior vectors per query — pinned as a measured margin by
+    tests/test_llm.py::test_pq_twin_adc_rank_margin, so fixture or
+    parameter drift fails a test instead of silently flaking this
+    oracle pairing. Organic recall — inherently approximate — stays
+    pinned by tests/test_llm.py recall assertions against the exact
+    twin ``llm_cosine_topk``."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
@@ -383,9 +391,15 @@ def llm_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ planted-probe — the composed production index (coarse
     cells bound which rows are scored, PQ codes bound the cost per
     row, exact cosine re-ranks the shortlist). An exact twin shares
-    the query's cell AND its codes, so it must surface at rank 1 with
-    cosine 1.0 regardless of how either codebook partitions the
-    space. Component recall stays pinned by the IVF and PQ tests."""
+    the query's cell AND its codes, so the cell probe always finds it
+    and — provided it survives the ADC shortlist within the probed
+    cell (same caveat as ``llm_pq_cosine_topk``: identical codes give
+    the self-quantized score, not the maximal one) — the exact
+    re-rank returns it at rank 1 with cosine 1.0. The shortlist
+    margin inside the probed cell is at least as wide as the flat-PQ
+    margin the test pins (fewer competitors per cell than per
+    corpus), so the same measured guard covers both probes.
+    Component recall stays pinned by the IVF and PQ tests."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )

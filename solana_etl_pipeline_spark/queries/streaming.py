@@ -232,30 +232,44 @@ def streaming_interval_join_outer(
     watermark proves no matching purchase can still arrive, so each
     side carries a SENTINEL row 4 hours past the real data (filtered
     from the output by ``user_id >= 0``) that drives both source
-    watermarks beyond every signup's eligibility window. With all
-    eligibility windows closed, the availableNow drain's final
-    watermark-flush batch must emit exactly the batch twin — a plain
-    SQL left join is the oracle."""
+    watermarks beyond every signup's eligibility window.
+
+    Outer rows are emitted one batch AFTER the data that advanced
+    the watermark, so the drain relies on the engine's no-data
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``,
+    default on): the availableNow drain runs one final empty batch
+    under the sentinel-advanced watermark, evicting and emitting
+    every unmatched signup's null row. With the 2 h watermark delay
+    exceeding the 1 h join window, that final watermark closes EVERY
+    signup's eligibility window, so the drained output equals the
+    batch twin — a plain SQL left join is the oracle.
+
+    The subtle part is keeping the sentinel alive to the watermark
+    operator: see the pushdown note at the join below. The sentinel
+    rows themselves reach the sink and are filtered from the
+    RETURNED batch frame instead."""
     ev = load_table(spark, sf_dir, "events")
     work = _stream_workdir("spark_stream_ijo_")
     signup_landing = f"{work}/signups"
     purchase_landing = f"{work}/purchases"
-    horizon = ev.agg(
-        (F.max("ts") + F.expr("INTERVAL 4 HOURS")).alias("ts")
-    )
-    sentinel = horizon.select(
-        F.lit(None).cast("bigint").alias("event_id"),
-        "ts",
-        F.lit(-1).cast("bigint").alias("user_id"),
-        F.lit("sentinel").alias("event_type"),
-        F.lit(None).cast("double").alias("value"),
-        F.lit(None).cast("string").alias("props"),
-    )
+
+    def sentinel(hours: int) -> DataFrame:
+        return ev.agg(
+            (F.max("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts")
+        ).select(
+            F.lit(None).cast("bigint").alias("event_id"),
+            "ts",
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+
     ev.filter(F.col("event_type") == "signup").unionByName(
-        sentinel
+        sentinel(4)
     ).write.mode("overwrite").json(signup_landing)
     ev.filter(F.col("event_type") == "purchase").unionByName(
-        sentinel
+        sentinel(4)
     ).write.mode("overwrite").json(purchase_landing)
 
     signups = (
@@ -277,6 +291,16 @@ def streaming_interval_join_outer(
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
     )
+    # NO sentinel filter inside the streaming plan: a deterministic
+    # `user_id >= 0` here gets PUSHED DOWN through the join and the
+    # EventTimeWatermark operator to both file scans (Catalyst infers
+    # `_r_user_id >= 0` across the equi-join too), pruning the
+    # sentinel rows before they ever reach the watermark stat — the
+    # watermark then stalls at the last real event and the outer
+    # flush never covers the final `watermark + within` horizon
+    # (silently short ~15 rows at sf0.01). Sentinel rows flow through
+    # to the sink; the batch read-back below filters them where no
+    # pushdown can precede the watermark.
     joined = (
         stream_interval_join(
             signups,
@@ -288,7 +312,6 @@ def streaming_interval_join_outer(
             watermark="2 hours",
             how="left_outer",
         )
-        .filter(F.col("user_id") >= 0)
         .select(
             "user_id",
             "signup_id",
@@ -304,7 +327,7 @@ def streaming_interval_join_outer(
             checkpoint_dir=f"{work}/checkpoint",
             output_mode="append",
         )
-    return spark.table(table)
+    return spark.table(table).filter(F.col("user_id") >= 0)
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -332,6 +355,32 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Stream-stream interval join (watermarked both sides, "
         "state-evictable) vs batch SQL twin",
+        tags=("T2", "J", "§2.9"),
+    ),
+    "streaming_interval_join_outer": QuerySpec(
+        spark=streaming_interval_join_outer,
+        oracle="""
+            -- Same ms-truncation rationale as streaming_interval_join.
+            -- The event_type filters live in pre-join CTEs (not WHERE)
+            -- so the LEFT join's null-padded signups survive.
+            WITH e AS (
+              SELECT user_id, event_id, event_type,
+                     date_trunc('milliseconds', ts) AS ts_ms
+              FROM events),
+            s AS (SELECT user_id, event_id, ts_ms
+                  FROM e WHERE event_type = 'signup'),
+            p AS (SELECT user_id, event_id, ts_ms
+                  FROM e WHERE event_type = 'purchase')
+            SELECT s.user_id, s.event_id AS signup_id,
+                   p.event_id AS purchase_id,
+                   epoch_ms(p.ts_ms) - epoch_ms(s.ts_ms) AS millis_after
+            FROM s LEFT JOIN p ON p.user_id = s.user_id
+             AND p.ts_ms >= s.ts_ms
+             AND p.ts_ms <= s.ts_ms + INTERVAL 1 HOUR
+        """,
+        doc="Stream-stream LEFT OUTER interval join: watermark-proven "
+        "null padding drained to batch parity via sentinel rows + the "
+        "no-data watermark-flush micro-batch",
         tags=("T2", "J", "§2.9"),
     ),
     "streaming_session_windows": QuerySpec(

@@ -461,9 +461,11 @@ def test_multimodal_null_payload_survives(spark):
 
 
 def test_pq_finds_planted_twin_at_rank_1(spark, sf_dir):
-    """An exact copy encodes to the query's own codes, so its ADC
-    score ties the maximum and the exact re-rank must put it at rank 1
-    with cosine 1.0 — the same invariant the LSH/IVF probes pin."""
+    """An exact copy encodes to the query's own codes; provided it
+    survives the ADC shortlist (margin pinned by
+    test_pq_twin_adc_rank_margin) the exact re-rank must put it at
+    rank 1 with cosine 1.0 — the same invariant the LSH/IVF probes
+    pin."""
     from solana_etl_pipeline_spark.llm.similarity import (
         pq_cosine_topk,
         pq_fit,
@@ -597,3 +599,68 @@ def test_ivfpq_finds_planted_twin_and_matches_components(spark, sf_dir):
         (r.query_id, r.neighbor_id, r.rank, r.cosine) for r in rows
     }
     assert as_set(full) == as_set(flat)
+
+
+def test_pq_twin_adc_rank_margin(spark, sf_dir):
+    """Guard for the PQ/IVF-PQ planted-twin ORACLE pairings.
+
+    A twin's ADC score is the query's self-quantized inner product —
+    not necessarily the maximum (argmin-L2 encoding does not maximize
+    the ADC inner product) — so the registry probes' rank-1 guarantee
+    holds only while the twin survives the ADC shortlist (50). This
+    test measures the twin's full-corpus ADC rank for BOTH probe
+    codebooks (n_iters=1 → llm_pq_cosine_topk, n_iters=0 →
+    llm_ivfpq_cosine_topk; the within-cell rank the IVF-PQ probe
+    actually uses can only be better than the full-corpus rank under
+    the same codebook) and asserts it stays at most HALF the
+    shortlist. Fixture or parameter drift that erodes the margin
+    fails here loudly instead of silently flaking the driver's
+    CORRECTNESS gate. Measured on current fixtures: rank 1 for every
+    query at sf0.001 and sf0.01 under both codebooks."""
+    from pyspark.sql import Window
+
+    from solana_etl_pipeline_spark.llm.similarity import (
+        _adc_ip_expr,
+        _pq_encoded,
+        _pq_queries_with_lut,
+        pq_fit,
+    )
+
+    shortlist = 50
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    off = emb.agg(F.max("vec_id")).first()[0] + 1
+    queries = emb.filter(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + off).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_ip"), F.asc("neighbor_id")
+    )
+    for n_iters in (0, 1):
+        book = pq_fit(emb, m=8, ksub=16, dim=64, n_iters=n_iters)
+        enc = _pq_encoded(corpus, book, "vec_id", "embedding")
+        q = F.broadcast(
+            _pq_queries_with_lut(queries, book, "vec_id", "embedding")
+        )
+        ranks = {
+            r.query_id: r.rn
+            for r in (
+                q.crossJoin(enc)
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+                .withColumn("adc_ip", _adc_ip_expr(8))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("neighbor_id") == F.col("query_id") + off)
+                .select("query_id", "rn")
+                .collect()
+            )
+        }
+        assert len(ranks) == 5, f"n_iters={n_iters}: twin rows lost {ranks}"
+        worst = max(ranks.values())
+        assert worst <= shortlist // 2, (
+            f"n_iters={n_iters}: twin ADC rank margin eroded — worst "
+            f"rank {worst} vs shortlist {shortlist}; the PQ/IVF-PQ "
+            f"planted-twin oracles are at risk of flaking ({ranks})"
+        )

@@ -680,3 +680,98 @@ def test_stream_stream_interval_join_state_evicts(spark, tmp_path):
         f"progress={state_ops})"
     )
     assert final_total < peak
+
+
+def test_stream_interval_join_left_outer_flushes_unmatched(spark, tmp_path):
+    """§2.9 LEFT OUTER interval join: the watermark-flush contract.
+
+    Every signup appears exactly once per in-window purchase — or once
+    null-padded when no purchase can ever match. The last signup sits
+    AT the max real event time, so its null row flushes only if the
+    sentinel rows' watermark advance actually reaches both
+    EventTimeWatermark operators. Regression guard: a deterministic
+    sentinel filter placed inside the streaming plan is pushed below
+    the watermark operator to the scans (Catalyst propagates it across
+    the equi-join to both sides), the watermark stalls at the last
+    real event, and this signup's null row is silently never emitted —
+    which is why the registry query filters sentinels on the BATCH
+    read-back, never in the stream."""
+    from solana_etl_pipeline_spark.streaming.ingest import (
+        run_available_now,
+        stream_interval_join,
+    )
+
+    now = time.time()
+    sl = tmp_path / "signups"
+    pl = tmp_path / "purchases"
+    sl.mkdir()
+    pl.mkdir()
+
+    def _typed(eid, uid, ts, etype):
+        e = _event(eid, uid, ts)
+        e["event_type"] = etype
+        return e
+
+    sentinel = {
+        "event_id": None,
+        "ts": "2024-01-01T07:00:00.000Z",  # max real ts (03:00) + 4h
+        "user_id": -1,
+        "event_type": "sentinel",
+        "value": None,
+        "props": None,
+    }
+    _write_landing_file(
+        str(sl / "f1.json"),
+        [
+            _typed(1, 10, "2024-01-01T00:00:00.000Z", "signup"),
+            _typed(2, 11, "2024-01-01T00:00:00.000Z", "signup"),
+            # unmatched signup AT the max real event time: only the
+            # sentinel can close its eligibility window
+            _typed(6, 12, "2024-01-01T03:00:00.000Z", "signup"),
+            sentinel,
+        ],
+        now - 10,
+    )
+    _write_landing_file(
+        str(pl / "f1.json"),
+        [
+            _typed(3, 10, "2024-01-01T00:30:00.000Z", "purchase"),
+            # outside the 1 h window for signup 2
+            _typed(4, 11, "2024-01-01T02:30:00.000Z", "purchase"),
+            # user never signed up: must NOT surface in left-outer
+            _typed(5, 13, "2024-01-01T00:10:00.000Z", "purchase"),
+            sentinel,
+        ],
+        now - 10,
+    )
+
+    signups = landing_stream(
+        spark, str(sl), EVENTS, max_files_per_trigger=None
+    ).select("user_id", F.col("event_id").alias("signup_id"), "ts")
+    purchases = landing_stream(
+        spark, str(pl), EVENTS, max_files_per_trigger=None
+    ).select(
+        F.col("user_id").alias("_r_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = stream_interval_join(
+        signups,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        within="1 hour",
+        watermark="2 hours",
+        how="left_outer",
+    ).select("user_id", "signup_id", "purchase_id")
+    table = run_available_now(
+        joined,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.signup_id, r.purchase_id)
+        for r in spark.table(table).filter(F.col("user_id") >= 0).collect()
+    }
+    assert got == {(10, 1, 3), (11, 2, None), (12, 6, None)}
