@@ -209,7 +209,7 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=f"""
             WITH toks AS (
               SELECT source, doc_id,
-                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '))
+                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '))
                        AS tokens
               FROM documents),
             packed AS (

@@ -100,20 +100,20 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 _SCORED_SQL = f"""
   feats AS (
     SELECT doc_id, source, text,
-           len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS n_words,
+           len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')) AS n_words,
            round(len(list_filter(
-               string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+               string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                w -> w IN ({_STOP_SQL}))) * 1.0
-             / len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')), 6) AS stop_ratio,
+             / len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')), 6) AS stop_ratio,
            round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
              / len(text), 6) AS punct_ratio,
            round(len(regexp_extract_all(text, '[0-9]')) * 1.0
              / len(text), 6) AS digit_ratio,
-           len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+           len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                w -> w IN ('the','and','of'))) AS s_en,
-           len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+           len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                w -> w IN ('el','la','de'))) AS s_es,
-           len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+           len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                w -> w IN ('der','die','und'))) AS s_de
     FROM documents),
   scored AS (
@@ -137,7 +137,7 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=f"""
             WITH scrambled AS (
               SELECT source,
-                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '))
+                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '))
                        AS doc_tokens,
                      ((doc_id % {SHARD_P}) * {KNUTH % SHARD_P})
                        % {SHARD_P} * 1000000 AS scaled

@@ -557,9 +557,9 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 _JACCARD_PAIRS_CTES = """
     words AS (
       SELECT doc_id,
-             unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS w,
+             unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')) AS w,
              generate_subscripts(
-               string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '), 1) AS pos
+               string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '), 1) AS pos
       FROM documents),
     shingles AS (
       SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
@@ -577,10 +577,10 @@ _JACCARD_PAIRS_CTES = """
       -- truth either (space-only trim() would let a tab-only doc
       -- through).
       SELECT doc_id,
-             array_to_string(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '), ' ')
+             array_to_string(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '), ' ')
                AS sh
       FROM documents
-      WHERE len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) < 3
+      WHERE len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')) < 3
         AND regexp_replace(coalesce(text, ''), '\\s', '', 'g') <> ''),
     sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
@@ -620,16 +620,16 @@ QUERIES: dict[str, QuerySpec] = {
             WITH per_doc AS (
               SELECT lang,
                      len(text) AS n_chars,
-                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS n_words,
+                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')) AS n_words,
                      round(list_sum(list_transform(
-                         string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+                         string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                          w -> len(w))) * 1.0
-                       / len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')), 6)
+                       / len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')), 6)
                        AS avg_word_len,
                      round(len(list_filter(
-                         string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+                         string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                          w -> w IN ({_STOP_SQL}))) * 1.0
-                       / len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')), 6)
+                       / len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')), 6)
                        AS stopword_ratio
               FROM documents)
             SELECT lang, count(*) AS n_docs,
@@ -647,7 +647,7 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=f"""
             WITH per_doc AS (
               SELECT source,
-                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS ws_tokens,
+                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')) AS ws_tokens,
                      len(regexp_extract_all(text,
                          '{TOKEN_REGEX.replace("'", "''")}')) AS bpe_tokens
               FROM documents)
@@ -665,11 +665,11 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=f"""
             WITH s AS (
               SELECT doc_id,
-                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS n_words,
+                     len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')) AS n_words,
                      round(len(list_filter(
-                         string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+                         string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                          w -> w IN ({_STOP_SQL}))) * 1.0
-                       / len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')), 6)
+                       / len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')), 6)
                        AS stop_ratio,
                      round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
                        / len(text), 6) AS punct_ratio,
@@ -699,11 +699,11 @@ QUERIES: dict[str, QuerySpec] = {
         oracle="""
             WITH scores AS (
               SELECT lang,
-                     len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+                     len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                          w -> w IN ('the','and','of'))) AS s_en,
-                     len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+                     len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                          w -> w IN ('el','la','de'))) AS s_es,
-                     len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+                     len(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                          w -> w IN ('der','die','und'))) AS s_de
               FROM documents),
             pred AS (
@@ -725,9 +725,9 @@ QUERIES: dict[str, QuerySpec] = {
         oracle="""
             WITH words AS (
               SELECT doc_id,
-                     unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS w,
+                     unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')) AS w,
                      generate_subscripts(
-                       string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '), 1) AS pos
+                       string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '), 1) AS pos
               FROM documents)
             SELECT doc_id,
                    CAST(sum(pos * (31 * len(w) + ascii(w))) % 2147483647
@@ -804,9 +804,9 @@ QUERIES: dict[str, QuerySpec] = {
             -- silently drops the pair.
             WITH words AS (
               SELECT doc_id,
-                     unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS w,
+                     unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')) AS w,
                      generate_subscripts(
-                       string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+                       string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                        1) AS pos
               FROM documents),
             shingles AS (
@@ -818,10 +818,10 @@ QUERIES: dict[str, QuerySpec] = {
               -- short-doc whole-text shingle (see _JACCARD_PAIRS_CTES)
               SELECT doc_id,
                      array_to_string(
-                       string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '),
+                       string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '),
                        ' ') AS sh
               FROM documents
-              WHERE len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '))
+              WHERE len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '))
                     < 3),
             sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
@@ -1006,7 +1006,7 @@ QUERIES: dict[str, QuerySpec] = {
         spark=llm_token_heavy_hitters,
         oracle="""
             WITH toks AS (
-              SELECT unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS term
+              SELECT unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')) AS term
               FROM documents),
             counts AS (
               SELECT term, count(*) AS exact_count FROM toks

@@ -277,7 +277,7 @@ QUERIES: dict[str, QuerySpec] = {
         spark=udtf_word_chunks,
         oracle="""
             WITH sized AS (
-              SELECT len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' '))
+              SELECT len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' '))
                 AS n_words
               FROM documents),
             chunks AS (

@@ -46,7 +46,7 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS_SQL = """
   toks AS (
     SELECT doc_id,
-           unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS term
+           unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f]+', ' ', 'g'), ' '), ' ')) AS term
     FROM documents),
   toks2 AS (
     SELECT doc_id, term FROM toks

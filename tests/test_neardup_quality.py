@@ -138,3 +138,62 @@ def test_simhash_banded_equals_bruteforce(spark, dup_corpus):
         simhash_candidate_pairs(dup_corpus, "doc_id", "text", max_hamming=3)
     )
     assert pred == truth
+
+
+def test_ann_recall_floors_on_harness_corpus(spark):
+    """Recall floors for the ANN indexes on the recall-harness corpus
+    (tools/recall_harness.py — deterministic planted-cluster mixture,
+    the same generator behind the 100 k measurements in COVERAGE.md).
+    The planted-twin oracles prove exact copies surface; these floors
+    prove the indexes are USEFUL on organic neighbors. 20 k vectors
+    keeps the suite fast; measured headroom at the pinned operating
+    points: ivf(nprobe=2) 1.00, ivfpq(m=8, nprobe=4, shortlist=200)
+    0.988, lsh(16 planes, 4 bands) ≈ 0.83 — floors sit well below."""
+    from tools.recall_harness import (
+        _topk_sets,
+        recall_at_k,
+        synthetic_corpus,
+    )
+
+    from solana_etl_pipeline_spark.llm.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        ivfpq_cosine_topk,
+        kmeans_fit,
+        lsh_cosine_topk,
+        pq_fit,
+    )
+
+    corpus, queries = synthetic_corpus(spark, n=20_000)
+    corpus = corpus.persist()
+    try:
+        exact = _topk_sets(
+            cosine_topk(corpus, queries, k=5, max_queries=None)
+        )
+        centroids = kmeans_fit(corpus, k=50, dim=64, n_iters=2)
+        book = pq_fit(corpus, m=8, ksub=16, dim=64, n_iters=1)
+
+        r_ivf = recall_at_k(
+            ivf_cosine_topk(corpus, queries, centroids, k=5, nprobe=2),
+            exact, 5,
+        )
+        assert r_ivf >= 0.9, f"ivf recall@5 at nprobe=2: {r_ivf}"
+
+        r_ivfpq = recall_at_k(
+            ivfpq_cosine_topk(
+                corpus, queries, centroids, book,
+                k=5, nprobe=4, shortlist=200,
+            ),
+            exact, 5,
+        )
+        assert r_ivfpq >= 0.8, (
+            f"ivfpq recall@5 at nprobe=4, shortlist=200: {r_ivfpq}"
+        )
+
+        r_lsh = recall_at_k(
+            lsh_cosine_topk(corpus, queries, k=5, n_planes=16, n_bands=4),
+            exact, 5,
+        )
+        assert r_lsh >= 0.6, f"lsh recall@5 at 16x4: {r_lsh}"
+    finally:
+        corpus.unpersist()
