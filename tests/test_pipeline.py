@@ -5,6 +5,7 @@ write, partition pruning, and schema harmonization on append.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -296,3 +297,156 @@ def test_build_silver_keeps_distinct_websocket_events(spark):
     rows = silver.collect()
     assert len(rows) == 2
     assert {r.token_amount for r in rows} == {1.0, 2.0}
+
+
+def test_full_pipeline_soak(spark, tmp_path):
+    """SURVEY §3 lifecycle as ONE continuously-running system: live
+    websocket fixture replay → landing files → bronze (continuous
+    processingTime stream) → silver normalize + watermarked dedup
+    (second chained continuous stream) → gold/serving snapshot — over
+    several replay ticks, asserting
+
+    * monotone gold growth (each tick's mints appear, nothing lost),
+    * bounded streaming state (dedup state rows evicted by the
+      watermark — peak stays far below total messages, removals > 0),
+    * snapshot freshness (the dashboard serves the pre-refresh
+      snapshot until ``refresh()``, then reflects the new silver).
+
+    The per-stage behaviors are pinned elsewhere (test_live_socket,
+    test_streaming, test_serving); this soak pins the WIRING — two
+    always-on queries chained through a parquet layer while a batch
+    serving layer polls the tail.
+    """
+    import time as _time
+
+    from solana_etl_pipeline_spark.pipelines.normalize import (
+        normalize_websocket_messages,
+    )
+    from solana_etl_pipeline_spark.serving import Dashboard
+    from solana_etl_pipeline_spark.streaming.ingest import deduplicated
+    from tests.test_live_socket import _ingest, _msg
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    os.makedirs(bronze)
+
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # stage A: landing text -> bronze parquet (raw preserved)
+        q_bronze = (
+            spark.readStream.text(str(landing))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", bronze)
+            .option("checkpointLocation", str(tmp_path / "ckptA"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        # stage B: bronze -> normalize -> ingest-time watermarked dedup
+        # -> silver parquet. current_timestamp() is the batch timestamp
+        # (constant per micro-batch), so same-batch redeliveries dedup
+        # and the processing-time watermark keeps state bounded.
+        raw = spark.readStream.schema("value string").parquet(bronze)
+        silver_stream = (
+            normalize_websocket_messages(raw, json_col="value")
+            .withColumn("ingest_ts", F.current_timestamp())
+        )
+        q_silver = (
+            deduplicated(
+                silver_stream,
+                keys=["mint", "signature"],
+                ts_col="ingest_ts",
+                watermark="2 seconds",
+            )
+            .drop("ingest_ts")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", silver)
+            .option("checkpointLocation", str(tmp_path / "ckptB"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+        def silver_mints() -> set:
+            try:
+                return {
+                    r.mint
+                    for r in spark.read.parquet(silver)
+                    .select("mint").distinct().collect()
+                }
+            except Exception:
+                return set()  # sink not created yet
+
+        def await_mints(expected: set, timeout: float = 60.0) -> set:
+            deadline = _time.monotonic() + timeout
+            got = silver_mints()
+            while got < expected and _time.monotonic() < deadline:
+                _time.sleep(0.5)
+                got = silver_mints()
+            return got
+
+        expected: set = set()
+        gold_counts = []
+        dash = None
+        for tick in range(3):
+            # each tick replays a fresh socket session; every message
+            # is sent twice (same payload => same ws: signature) so the
+            # dedup stage does real cross-file work every tick
+            base = [_msg(100 * tick + i) for i in range(12)]
+            n, _ = _ingest(
+                base + base, str(landing), prefix=f"t{tick}"
+            )
+            assert n == 24
+            expected |= {f"MINT{100 * tick + i}" for i in range(12)}
+            got = await_mints(expected)
+            assert got == expected, f"tick {tick}: {got} != {expected}"
+
+            if dash is None:
+                dash = Dashboard(
+                    spark, silver, working_set_rows=10_000,
+                    data_ttl_sec=3600.0,
+                )
+                stale_gold = dash._snapshot()["gold"].count()
+            else:
+                # freshness contract: within TTL the dashboard still
+                # serves LAST tick's snapshot until refresh()
+                stale_gold = dash._snapshot()["gold"].count()
+                assert stale_gold == gold_counts[-1]
+            dash.refresh()
+            fresh_gold = dash._snapshot()["gold"].count()
+            assert fresh_gold == len(expected)
+            gold_counts.append(fresh_gold)
+            # let the watermark horizon (2 s) pass so this tick's dedup
+            # state becomes evictable during the next tick's batches
+            _time.sleep(2.5)
+
+        # monotone gold growth across ticks
+        assert gold_counts == sorted(gold_counts)
+        assert gold_counts[-1] == 36
+
+        # bounded state: dedup state rows never approached the 72
+        # delivered messages, and the watermark actually evicted rows
+        progresses = [p for p in q_silver.recentProgress if p]
+        ops = [
+            op
+            for p in progresses
+            for op in (p.get("stateOperators") or [])
+            if op.get("numRowsTotal") is not None
+        ]
+        assert ops, "no stateOperators progress from the silver stream"
+        peak = max(op["numRowsTotal"] for op in ops)
+        removed = sum(op.get("numRowsRemoved", 0) for op in ops)
+        assert peak <= 48, f"dedup state unbounded: peak {peak}"
+        assert removed > 0, "watermark never evicted dedup state"
+
+        # exactly-once through the whole chain: every silver row unique
+        silver_df = spark.read.parquet(silver)
+        assert silver_df.count() == silver_df.select(
+            "mint", "signature"
+        ).distinct().count()
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
