@@ -149,3 +149,83 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").alias("sum_tokens"),
     )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2,
+    arXiv:1910.10683): keep a line iff, after trimming, it
+
+    * ends in terminal punctuation (``. ! ? "``),
+    * has at least ``min_words_per_line`` whitespace words,
+    * does not mention ``javascript`` (case-insensitive), and
+    * contains no ``{`` (the paper's code/boilerplate tell);
+
+    then drop the whole PAGE if fewer than ``min_lines`` lines
+    survive or the page contains ``lorem ipsum``.
+
+    Output: ``(id, n_lines, n_kept, c4_kept, clean_text)`` —
+    ``clean_text`` is the newline-join of the surviving trimmed lines
+    (emitted for dropped pages too, so a filter audit can inspect
+    what WOULD remain). Entirely built-in higher-order expressions
+    over the line array: a map-only projection, no shuffle, no
+    Python. The within-line word count collapses ``[ \\t\\f\\r]+``
+    runs before splitting — the repo tokenizer convention restricted
+    to one line (newlines are the line separator here, not word
+    separators).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(
+        F.split(text, "\n"), lambda ln: F.trim(ln)
+    )
+
+    def _n_words(ln: Column) -> Column:
+        collapsed = F.trim(F.regexp_replace(ln, "[ \\t\\f\\r]+", " "))
+        return F.size(F.split(collapsed, " "))
+
+    kept_lines = F.filter(
+        lines,
+        lambda ln: (_n_words(ln) >= min_words_per_line)
+        & ln.rlike('[.!?"]$')
+        & ~F.lower(ln).contains("javascript")
+        & ~ln.contains("{"),
+    )
+    lorem = F.lower(text).contains("lorem ipsum")
+    n_kept = F.size(kept_lines)
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        ((n_kept >= min_lines) & ~lorem).cast("long").alias("c4_kept"),
+        F.array_join(kept_lines, "\n").alias("clean_text"),
+    )
+
+
+def canonical_url(text: Column) -> Column:
+    """Canonical form of a document's FIRST URL, for URL-level dedup
+    (the CC-Net / RefinedWeb first pass: one document per canonical
+    URL before any content hashing):
+
+    lowercase → strip ``http(s)://`` → strip leading ``www.`` →
+    strip ``?query`` and ``#fragment`` → strip the trailing ``/``.
+
+    Documents with no URL yield the empty string (callers filter it
+    out before grouping). Pure chained regexp/string expressions —
+    map-only. The URL match uses ``URL_WS_RE`` (whitespace class
+    spelled out — Java and RE2 disagree on ``\\s`` membership, the
+    llm/tokenize.py rule) under ``(?i)`` so an uppercase
+    ``HTTPS://`` scheme still canonicalizes (same inline-flag syntax
+    in Java regex and RE2)."""
+    first = F.regexp_extract(
+        F.coalesce(text, F.lit("")), "(?i)" + URL_WS_RE, 0
+    )
+    stripped = F.regexp_replace(
+        F.lower(first), r"^https?://(www\.)?", ""
+    )
+    no_query = F.regexp_replace(stripped, r"[?#].*$", "")
+    return F.regexp_replace(no_query, "/$", "")

@@ -291,3 +291,74 @@ def document_fingerprint(text: Column) -> Column:
         lambda a: a["val"],
     )
     return acc
+
+
+#: Gopher quality-rule bounds (Rae et al. 2021, arXiv:2112.11446,
+#: Appendix A1.1) — the paper's values, not fixture-tuned: word count
+#: in [50, 100_000], mean word length in [3, 10], symbol-to-word
+#: ratio ('#' or '...') <= 0.1, >= 80% of words with an alphabetic
+#: character, >= 2 distinct stopwords present.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_report(text: Column) -> dict[str, Column]:
+    """Gopher rule metrics + per-rule flags for one text column
+    (Rae et al. 2021 §A1.1 — the non-repetition half; the repetition
+    half lives in :func:`repetition_report`).
+
+    All metrics are built-in expressions over the shared tokenizer
+    (`llm/tokenize.py` convention), so the report is a map-only
+    projection — no shuffle, no Python. Flags are BIGINT 0/1 rather
+    than booleans so the cross-engine hash never depends on boolean
+    rendering. Ratios round at 1e-6 (the repo's ln()/ratio
+    discipline) so a last-ulp division difference between engines
+    cannot flip an emitted value; the flag comparisons run on the
+    ROUNDED values for the same reason."""
+    words = _words(text)
+    n_words = F.size(words)
+    mean_len = F.round(
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+        / n_words,
+        6,
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
+    )
+    symbol_ratio = F.round(
+        F.regexp_count(
+            F.coalesce(text, F.lit("")), F.lit(r"#|\.\.\.")
+        )
+        / n_words,
+        6,
+    )
+    n_stop_distinct = F.size(
+        F.filter(F.array_distinct(words), lambda w: w.isin(*STOPWORDS))
+    )
+    flags = {
+        "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "ok_symbol_ratio": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha_ratio": alpha_ratio >= GOPHER_MIN_ALPHA_RATIO,
+        "ok_stopwords": n_stop_distinct >= GOPHER_MIN_STOPWORDS,
+    }
+    out: dict[str, Column] = {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "alpha_word_ratio": alpha_ratio,
+        "symbol_word_ratio": symbol_ratio,
+        "n_stop_distinct": n_stop_distinct,
+    }
+    passes = F.lit(True)
+    for name, flag in flags.items():
+        out[name] = flag.cast("long")
+        passes = passes & flag
+    out["gopher_pass"] = passes.cast("long")
+    return out

@@ -79,6 +79,10 @@ for _mod in (
 _PRIORITY = (
     # --- registered in round 7: never driver-witnessed, lead the prefix ---
     "streaming_interval_join_outer",
+    "sink_orc_roundtrip",
+    "llm_gopher_rules",
+    "llm_c4_line_filter",
+    "llm_url_dedup",
     # --- staleness 2 (last green r04) ---
     "events_value_banding",
     "events_pst_rendering",

@@ -20,6 +20,8 @@ from solana_etl_pipeline_spark.llm.curate import (
     HOST_RE,
     URL_RE,
     URL_WS_RE,
+    c4_line_filter,
+    canonical_url,
     extract_domains,
     pack_sequences,
     pii_counts,
@@ -179,7 +181,188 @@ _AUG_SQL = """
     FROM documents)
 """
 
+def _c4_augmented(docs: DataFrame) -> DataFrame:
+    """Inject deterministic LINES so the single-line fixture gives the
+    C4 filter real per-line work: every doc gets one always-good
+    sentence, one too-short line, a javascript line, a curly-brace
+    line; even docs a second good sentence; doc_id%4 docs a third
+    (crossing the 3-line page threshold); and every 97th doc a lorem
+    ipsum plant that sinks an otherwise-good page. ``concat_ws``
+    skips the NULL lorem slot identically in both engines."""
+    i = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.coalesce(F.col("text"), F.lit("")),
+            F.concat(
+                F.lit("document "),
+                i.cast("string"),
+                F.lit(" opens with a full proper sentence."),
+            ),
+            F.lit("short line."),
+            F.lit("this line mentions javascript frameworks every day."),
+            F.lit("code sample { embedded right here today."),
+            F.when(
+                i % 2 == 0,
+                F.lit("an even doc earns a second proper sentence."),
+            ).otherwise(F.lit("no terminal punctuation on this line")),
+            F.when(
+                i % 4 == 0, F.lit("a third good line appears right here.")
+            ).otherwise(F.lit("tiny.")),
+            F.when(
+                i % 97 == 0,
+                F.lit("lorem ipsum dolor sit amet consectetur adipiscing."),
+            ),
+        ).alias("text"),
+    )
+
+
+def llm_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning over the line-augmented corpus: per-page
+    line counts, the kept/dropped verdict, and the full cleaned
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_line_filter(_c4_augmented(docs))
+
+
+
+
+def _urldup_augmented(docs: DataFrame) -> DataFrame:
+    """Inject one URL per doc whose CANONICAL form collides across
+    ~doc_id%100 groups while the surface forms differ in scheme
+    (http/https), www prefix, host case, trailing slash, and
+    tracking-query suffix — the variants URL canonicalization exists
+    to fold together."""
+    i = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" ref "),
+            F.when(i % 2 == 0, F.lit("https://")).otherwise(
+                F.lit("http://")
+            ),
+            F.when(i % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.when(i % 11 == 0, F.lit("SITE.EXAMPLE")).otherwise(
+                F.lit("site.example")
+            ),
+            F.lit("/page/"),
+            (i % 100).cast("string"),
+            F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(i % 7 == 0, F.lit("?utm_source=feed")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over the augmented corpus: canonicalize each
+    doc's first URL, keep the smallest doc_id per canonical URL.
+    One map-side canonicalization + one groupBy on the canonical
+    string — at 100 TB this is the cheap first dedup pass that runs
+    before any content hashing."""
+    docs = _urldup_augmented(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "doc_id", canonical_url(F.col("text")).alias("canonical_url")
+    ).filter(F.col("canonical_url") != "")
+    return per_doc.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "llm_url_dedup": QuerySpec(
+        spark=llm_url_dedup,
+        oracle=r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     concat(coalesce(text, ''), ' ref ',
+                       CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                            ELSE 'http://' END,
+                       CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+                       CASE WHEN doc_id % 11 = 0 THEN 'SITE.EXAMPLE'
+                            ELSE 'site.example' END,
+                       '/page/', CAST(doc_id % 100 AS VARCHAR),
+                       CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+                       CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed'
+                            ELSE '' END) AS t
+              FROM documents),
+            canon AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       lower(regexp_extract(t, '(?i)https?://[^ \t\n\r\f]+')),
+                       '^https?://(www\.)?', ''),
+                       '[?#].*$', ''),
+                       '/$', '') AS canonical_url
+              FROM aug)
+            SELECT canonical_url, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM canon
+            WHERE canonical_url <> ''
+            GROUP BY 1
+        """,
+        doc="URL-canonicalize dedup (CC-Net/RefinedWeb first pass): "
+        "scheme/www/case/slash/query variants fold to one canonical "
+        "URL; keep-min-id per group",
+        tags=("SS2.11",),
+    ),
+    "llm_c4_line_filter": QuerySpec(
+        spark=llm_c4_line_filter,
+        oracle=r"""
+            -- Line trims use trim(x, ' ') (ASCII space only) to match
+            -- Spark's trim — DuckDB's bare trim strips Unicode spaces
+            -- (see llm/tokenize.py). Within-line word counts collapse
+            -- [ \t\f\r]+ runs, the tokenizer convention minus \n
+            -- (the line separator here).
+            WITH aug AS (
+              SELECT doc_id,
+                     concat_ws(chr(10), coalesce(text, ''),
+                       'document ' || CAST(doc_id AS VARCHAR)
+                         || ' opens with a full proper sentence.',
+                       'short line.',
+                       'this line mentions javascript frameworks every day.',
+                       'code sample { embedded right here today.',
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'an even doc earns a second proper sentence.'
+                            ELSE 'no terminal punctuation on this line' END,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN 'a third good line appears right here.'
+                            ELSE 'tiny.' END,
+                       CASE WHEN doc_id % 97 = 0
+                            THEN 'lorem ipsum dolor sit amet consectetur adipiscing.'
+                            ELSE NULL END) AS t
+              FROM documents),
+            l AS (
+              SELECT doc_id, t,
+                     list_transform(string_split(t, chr(10)),
+                                    x -> trim(x, ' ')) AS ls
+              FROM aug),
+            k AS (
+              SELECT doc_id, ls,
+                     list_filter(ls, x ->
+                       len(string_split(trim(regexp_replace(x,
+                             '[ \t\f\r]+', ' ', 'g'), ' '), ' ')) >= 5
+                       AND regexp_matches(x, '[.!?"]$')
+                       AND NOT contains(lower(x), 'javascript')
+                       AND NOT contains(x, '{')) AS kept,
+                     contains(lower(t), 'lorem ipsum') AS lorem
+              FROM l)
+            SELECT doc_id,
+                   len(ls) AS n_lines,
+                   len(kept) AS n_kept,
+                   CAST(len(kept) >= 3 AND NOT lorem AS BIGINT) AS c4_kept,
+                   array_to_string(kept, chr(10)) AS clean_text
+            FROM k
+        """,
+        doc="C4 line-level cleaning (Raffel et al. 2020 SS2.2): terminal "
+        "punctuation + min-words + javascript/brace line drops, "
+        "lorem-ipsum and min-lines page drops, full clean-text parity",
+        tags=("SS2.11",),
+    ),
     "llm_pii_redact": QuerySpec(
         spark=llm_pii_redact,
         oracle=f"""

@@ -22,7 +22,10 @@ from solana_etl_pipeline_spark.llm.dsir import importance_weights
 from solana_etl_pipeline_spark.llm.export import assign_splits
 from solana_etl_pipeline_spark.llm.lm import unigram_fit, unigram_score
 from solana_etl_pipeline_spark.llm.mixture import mixture_plan, mixture_sample
-from solana_etl_pipeline_spark.llm.textstats import repetition_report
+from solana_etl_pipeline_spark.llm.textstats import (
+    gopher_quality_report,
+    repetition_report,
+)
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
 from solana_etl_pipeline_spark.llm import tokenize
@@ -54,6 +57,17 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(is_eval),
         n=DECON_N,
         threshold=DECON_THRESHOLD,
+    )
+
+
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (non-repetition half): per-doc metrics,
+    per-rule flags, and the composite verdict, at the paper's own
+    bounds. Map-only projection over the shared tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    report = gopher_quality_report(F.col("text"))
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in report.items()]
     )
 
 
@@ -236,6 +250,52 @@ QUERIES: dict[str, QuerySpec] = {
             LIMIT {DSIR_TOP_K}
         """,
         doc="DSIR importance-weighted selection vs the eval target set",
+        tags=("§2.11",),
+    ),
+    "llm_gopher_rules": QuerySpec(
+        spark=llm_gopher_rules,
+        oracle=f"""
+            -- Same tokenizer, same 1e-6 rounding, flags compared on
+            -- the ROUNDED metrics; flags and verdict are BIGINT 0/1.
+            WITH w AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     {tokenize.words_sql("text")} AS ws
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     round(list_sum(list_transform(ws, x -> len(x)))
+                           * 1.0 / len(ws), 6) AS mean_word_len,
+                     round(len(list_filter(ws,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                           * 1.0 / len(ws), 6) AS alpha_word_ratio,
+                     round(len(regexp_extract_all(t, '#|\.\.\.'))
+                           * 1.0 / len(ws), 6) AS symbol_word_ratio,
+                     len(list_filter(list_distinct(ws),
+                         x -> list_contains(
+                           ['the','a','of','and','to','in','or','is'], x)))
+                       AS n_stop_distinct
+              FROM w)
+            SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+                   symbol_word_ratio, n_stop_distinct,
+                   CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)
+                     AS ok_word_count,
+                   CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS BIGINT)
+                     AS ok_mean_word_len,
+                   CAST(symbol_word_ratio <= 0.1 AS BIGINT)
+                     AS ok_symbol_ratio,
+                   CAST(alpha_word_ratio >= 0.8 AS BIGINT)
+                     AS ok_alpha_ratio,
+                   CAST(n_stop_distinct >= 2 AS BIGINT) AS ok_stopwords,
+                   CAST(n_words BETWEEN 50 AND 100000
+                        AND mean_word_len BETWEEN 3.0 AND 10.0
+                        AND symbol_word_ratio <= 0.1
+                        AND alpha_word_ratio >= 0.8
+                        AND n_stop_distinct >= 2 AS BIGINT) AS gopher_pass
+            FROM m
+        """,
+        doc="Gopher quality rules (Rae et al. 2021 A1.1, non-repetition "
+        "half): per-doc metrics + per-rule flags + composite verdict",
         tags=("§2.11",),
     ),
     "llm_repetition_rules": QuerySpec(

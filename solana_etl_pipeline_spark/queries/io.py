@@ -25,9 +25,11 @@ from solana_etl_pipeline_spark.sources import load_table
 from solana_etl_pipeline_spark.sources.sinks import (
     read_csv_dir,
     read_json_dir,
+    read_orc_dir,
     read_parquet_merged,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
     write_zordered,
 )
@@ -120,6 +122,25 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar sink + schema-enforced scan back — Spark's second
+    native columnar format (Hive-era lakes). DuckDB has no ORC
+    reader, so the oracle recomputes the aggregate straight from the
+    fixture: a round-trip that loses rows or mangles typed values
+    fails the hash exactly like the CSV/JSON twins."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="spark_sink_orc_") + "/t"
+    write_orc(ev, out)
+    back = read_orc_dir(spark, out, _CSV_SCHEMA, path_glob="*.orc")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 _EVENT_AGG_ORACLE = """
     SELECT event_type, count(*) AS n_events,
            round(sum(round(value, 6)), 4) AS sum_value,
@@ -150,6 +171,13 @@ QUERIES: dict[str, QuerySpec] = {
             GROUP BY 1
         """,
         doc="Z-ordered parquet layout + two-column range read-back",
+        tags=("S10", "S11"),
+    ),
+    "sink_orc_roundtrip": QuerySpec(
+        spark=sink_orc_roundtrip,
+        oracle=_EVENT_AGG_ORACLE,
+        doc="ORC sink + schema-enforced directory scan (native second "
+        "columnar format; oracle recomputes from the fixture)",
         tags=("S10", "S11"),
     ),
     "sink_csv_roundtrip": QuerySpec(

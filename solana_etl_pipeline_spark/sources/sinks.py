@@ -64,6 +64,28 @@ def read_csv_dir(
     return reader.csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S10-adjacent: ORC sink — the second columnar format Spark
+    ships natively (zlib-compressed stripes, predicate-pushdown-
+    capable scans like parquet). Lets the engine interoperate with
+    Hive-era ORC lakes without an extra package."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Schema-enforced ORC directory scan (same contract as the
+    parquet/CSV/JSON scans: the schema is pinned, never inferred)."""
+    reader = spark.read.schema(schema)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.orc(path)
+
+
 def resolve_sink_format(fmt: str) -> str:
     """Validate a table-sink format name (the BASELINE north star is
     "Parquet/Delta Lake sinks"). ``parquet`` always works; ``delta``

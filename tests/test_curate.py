@@ -103,3 +103,69 @@ def test_extract_domains_multi_and_none(spark):
     assert got[1] == ["x.example", "y.example"]
     assert got[2] == [] and got[3] == []
     assert got[4] == ["z.example"]
+
+
+def test_c4_line_filter_rules_on_crafted_page(spark):
+    """Each C4 rule exercised on one crafted page: terminal
+    punctuation, min words, javascript mention, curly brace, the
+    lorem-ipsum page drop, and the min-lines page drop."""
+    from solana_etl_pipeline_spark.llm.curate import c4_line_filter
+
+    good1 = "this sentence has enough words to survive."
+    good2 = "another full sentence clears every single rule!"
+    good3 = 'a quoted ending also counts as terminal."'
+    pages = [
+        # 0: three good lines + every kind of bad line -> kept
+        Row(doc_id=0, text="\n".join([
+            good1, "too short.", "no terminal punctuation here at all",
+            "this one mentions JavaScript libraries all day.",
+            "brace { sentence with plenty of words here.",
+            good2, "  " + good3 + "  ",
+        ])),
+        # 1: only two good lines -> page dropped (min_lines=3)
+        Row(doc_id=1, text="\n".join([good1, good2, "tiny."])),
+        # 2: three good lines but lorem ipsum -> page dropped
+        Row(doc_id=2, text="\n".join([
+            good1, good2, good3,
+            "Lorem Ipsum dolor sit amet consectetur adipiscing.",
+        ])),
+        # 3: null text -> 1 empty line, nothing kept
+        Row(doc_id=3, text=None),
+    ]
+    out = {
+        r.doc_id: r
+        for r in c4_line_filter(spark.createDataFrame(pages)).collect()
+    }
+    assert out[0].c4_kept == 1
+    # trimmed survivors, original order
+    assert out[0].clean_text == "\n".join([good1, good2, good3])
+    assert (out[0].n_lines, out[0].n_kept) == (7, 3)
+    assert out[1].c4_kept == 0 and out[1].n_kept == 2
+    # lorem line itself passes the LINE rules; the PAGE still drops
+    assert out[2].n_kept == 4 and out[2].c4_kept == 0
+    assert out[3].n_kept == 0 and out[3].c4_kept == 0
+
+
+def test_canonical_url_folds_variants(spark):
+    """scheme/www/case/query/fragment/trailing-slash variants fold to
+    one canonical form; URL-free text canonicalizes to ''."""
+    from solana_etl_pipeline_spark.llm.curate import canonical_url
+
+    variants = [
+        "see https://site.example/page/7 now",
+        "see http://site.example/page/7/ now",
+        "see https://www.site.example/page/7?utm_source=x now",
+        "see HTTPS://SITE.EXAMPLE/page/7#frag now",
+    ]
+    rows = [Row(i=i, text=t) for i, t in enumerate(variants)] + [
+        Row(i=9, text="no url in this text"),
+        Row(i=10, text=None),
+    ]
+    got = {
+        r.i: r.c
+        for r in spark.createDataFrame(rows)
+        .select("i", canonical_url(F.col("text")).alias("c"))
+        .collect()
+    }
+    assert {got[i] for i in range(4)} == {"site.example/page/7"}
+    assert got[9] == "" and got[10] == ""

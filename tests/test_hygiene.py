@@ -457,3 +457,40 @@ def test_dsir_weights_off_rounding_boundary(spark, fixture_sf):
             f"raw DSIR weight {r['_raw']!r} sits on the 1e-6 rounding "
             "boundary (COVERAGE.md convention 8)"
         )
+
+
+def test_gopher_rules_crafted(spark):
+    """Each Gopher rule flips on a crafted doc: word count, mean word
+    length, symbol ratio, alpha ratio, stopword floor."""
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.llm.textstats import (
+        gopher_quality_report,
+    )
+
+    passing = ("the quick brown fox and " * 12 + "a dog is here now").strip()
+    rows = [
+        Row(i=0, text=passing),                      # all rules pass
+        Row(i=1, text="the a short doc is here"),    # < 50 words
+        Row(i=2, text=("the a " + "x " * 60).strip()),   # mean len < 3
+        Row(i=3, text=passing + " " + "#" * 1 + " ###### ## ## ###"),
+        Row(i=4, text=("the a " + "9 " * 60).strip()),   # alpha < 0.8
+        Row(i=5, text=("zz " * 60).strip()),             # no stopwords
+        Row(i=6, text=None),                             # null text
+    ]
+    report = gopher_quality_report(F.col("text"))
+    got = {
+        r.i: r
+        for r in spark.createDataFrame(rows)
+        .select("i", *[e.alias(n) for n, e in report.items()])
+        .collect()
+    }
+    assert got[0].gopher_pass == 1, got[0]
+    assert got[1].ok_word_count == 0 and got[1].gopher_pass == 0
+    assert got[2].ok_mean_word_len == 0 and got[2].gopher_pass == 0
+    assert got[3].ok_symbol_ratio == 0 and got[3].gopher_pass == 0
+    assert got[4].ok_alpha_ratio == 0 and got[4].gopher_pass == 0
+    assert got[5].ok_stopwords == 0 and got[5].gopher_pass == 0
+    # null text -> [''] one empty word; every floor rule fails, none
+    # of the ratios divide by zero
+    assert got[6].n_words == 1 and got[6].gopher_pass == 0
