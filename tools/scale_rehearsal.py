@@ -193,6 +193,68 @@ def main() -> None:
     timed("paragraph_dedup", lambda: noop(dedup_paragraphs(aug)))
     spark.catalog.clearCache()
 
+    # round-7 curation trio: C4 line filter and Gopher rules are pure
+    # map-side projections (expected ~scan-linear); URL dedup adds one
+    # groupBy on the canonical string (corpus/5 distinct keys here)
+    from solana_etl_pipeline_spark.llm.curate import (
+        c4_line_filter,
+        canonical_url,
+    )
+    from solana_etl_pipeline_spark.llm.textstats import (
+        gopher_quality_report,
+    )
+
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(
+                F.lit("document "),
+                F.col("doc_id").cast("string"),
+                F.lit(" opens with a full proper sentence."),
+            ),
+            F.lit("short line."),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("an even doc earns a second proper sentence."),
+            ).otherwise(F.lit("no terminal punctuation on this line")),
+        ).alias("text"),
+    )
+    timed("c4_line_filter", lambda: noop(c4_line_filter(lined)))
+    rep = gopher_quality_report(F.col("text"))
+    timed(
+        "gopher_rules",
+        lambda: noop(
+            docs.select(
+                "doc_id", *[e.alias(n) for n, e in rep.items()]
+            )
+        ),
+    )
+    urled = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://site.example/page/"),
+            (F.col("doc_id") % (n_docs // 5 + 1)).cast("string"),
+        ).alias("text"),
+    )
+    timed(
+        "url_dedup",
+        lambda: noop(
+            urled.select(
+                "doc_id",
+                canonical_url(F.col("text")).alias("canonical_url"),
+            )
+            .groupBy("canonical_url")
+            .agg(
+                F.min("doc_id").alias("keep_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+        ),
+    )
+    spark.catalog.clearCache()
+
     # PQ: n_docs/5 synthetic 64-dim vectors (expression-generated),
     # landed to parquet like the corpus; train (1 refinement pass),
     # then ADC-search 5 queries over the encoded corpus
