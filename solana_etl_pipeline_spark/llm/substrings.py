@@ -1,0 +1,160 @@
+"""Exact substring-span deduplication (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499) — the token-window form that scales on Spark.
+
+The paper removes every duplicated substring of >= 50 BPE tokens via
+a corpus-wide suffix array. A suffix array is a single global sorted
+structure — exactly what a shared-nothing engine should NOT build.
+The standard distributed equivalent keys on fixed-width token
+windows instead: a duplicated run of length L >= W contains L - W + 1
+duplicated W-windows, so marking every non-first occurrence of each
+W-window and merging overlapping windows per document recovers the
+duplicated SPANS (to within W-1 tokens of the suffix-array answer at
+the span edges) with nothing but hash aggregations and joins.
+
+Pipeline (all DataFrame ops, shuffle keys bounded):
+
+1. tokenize (shared ``llm/tokenize.py`` convention) and explode each
+   document's W-token windows — map-side, ~n_tokens rows per doc;
+2. keep-first: ONE hash aggregation on the 32-byte window digest
+   computing ``min(struct(doc_id, pos))`` (map-side partial — the
+   same shape as paragraph dedup's digest groupBy);
+3. re-join windows to their keeper on the digest; every occurrence
+   that is not the keeper is a duplicated window;
+4. gaps-and-islands per document merges overlapping/adjacent
+   windows into spans (window function over each doc's dup
+   positions — state is per-doc, never corpus-wide);
+5. positions covered by spans are exploded and anti-joined against
+   the token positions; survivors reassemble with ONE groupBy(doc)
+   (ordered struct sort — the paragraphs.py reassembly pattern).
+
+At 100 TB: the heavy side (window rows) shuffles once on the digest
+with map-side combining; everything after step 3 is keyed on doc_id.
+No global sort, no suffix array, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from solana_etl_pipeline_spark.llm import tokenize
+
+#: window width in tokens. Lee et al. use 50 BPE tokens; the fixture
+#: documents are ~50 words, so the default is sized to exercise the
+#: machinery there. Production corpora raise it back toward 50.
+DEFAULT_WINDOW = 20
+
+
+def duplicate_span_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = DEFAULT_WINDOW,
+) -> DataFrame:
+    """Per-document duplicated-span report + deduplicated text.
+
+    Output columns: ``(id, n_tokens, n_dup_windows, n_spans,
+    dup_tokens, clean_text)`` where ``clean_text`` is the space-join
+    of tokens NOT covered by any duplicated span (the keep-first
+    survivor text; the whitespace-normalized join is the same
+    canonical form both tokenizer twins produce). Documents shorter
+    than ``window`` tokens have no windows and pass through intact.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        tokenize.words(F.col(text_col)).alias("_ws"),
+    )
+
+    # 1. W-token windows, map-side. pos is 0-based token offset.
+    # Guarded when: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
+    # of being empty, which would feed slice() a 0 start — docs
+    # shorter than the window must produce an empty window array.
+    n_win = F.size("_ws") - window + 1
+    digests = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.sha2(
+                F.concat_ws(" ", F.slice("_ws", i, window)), 256
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = toks.select(
+        "_id", F.posexplode(digests).alias("pos", "digest")
+    )
+
+    # 2-3. keep-first on the digest; non-keeper occurrences are dups.
+    keepers = wins.groupBy("digest").agg(
+        F.min(F.struct("_id", "pos")).alias("keeper")
+    )
+    dups = (
+        wins.join(keepers, "digest")
+        .filter(F.struct("_id", "pos") != F.col("keeper"))
+        .select("_id", "pos")
+    )
+
+    # 4. merge overlapping/adjacent windows into spans per doc. With
+    # fixed width W the span end is monotone in pos, so comparing
+    # against lag(pos) + W is the full running-max-end island test.
+    w_doc = Window.partitionBy("_id").orderBy("pos")
+    marked = dups.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_doc) + window),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = marked.groupBy("_id", "_isl").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + window).alias("e"),
+    )
+    span_stats = spans.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+    )
+    dup_counts = dups.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+
+    # 5. survivors: token positions not covered by any span.
+    tokpos = toks.select(
+        "_id", F.posexplode("_ws").alias("pos", "tok")
+    )
+    covered = spans.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("s"), F.col("e") - 1)
+        ).alias("pos"),
+    )
+    kept = tokpos.join(covered, ["_id", "pos"], "left_anti")
+    clean = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text")
+    )
+
+    return (
+        toks.select("_id", F.size("_ws").alias("n_tokens"))
+        .join(dup_counts, "_id", "left")
+        .join(span_stats, "_id", "left")
+        .join(clean, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

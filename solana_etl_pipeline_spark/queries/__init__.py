@@ -83,6 +83,8 @@ _PRIORITY = (
     "llm_gopher_rules",
     "llm_c4_line_filter",
     "llm_url_dedup",
+    "llm_substring_dedup",
+    "llm_ccnet_buckets",
     # --- staleness 2 (last green r04) ---
     "events_value_banding",
     "events_pst_rendering",
@@ -128,6 +130,7 @@ _PRIORITY = (
     "llm_mixture_sample",
     "llm_chunk_documents",
     "streaming_interval_join",
+    # --- position 51+: below the 50-query driver budget ---
     "llm_split_assign",
     "llm_lm_quality_score",
     "risk_scores_topk",
@@ -135,7 +138,6 @@ _PRIORITY = (
     "events_json_extract_agg",
     "nested_helius_flatten",
     "nested_explode_padding",
-    # --- position 51+: below the 50-query driver budget ---
     "nested_tojson_roundtrip",
     "nested_array_access",
     "typed_props_parse",

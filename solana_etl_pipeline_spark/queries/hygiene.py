@@ -13,7 +13,7 @@ corpus genuinely contains train docs that duplicate eval docs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.curate import chunk_documents
@@ -171,7 +171,86 @@ _WORDS_SQL = f"""
     FROM documents)
 """
 
+
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual output shape (Wenzek et al. 2020,
+    arXiv:1911.00359 §3): per-SOURCE head/middle/tail perplexity
+    buckets. Fit the unigram LM on the train split, score every
+    document, then ``ntile(3)`` within each source ordered by the
+    ROUNDED score with a doc_id tie-break — both engines implement
+    standard SQL ntile (early buckets absorb the remainder), so the
+    assignment is deterministic and oracle-checkable. Bucket 1 =
+    head (most fluent), 3 = tail. One fit aggregation, one score
+    join, one window over per-source partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_docs = assign_splits(
+        docs, "doc_id", val_frac=LM_VAL_FRAC, test_frac=LM_TEST_FRAC
+    )
+    vocab = unigram_fit(split_docs.filter(F.col("split") == "train"))
+    scored = unigram_score(docs, vocab)
+    w = Window.partitionBy("source").orderBy("avg_neg_logprob", "doc_id")
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "avg_neg_logprob",
+            F.ntile(3).over(w).alias("ppl_bucket"),
+        )
+    )
+
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "llm_ccnet_buckets": QuerySpec(
+        spark=llm_ccnet_buckets,
+        oracle=f"""
+            -- Same LM recompute as llm_lm_quality_score, then
+            -- standard-SQL ntile(3) per source on (rounded score,
+            -- doc_id) — a total order, so bucket edges cannot flip
+            -- on engine sort instability.
+            WITH {_WORDS_SQL},
+            split_docs AS (
+              SELECT doc_id, source, ws,
+                     CASE
+                       WHEN ((doc_id % 1000000007) * (2654435761 % 1000000007))
+                              % 1000000007 * 1000000
+                            < {_LM_VAL_M}::BIGINT * 1000000007 THEN 'val'
+                       WHEN ((doc_id % 1000000007) * (2654435761 % 1000000007))
+                              % 1000000007 * 1000000
+                            < {_LM_VAL_M + _LM_TEST_M}::BIGINT * 1000000007
+                            THEN 'test'
+                       ELSE 'train' END AS split
+              FROM w),
+            tok AS (
+              SELECT doc_id, source, split, unnest(ws) AS t
+              FROM split_docs),
+            vocab AS (
+              SELECT t, count(*) AS c FROM tok
+              WHERE split = 'train' GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v
+              FROM vocab),
+            scored AS (
+              SELECT t.doc_id, t.source,
+                     round(avg(-ln((coalesce(vc.c, 0) + 1) * 1.0
+                                   / (tot.n + tot.v))), 6)
+                       AS avg_neg_logprob
+              FROM tok t
+              LEFT JOIN vocab vc ON vc.t = t.t
+              CROSS JOIN tot
+              GROUP BY 1, 2)
+            SELECT doc_id, source, avg_neg_logprob,
+                   CAST(ntile(3) OVER (
+                     PARTITION BY source
+                     ORDER BY avg_neg_logprob, doc_id) AS BIGINT)
+                     AS ppl_bucket
+            FROM scored
+        """,
+        doc="CCNet per-source head/middle/tail perplexity buckets "
+        "(unigram-LM scored, deterministic ntile)",
+        tags=("§2.11",),
+    ),
     "llm_decontaminate": QuerySpec(
         spark=llm_decontaminate,
         oracle=f"""

@@ -62,6 +62,7 @@ from solana_etl_pipeline_spark.llm.textstats import (
     text_stats,
     token_counts,
 )
+from solana_etl_pipeline_spark.llm import tokenize
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
 
@@ -600,7 +601,163 @@ _JACCARD_PAIRS_CTES = """
                   / (za.n_sh + zb.n_sh - i.n_inter), 6) >= 0.5)
 """
 
+
+_SUBSTR_BOILER = (
+    "shared boilerplate run alpha beta gamma delta epsilon zeta eta "
+    "theta iota kappa lambda mu nu xi omicron pi rho sigma tau "
+    "upsilon phi"
+)  # 24 tokens > the 20-token window
+
+
+def _substr_augmented(docs: DataFrame) -> DataFrame:
+    """Plant >=window-length duplicated RUNS on the run-free fixture:
+    every 4th doc carries one copy of a 24-token boilerplate (cross-
+    doc duplication; 5 consecutive duplicated 20-windows → island
+    merge does real work), every 10th doc carries two ADJACENT copies
+    (within-doc duplication + windows straddling the copy boundary),
+    and each doc ends with a unique tail so span edges sit strictly
+    inside the text. concat_ws skips the NULL slots identically in
+    both engines."""
+    i = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            # every 20th doc ALSO leads with the boilerplate: a second
+            # duplicated region separated from the tail plants by the
+            # base text, so n_spans >= 2 and a span at position 0 are
+            # both exercised
+            F.when(i % 20 == 0, F.lit(_SUBSTR_BOILER)),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(i % 4 == 0, F.lit(_SUBSTR_BOILER)),
+            F.when(
+                i % 10 == 0,
+                F.lit(_SUBSTR_BOILER + " " + _SUBSTR_BOILER),
+            ),
+            F.concat(
+                F.lit("tail "), i.cast("string"), F.lit(" ends here")
+            ),
+        ).alias("text"),
+    )
+
+
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2021) over the
+    run-augmented corpus: per-doc duplicated-window/span/coverage
+    counts plus the reconstructed keep-first survivor text."""
+    from solana_etl_pipeline_spark.llm.substrings import (
+        duplicate_span_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = duplicate_span_report(_substr_augmented(docs), window=20)
+    return rep.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_dup_windows",
+        "n_spans",
+        "dup_tokens",
+        "clean_text",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "llm_substring_dedup": QuerySpec(
+        spark=llm_substring_dedup,
+        oracle=f"""
+            -- Full recompute: windows grouped on the raw 20-token
+            -- gram (the engine groups sha256 digests — identical up
+            -- to collisions, convention 2). Keep-first order uses
+            -- doc_id*1000000+pos, equivalent to the engine's
+            -- min(struct(doc_id, pos)) while positions stay below
+            -- 1e6 (fixture docs are ~100 tokens).
+            WITH aug AS (
+              SELECT doc_id,
+                     concat_ws(' ',
+                       CASE WHEN doc_id % 20 = 0
+                            THEN '{_SUBSTR_BOILER}' END,
+                       coalesce(text, ''),
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '{_SUBSTR_BOILER}' END,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN '{_SUBSTR_BOILER}' || ' ' ||
+                                 '{_SUBSTR_BOILER}' END,
+                       'tail ' || CAST(doc_id AS VARCHAR) || ' ends here')
+                       AS text
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     {tokenize.words_sql("text")} AS ws
+              FROM aug),
+            win AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                     array_to_string(
+                       ws[CAST(i AS INT):CAST(i AS INT) + 19],
+                       ' ') AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(range(1, len(ws) - 20 + 2)) AS i
+                    FROM w)),
+            keep AS (
+              SELECT gram, min(doc_id * 1000000 + pos) AS first
+              FROM win GROUP BY 1),
+            dups AS (
+              SELECT win.doc_id, win.pos
+              FROM win JOIN keep USING (gram)
+              WHERE win.doc_id * 1000000 + win.pos <> keep.first),
+            marked AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER wd IS NULL
+                          OR pos > lag(pos) OVER wd + 20
+                          THEN 1 ELSE 0 END AS nw
+              FROM dups
+              WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS g
+              FROM marked),
+            spans AS (
+              SELECT doc_id, g, min(pos) AS s, max(pos) + 20 AS e
+              FROM isl GROUP BY 1, 2),
+            sstats AS (
+              SELECT doc_id, count(*) AS n_spans,
+                     CAST(sum(e - s) AS BIGINT) AS dup_tokens
+              FROM spans GROUP BY 1),
+            dcnt AS (
+              SELECT doc_id, count(*) AS n_dup_windows
+              FROM dups GROUP BY 1),
+            tokpos AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                     ws[CAST(i AS INT)] AS tok
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                    FROM w)),
+            cov AS (
+              SELECT doc_id, unnest(range(s, e)) AS pos FROM spans),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok
+              FROM tokpos t
+              LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+              WHERE c.pos IS NULL),
+            clean AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY 1)
+            SELECT w.doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   coalesce(dcnt.n_dup_windows, 0) AS n_dup_windows,
+                   coalesce(sstats.n_spans, 0) AS n_spans,
+                   coalesce(sstats.dup_tokens, 0) AS dup_tokens,
+                   coalesce(clean.clean_text, '') AS clean_text
+            FROM w
+            LEFT JOIN dcnt ON dcnt.doc_id = w.doc_id
+            LEFT JOIN sstats ON sstats.doc_id = w.doc_id
+            LEFT JOIN clean ON clean.doc_id = w.doc_id
+        """,
+        doc="Exact substring-span dedup (Lee et al. 2021, window-hash "
+        "form): keep-first duplicated 20-token windows merged into "
+        "spans, survivor text reconstructed",
+        tags=("SS2.11",),
+    ),
     "llm_exact_dedup": QuerySpec(
         spark=llm_exact_dedup,
         oracle="""

@@ -114,6 +114,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "llm_bm25_search",
         # LM scoring: (N, V) totals ride a 1-row broadcast scalar
         "llm_lm_quality_score",
+        # CCNet buckets reuse the LM scoring plan (same 1-row (N, V)
+        # scalar combine) before the per-source ntile window
+        "llm_ccnet_buckets",
         # DSIR: the two pool totals ride 1-row broadcast scalars into
         # the <= n_buckets ratio table (index metadata, never corpus)
         "llm_dsir_select",
