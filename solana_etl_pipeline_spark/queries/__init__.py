@@ -85,6 +85,7 @@ _PRIORITY = (
     "llm_url_dedup",
     "llm_substring_dedup",
     "llm_ccnet_buckets",
+    "llm_bpe_top_pairs",
     # --- staleness 2 (last green r04) ---
     "events_value_banding",
     "events_pst_rendering",
@@ -129,8 +130,8 @@ _PRIORITY = (
     "llm_repetition_rules",
     "llm_mixture_sample",
     "llm_chunk_documents",
-    "streaming_interval_join",
     # --- position 51+: below the 50-query driver budget ---
+    "streaming_interval_join",
     "llm_split_assign",
     "llm_lm_quality_score",
     "risk_scores_topk",

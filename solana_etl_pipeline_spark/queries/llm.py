@@ -661,7 +661,62 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def llm_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round (Sennrich et al. 2016, arXiv:1508.07909):
+    the most frequent adjacent character pairs across the corpus,
+    weighted by word frequency — the statistic every merge step of
+    tokenizer training maximizes.
+
+    Scale shape — the reason BPE training is feasible at 100 TB: the
+    corpus is touched ONCE (one hash aggregation to the word-frequency
+    vocabulary, map-side combined); pair explosion then runs over the
+    VOCABULARY (bounded by distinct words, not corpus rows), and the
+    final top-20 compiles to TakeOrderedAndProject. Iterating merges
+    re-runs only the vocab-sized stages. 1-char words are guarded
+    from Spark's descending sequence(1, 0) like llm/substrings.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize.words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = vocab.select(F.explode(pair_arr).alias("pair"), "c")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "llm_bpe_top_pairs": QuerySpec(
+        spark=llm_bpe_top_pairs,
+        oracle=f"""
+            WITH w AS (
+              SELECT {tokenize.words_sql("text")} AS ws FROM documents),
+            tok AS (SELECT unnest(ws) AS t FROM w),
+            vocab AS (
+              SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY 1),
+            pairs AS (
+              SELECT substr(t, CAST(i AS INT), 2) AS pair, c
+              FROM (SELECT t, c, unnest(range(1, len(t))) AS i
+                    FROM vocab))
+            SELECT pair, CAST(sum(c) AS BIGINT) AS n
+            FROM pairs GROUP BY 1
+            ORDER BY n DESC, pair LIMIT 20
+        """,
+        doc="First BPE merge round: corpus-weighted adjacent character "
+        "pairs, vocab-sized pair stage, top-20",
+        tags=("SS2.11",),
+    ),
     "llm_substring_dedup": QuerySpec(
         spark=llm_substring_dedup,
         oracle=f"""

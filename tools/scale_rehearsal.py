@@ -239,6 +239,24 @@ def main() -> None:
             (F.col("doc_id") % (n_docs // 5 + 1)).cast("string"),
         ).alias("text"),
     )
+    from solana_etl_pipeline_spark.llm.substrings import (
+        duplicate_span_report,
+    )
+
+    boiler = " ".join(f"boil{j}" for j in range(24))
+    run_planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(boiler)),
+            F.concat(F.lit("tail "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    timed(
+        "substring_dedup",
+        lambda: noop(duplicate_span_report(run_planted, window=20)),
+    )
     timed(
         "url_dedup",
         lambda: noop(
