@@ -27,6 +27,7 @@ from solana_etl_pipeline_spark.queries import reference as _reference
 from solana_etl_pipeline_spark.queries import setops as _setops
 from solana_etl_pipeline_spark.queries import sorts as _sorts
 from solana_etl_pipeline_spark.queries import streaming as _streaming
+from solana_etl_pipeline_spark.queries import timeseries as _timeseries
 from solana_etl_pipeline_spark.queries import tpch as _tpch
 from solana_etl_pipeline_spark.queries import tpch_deep as _tpch_deep
 from solana_etl_pipeline_spark.queries import tpch_derived as _tpch_derived
@@ -51,6 +52,7 @@ for _mod in (
     _tpch_deep,
     _tpch_derived,
     _quality,
+    _timeseries,
     _ranking,
     _curation,
     _export,
@@ -78,6 +80,9 @@ for _mod in (
 # at the very front (never witnessed).
 _PRIORITY = (
     # --- registered in round 7: never driver-witnessed, lead the prefix ---
+    "events_ohlc_bars",
+    "agg_corr_regression",
+    "scd2_state_intervals",
     "streaming_interval_join_outer",
     "sink_orc_roundtrip",
     "llm_gopher_rules",
