@@ -213,3 +213,64 @@ def idf_smooth(n_docs: int, df: int) -> float:
 def idf_bm25(n_docs: int, df: int) -> float:
     """Python twin of the BM25 idf, for tests."""
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    postings_k: int = 5,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Capped inverted-index build: per term, document frequency, total
+    term frequency, and the top-``postings_k`` posting list (docs by
+    ``tf`` descending, doc id ascending) serialized as a comma-joined
+    string (the repo's deterministic-array convention).
+
+    The retrieval-side complement of the BM25 scorer above: a lexical
+    search service materializes exactly this table. Output size is
+    bounded by vocabulary × 1 row, and each row carries at most
+    ``postings_k`` doc ids — index size does NOT grow with corpus row
+    count, which is what makes the build shippable at 100 TB.
+
+    Skew note — why salted two-phase top-k instead of a row_number
+    window over ``term``: term frequency is Zipfian, so a per-term
+    window funnels a stop-word's ENTIRE posting set through one task's
+    sort. Instead the top-k runs as two hash aggregations: per
+    ``(term, doc%salt_buckets)`` partials keep at most ``postings_k``
+    candidates each (df/total_tf reduce as plain sums alongside), then
+    the ``term``-level merge sorts ≤ salt_buckets·postings_k structs.
+    Exact same result (partial top-k then merge preserves a global
+    top-k under the total (tf desc, doc asc) order); every stage is
+    map-side-combinable; the hottest term costs O(docs/salt_buckets)
+    per task. ``salt_buckets`` is the skew knob — size it so
+    hot-term-docs/salt_buckets fits one task comfortably.
+    """
+    toks = _tokens(df, id_col, text_col)
+    tf = toks.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    # Ascending struct order == (tf desc, doc asc): negate tf.
+    cand = F.struct((-F.col("tf")).alias("ntf"), F.col("doc").alias("doc"))
+    partial = tf.groupBy(
+        "term", F.pmod("doc", F.lit(salt_buckets)).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pdf"),
+        F.sum("tf").alias("ptf"),
+        F.slice(F.array_sort(F.collect_list(cand)), 1, postings_k).alias(
+            "cands"
+        ),
+    )
+    return partial.groupBy("term").agg(
+        F.sum("pdf").alias("doc_freq"),
+        F.sum("ptf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("cands"))),
+                    1,
+                    postings_k,
+                ),
+                lambda s: s.doc.cast("string"),
+            ),
+            ",",
+        ).alias("top_doc_ids"),
+    )

@@ -83,6 +83,8 @@ _PRIORITY = (
     "events_ohlc_bars",
     "agg_corr_regression",
     "scd2_state_intervals",
+    "llm_inverted_index",
+    "llm_edit_distance_near_dup",
     "streaming_interval_join_outer",
     "sink_orc_roundtrip",
     "llm_gopher_rules",

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.dedup import (
     _scoped_persist,
+    edit_distance_near_dup,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     minhash_near_dup_pairs,
@@ -172,6 +173,24 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", document_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# Edit-distance blocking: 32-char length buckets, 16-char prefix,
+# ≤ 40 edits over the full text. At the fixture the planted near-dup
+# pairs sit at distance 4-12 and the one blocked non-dup pair at 182,
+# so the threshold has a wide margin on both sides.
+ED_LEN_BUCKET, ED_PREFIX_CHARS, ED_MAX_DIST = 32, 16, 40
+
+
+def llm_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-dup pairs (character-level detector)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_near_dup(
+        docs, "doc_id", "text",
+        len_bucket=ED_LEN_BUCKET,
+        prefix_chars=ED_PREFIX_CHARS,
+        max_dist=ED_MAX_DIST,
     )
 
 
@@ -947,6 +966,29 @@ QUERIES: dict[str, QuerySpec] = {
             FROM words GROUP BY doc_id
         """,
         doc="Order-sensitive rolling document fingerprint",
+        tags=("§2.11",),
+    ),
+    "llm_edit_distance_near_dup": QuerySpec(
+        spark=llm_edit_distance_near_dup,
+        # Byte-vs-codepoint levenshtein divergence is moot on the
+        # ASCII fixture corpus (documented in llm/dedup.py).
+        oracle=f"""
+            WITH d AS (
+              SELECT doc_id, lower(text) AS t FROM documents
+              WHERE text IS NOT NULL),
+            blocked AS (
+              SELECT doc_id, t,
+                     length(t) // {ED_LEN_BUCKET} AS len_b,
+                     substr(t, 1, {ED_PREFIX_CHARS}) AS pre
+              FROM d)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance
+            FROM blocked a JOIN blocked b
+              ON a.len_b = b.len_b AND a.pre = b.pre
+                 AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.t, b.t) <= {ED_MAX_DIST}
+        """,
+        doc="Blocked Levenshtein near-dup pairs (char-level detector)",
         tags=("§2.11",),
     ),
     "llm_minhash_near_dup": QuerySpec(

@@ -19,6 +19,7 @@ from solana_etl_pipeline_spark.llm.ranking import (
     BM25_B,
     BM25_K1,
     bm25_topk,
+    inverted_index,
     tfidf_top_terms,
 )
 from solana_etl_pipeline_spark.queries.base import QuerySpec
@@ -40,6 +41,15 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 documents for a fixed keyword query."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, BM25_QUERY, "doc_id", "text", k=20)
+
+
+POSTINGS_K = 5
+
+
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index: per-term df / total tf / top-5 postings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", postings_k=POSTINGS_K)
 
 
 # coalesce mirrors the Spark side's _tokens null-text handling
@@ -120,6 +130,33 @@ QUERIES: dict[str, QuerySpec] = {
             FROM ranked WHERE rank <= 20
         """,
         doc="Okapi BM25 top-20 documents for a fixed keyword query",
+        tags=("§2.11",),
+    ),
+    "llm_inverted_index": QuerySpec(
+        spark=llm_inverted_index,
+        oracle=f"""
+            WITH {_TOKS_SQL},
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM toks2 GROUP BY 1, 2),
+            stats AS (
+              SELECT term, count(*) AS doc_freq,
+                     CAST(sum(tf) AS BIGINT) AS total_tf
+              FROM tf GROUP BY 1),
+            ranked AS (
+              SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY tf DESC, doc_id) AS rn
+              FROM tf),
+            posts AS (
+              SELECT term,
+                     array_to_string(list(doc_id ORDER BY rn), ',')
+                       AS top_doc_ids
+              FROM ranked WHERE rn <= {POSTINGS_K} GROUP BY 1)
+            SELECT s.term, s.doc_freq, s.total_tf, p.top_doc_ids
+            FROM stats s JOIN posts p USING (term)
+        """,
+        doc="Capped inverted index: df / total tf / top-5 postings per term",
         tags=("§2.11",),
     ),
 }
