@@ -115,3 +115,51 @@ def mixture_sample(
         .filter(keep)
         .drop("_mix_source", "rate_micro")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact per-group quota sample: for every group, the ``min(k, n)``
+    rows ranked first under the mod-prime scramble order (the shard
+    convention from ``llm/export.py`` — engine-portable, deterministic,
+    partition-invariant, decorrelated from id order). The fixed-quota
+    complement of :func:`mixture_sample`'s rate-based selection: "at
+    most k docs per domain" curation rules need a quota, not a rate.
+
+    Emits ``(group, sample_rank, id)`` with ``sample_rank`` 1..k in
+    scramble order, so re-running on a grown corpus keeps a stable
+    prefix property per group (new ids enter only by beating existing
+    scramble ranks).
+
+    Scale posture: same salted two-phase top-k as
+    ``llm/ranking.py::inverted_index`` — per ``(group, id%S)`` partials
+    keep ≤ k candidates, the group-level merge sorts ≤ S·k structs; no
+    per-group window, so a group with a billion rows costs
+    O(rows/S) per task, and every stage is map-side-combinable.
+    """
+    scr = shard_scramble(F.col(id_col))
+    cand = F.struct(scr.alias("s"), F.col(id_col).alias("i"))
+    partial = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.pmod(F.col(id_col), F.lit(salt_buckets)).alias("_salt"),
+    ).agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("cands")
+    )
+    merged = partial.groupBy("grp").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("cands"))), 1, k
+        ).alias("picks")
+    )
+    return merged.select(
+        F.col("grp").alias(group_col),
+        F.posexplode("picks").alias("pos", "pick"),
+    ).select(
+        group_col,
+        (F.col("pos") + 1).alias("sample_rank"),
+        F.col("pick.i").alias(id_col),
+    )

@@ -85,6 +85,9 @@ _PRIORITY = (
     "scd2_state_intervals",
     "llm_inverted_index",
     "llm_edit_distance_near_dup",
+    "llm_quota_sample",
+    "events_cohort_retention",
+    "window_trailing_zscore",
     "streaming_interval_join_outer",
     "sink_orc_roundtrip",
     "llm_gopher_rules",

@@ -62,6 +62,40 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by first-active
+    week; ``n_users`` = distinct users of that cohort active again
+    ``week_offset`` weeks later. The product-analytics staple the
+    reference's dashboard cannot express (it has no self-referential
+    time grouping).
+
+    Plan: the (user, week) activity grid dedups once, the cohort table
+    derives from it with the same user_id shuffle key (exchange
+    reuse through the join), and the final rollup is a plain hash agg.
+    Both week truncations are Monday-based in Spark and DuckDB; the
+    /7 division is exact because both operands are week-aligned.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_week = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = user_week.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        user_week.join(cohort, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 CMS_DEPTH, CMS_WIDTH = 4, 256
 # Same mid-month range as the histogram rollup: the sketch is built
 # over ALL days and the range is resolved against rollup rows, so the
@@ -237,6 +271,25 @@ QUERIES: dict[str, QuerySpec] = {
             FROM est
         """,
         doc="Mergeable daily count-min rollup → range per-user counts",
+        tags=("§2.11", "A"),
+    ),
+    "events_cohort_retention": QuerySpec(
+        spark=events_cohort_retention,
+        oracle="""
+            WITH uw AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+              FROM events),
+            coh AS (
+              SELECT user_id, min(week) AS cohort_week
+              FROM uw GROUP BY 1)
+            SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+                   CAST(datediff('day', c.cohort_week, u.week) // 7
+                        AS BIGINT) AS week_offset,
+                   count(DISTINCT u.user_id) AS n_users
+            FROM uw u JOIN coh c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        doc="Weekly cohort-retention triangle (first-active-week cohorts)",
         tags=("§2.11", "A"),
     ),
 }

@@ -21,7 +21,11 @@ from solana_etl_pipeline_spark.llm.decontaminate import decontaminate
 from solana_etl_pipeline_spark.llm.dsir import importance_weights
 from solana_etl_pipeline_spark.llm.export import assign_splits
 from solana_etl_pipeline_spark.llm.lm import unigram_fit, unigram_score
-from solana_etl_pipeline_spark.llm.mixture import mixture_plan, mixture_sample
+from solana_etl_pipeline_spark.llm.mixture import (
+    mixture_plan,
+    mixture_sample,
+    quota_sample,
+)
 from solana_etl_pipeline_spark.llm.textstats import (
     gopher_quality_report,
     repetition_report,
@@ -79,6 +83,16 @@ def llm_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("top_bigram_frac") >= TOP_BIGRAM_MAX)
         | (F.col("dup_trigram_frac") >= DUP_TRIGRAM_MAX),
     )
+
+
+QUOTA_K = 12
+
+
+def llm_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quota sample (min(k, n) docs per source in
+    mod-prime scramble order; salted two-phase top-k, no window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample(docs, "source", "doc_id", k=QUOTA_K)
 
 
 def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,6 +429,25 @@ QUERIES: dict[str, QuerySpec] = {
             FROM m
         """,
         doc="Gopher repetition rules: top-2-gram + duplicate-3-gram",
+        tags=("§2.11",),
+    ),
+    "llm_quota_sample": QuerySpec(
+        spark=llm_quota_sample,
+        oracle=f"""
+            WITH scr AS (
+              SELECT source, doc_id,
+                     ((doc_id % 1000000007) * (2654435761 % 1000000007))
+                       % 1000000007 AS s
+              FROM documents),
+            ranked AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY s, doc_id) AS sample_rank
+              FROM scr)
+            SELECT source, sample_rank, doc_id
+            FROM ranked WHERE sample_rank <= {QUOTA_K}
+        """,
+        doc="Exact per-source quota sample in portable scramble order",
         tags=("§2.11",),
     ),
     "llm_mixture_sample": QuerySpec(

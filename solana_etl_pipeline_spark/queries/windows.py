@@ -105,7 +105,74 @@ def window_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZSCORE_FRAME_S = 3600  # trailing 1 hour
+ZSCORE_MIN_N = 5
+
+
+def window_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series anomaly score: each event's value standardized
+    against the TRAILING 1-hour window of its own event type
+    (``RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW`` over epoch
+    seconds). Null when the window holds < 5 values or has zero
+    spread.
+
+    Frame ordering is on ``unix_seconds(ts)`` — whole epoch seconds
+    (the session is pinned UTC, so the NTZ→instant cast is identity) —
+    mirrored exactly by the oracle's ``floor(epoch(ts))``: a RANGE
+    frame needs a numeric key, and second granularity makes the
+    engines' tie handling identical (ties are all included in both).
+
+    Scale posture: the sliding range frame keeps only the in-frame
+    rows buffered (Spark's SlidingWindowFunctionFrame), so memory is
+    bounded by events-per-hour-per-series. Parallelism is one task
+    per series — the standard per-series window caveat; with few hot
+    series, pre-split by a coarse time bucket upstream (accepting
+    frame truncation at bucket edges) or scope the query to a time
+    range, as dashboards do.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_seconds(F.col("ts").cast("timestamp")))
+        .rangeBetween(-ZSCORE_FRAME_S, Window.currentRow)
+    )
+    n = F.count("value").over(w)
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        n.alias("n_window"),
+        F.when(
+            (n >= ZSCORE_MIN_N) & (sd > 0),
+            F.round((F.col("value") - mean) / sd, 6),
+        ).alias("zscore"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_trailing_zscore": QuerySpec(
+        spark=window_trailing_zscore,
+        oracle=f"""
+            SELECT event_id, event_type,
+                   count(value) OVER w AS n_window,
+                   CASE WHEN count(value) OVER w >= {ZSCORE_MIN_N}
+                             AND stddev_samp(value) OVER w > 0
+                        THEN round((value - avg(value) OVER w)
+                                   / stddev_samp(value) OVER w, 6)
+                   END AS zscore
+            FROM events
+            WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN {ZSCORE_FRAME_S} PRECEDING
+                               AND CURRENT ROW)
+        """,
+        doc="Trailing 1-hour per-series z-score (range frame, null-guarded)",
+        tags=("§2.11", "W"),
+    ),
     "window_topk_per_hour": QuerySpec(
         spark=window_topk_per_hour,
         oracle="""
