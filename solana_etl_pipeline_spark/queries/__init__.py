@@ -88,6 +88,8 @@ _PRIORITY = (
     "llm_quota_sample",
     "events_cohort_retention",
     "window_trailing_zscore",
+    "sketch_quantile_approx",
+    "snapshot_diff_documents",
     "streaming_interval_join_outer",
     "sink_orc_roundtrip",
     "llm_gopher_rules",

@@ -49,6 +49,71 @@ def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_ACC = 10_000  # approx_percentile accuracy: rank error <= n/ACC
+
+
+def sketch_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-family quantile sketch, self-banded like the HLL rollup:
+    per event type, ``approx_percentile`` p50/p90 are checked against
+    their RANK guarantee (the returned element's rank must lie within
+    ``n/accuracy`` of the target rank — that is the sketch's actual
+    contract; the VALUE can be arbitrarily far off in a gappy
+    distribution). Exact p50/p90 are emitted alongside for the oracle;
+    the rank flags are asserted TRUE by the oracle, making the sketch
+    path driver-checkable instead of rows-only.
+
+    Completes the mergeable-sketch family (HLL distinct, count-min
+    frequency, fixed-bin histogram, approx_top_k heavy hitters): the
+    quantile sketch is the bounded-state answer when value bounds are
+    unknown up front (the fixed-bin histogram rollup needs lo/hi).
+
+    Plan: one agg pass builds the sketches (mergeable, map-side
+    partials), the ≤ |types| result broadcasts back into one
+    conditional-count pass over the events — two scans total, nothing
+    collected.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.expr(
+            f"approx_percentile(value, array(0.5, 0.9), {APPROX_PCT_ACC})"
+        ).alias("ap"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("exact_p90"),
+    )
+    joined = ev.join(
+        F.broadcast(
+            approx.select(
+                "event_type",
+                "n_values",
+                "exact_p50",
+                "exact_p90",
+                F.col("ap")[0].alias("ap50"),
+                F.col("ap")[1].alias("ap90"),
+            )
+        ),
+        "event_type",
+    )
+
+    def _rank_ok(ap_col: str, q: float):
+        # rank slack: the sketch guarantees |rank - q*n| <= n/ACC;
+        # +1 absorbs the discrete-rank boundary.
+        slack = F.col("n_values") / APPROX_PCT_ACC + 1
+        below = F.sum((F.col("value") < F.col(ap_col)).cast("long"))
+        at_or_below = F.sum((F.col("value") <= F.col(ap_col)).cast("long"))
+        target = q * F.col("n_values")
+        return (below <= target + slack) & (at_or_below >= target - slack)
+
+    return joined.groupBy(
+        "event_type", "n_values", "exact_p50", "exact_p90"
+    ).agg(
+        _rank_ok("ap50", 0.5).alias("p50_rank_ok"),
+        _rank_ok("ap90", 0.9).alias("p90_rank_ok"),
+    )
+
+
 def agg_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (l_returnflag, l_linestatus): subtotals + grand
     total, TPC-H Q1 flavored."""
@@ -130,6 +195,22 @@ QUERIES: dict[str, QuerySpec] = {
         doc="Mergeable per-day HLL sketch rollup → range distinct estimate, "
         "self-banded vs exact (est_within_5pct must hold for the match)",
         tags=("§2.11", "A2"),
+    ),
+    "sketch_quantile_approx": QuerySpec(
+        spark=sketch_quantile_approx,
+        oracle="""
+            SELECT event_type,
+                   count(*) AS n_values,
+                   round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                   round(quantile_cont(value, 0.9), 6) AS exact_p90,
+                   TRUE AS p50_rank_ok,
+                   TRUE AS p90_rank_ok
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        """,
+        doc="approx_percentile quantile sketch, self-banded on its rank "
+        "guarantee vs the exact quantiles (flags must hold to match)",
+        tags=("§2.11", "A"),
     ),
     "agg_rollup_returnflag": QuerySpec(
         spark=agg_rollup_returnflag,

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.functions.timestamps import format_ts, parse_ts
 from solana_etl_pipeline_spark.operators.asof import asof_join
+from solana_etl_pipeline_spark.operators.diff import snapshot_diff
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
 
@@ -258,7 +259,93 @@ def typed_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic synthetic "rebuild" of the documents snapshot so the
+# diff classifier sees all three change classes: every 13th doc is
+# dropped (removed), every 7th surviving doc gets its text appended
+# and lang cleared (changed, two columns), and a shifted-id copy of
+# every 50th doc is inserted (added).
+def _rebuilt_documents(docs: DataFrame) -> DataFrame:
+    survivors = docs.filter(F.pmod("doc_id", F.lit(13)) != 4)
+    updated = survivors.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 2,
+            F.concat(F.col("text"), F.lit(" [rebuilt]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.pmod("doc_id", F.lit(7)) == 2, F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        "n_chars",
+    )
+    inserts = docs.filter(F.pmod("doc_id", F.lit(50)) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return updated.unionByName(inserts)
+
+
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy diff of the documents snapshot vs its synthetic
+    rebuild (``operators/diff.py``): added/removed keys + per-key
+    changed-column lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    return snapshot_diff(
+        docs,
+        _rebuilt_documents(docs),
+        keys=["doc_id"],
+        compare_cols=["text", "lang", "source", "n_chars"],
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "snapshot_diff_documents": QuerySpec(
+        spark=snapshot_diff_documents,
+        oracle="""
+            WITH new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 2
+                          THEN text || ' [rebuilt]' ELSE text END AS text,
+                     CASE WHEN doc_id % 7 = 2
+                          THEN NULL ELSE lang END AS lang,
+                     source, n_chars
+              FROM documents WHERE doc_id % 13 <> 4
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang, source, n_chars
+              FROM documents WHERE doc_id % 50 = 0),
+            j AS (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN o.text  IS DISTINCT FROM n.text
+                            OR o.lang  IS DISTINCT FROM n.lang
+                            OR o.source IS DISTINCT FROM n.source
+                            OR o.n_chars IS DISTINCT FROM n.n_chars
+                          THEN 'changed' END AS change_type,
+                     CASE WHEN o.doc_id IS NULL OR n.doc_id IS NULL
+                          THEN ''
+                          ELSE concat_ws(',',
+                            CASE WHEN o.text IS DISTINCT FROM n.text
+                                 THEN 'text' END,
+                            CASE WHEN o.lang IS DISTINCT FROM n.lang
+                                 THEN 'lang' END,
+                            CASE WHEN o.source IS DISTINCT FROM n.source
+                                 THEN 'source' END,
+                            CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars
+                                 THEN 'n_chars' END) END AS changed_cols
+              FROM documents o FULL OUTER JOIN new n
+                ON o.doc_id = n.doc_id)
+            SELECT doc_id, change_type, changed_cols
+            FROM j WHERE change_type IS NOT NULL
+        """,
+        doc="Snapshot anti-entropy diff: added/removed/changed + columns",
+        tags=("§2.11",),
+    ),
     "asof_prior_purchase": QuerySpec(
         spark=asof_prior_purchase,
         oracle="""

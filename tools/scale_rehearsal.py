@@ -318,13 +318,26 @@ def main() -> None:
 
     ev_dir = f"{workdir}/events"
     n_events = n_docs * 10
+    types = F.array(*[F.lit(t) for t in ("click", "view", "buy", "err", "sub")])
     spark.range(n_events).select(
+        F.col("id").alias("event_id"),
         (
             F.lit("2024-01-01").cast("timestamp")
             + F.make_interval(days=F.pmod(F.col("id"), F.lit(30)).cast("int"))
+            + F.make_interval(
+                secs=F.pmod(F.xxhash64("id", F.lit(7)), F.lit(86400)).cast(
+                    "double"
+                )
+            )
         ).alias("ts"),
         F.pmod(F.xxhash64("id"), F.lit(max(10, n_docs // 100))).alias(
             "user_id"
+        ),
+        F.element_at(
+            types, (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int")
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(100000)) / 1000.0).alias(
+            "value"
         ),
     ).repartition(32).write.mode("overwrite").parquet(ev_dir)
     events = spark.read.parquet(ev_dir)
@@ -342,6 +355,75 @@ def main() -> None:
         )
 
     timed(f"cms rollup+estimates ({n_events} events)", run_cms)
+
+    # --- round-7 additions: editdist / index / quota / scd2 / ohlc /
+    # zscore / cohort ---
+    from solana_etl_pipeline_spark.llm.dedup import edit_distance_near_dup
+    from solana_etl_pipeline_spark.llm.mixture import quota_sample
+    from solana_etl_pipeline_spark.llm.ranking import inverted_index
+    from solana_etl_pipeline_spark.operators.scd import state_intervals
+
+    timed(
+        "edit-distance near-dup",
+        lambda: noop(edit_distance_near_dup(docs, "doc_id", "text")),
+    )
+    timed(
+        "inverted index (top-5 postings)",
+        lambda: noop(inverted_index(docs, "doc_id", "text", 5)),
+    )
+    timed(
+        "quota sample (k=1000/source)",
+        lambda: noop(quota_sample(docs, "source", "doc_id", 1000)),
+    )
+    timed(
+        "scd2 state intervals",
+        lambda: noop(
+            state_intervals(
+                events, "user_id", "event_type", tie_col="event_id"
+            )
+        ),
+    )
+
+    def run_ohlc():
+        order_key = F.struct(F.col("ts"), F.col("event_id"))
+        noop(
+            events.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("hour")
+            ).agg(
+                F.min_by("value", order_key).alias("open_value"),
+                F.max("value").alias("high_value"),
+                F.min("value").alias("low_value"),
+                F.max_by("value", order_key).alias("close_value"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    timed("ohlc hourly bars", run_ohlc)
+
+    def run_zscore():
+        from solana_etl_pipeline_spark.queries.windows import trailing_zscore
+
+        noop(trailing_zscore(events))
+
+    timed("trailing-hour zscore (per-second rollup)", run_zscore)
+
+    def run_cohort():
+        uw = events.select(
+            "user_id", F.date_trunc("week", "ts").alias("week")
+        ).distinct()
+        coh = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+        noop(
+            uw.join(coh, "user_id")
+            .groupBy(
+                "cohort_week",
+                (F.datediff("week", "cohort_week") / 7)
+                .cast("long")
+                .alias("week_offset"),
+            )
+            .agg(F.count_distinct("user_id").alias("n_users"))
+        )
+
+    timed("cohort retention", run_cohort)
 
     if len(sys.argv) <= 2:
         shutil.rmtree(workdir, ignore_errors=True)
