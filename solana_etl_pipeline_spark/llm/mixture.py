@@ -163,3 +163,39 @@ def quota_sample(
         (F.col("pos") + 1).alias("sample_rank"),
         F.col("pick.i").alias(id_col),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sampling without
+    replacement (the A-Res key, arXiv does not apply — Efraimidis &
+    Spirakis 2006, Inf. Process. Lett. 97(5)): the classical algorithm
+    draws ``u ~ U(0,1]`` per row and keeps the k largest ``u^(1/w)``;
+    ranking by the monotone-equivalent ``ln(u)/w`` (descending — closer
+    to zero wins) avoids the pow. Selection probability is
+    proportional-to-weight without replacement — the quality-weighted
+    corpus-sampling knob ("sample harder from high-quality sources")
+    that rate (``mixture_sample``) and fixed-quota (``quota_sample``)
+    selection cannot express.
+
+    Determinism: ``u = (scramble(id)+1) / (P+1)`` from the mod-prime
+    scramble (llm/export.py convention) instead of an RNG, so any
+    engine recomputes the identical sample from the ids alone; the key
+    is ROUNDED (1e-9) with an id tie-break before the top-k cut, per
+    the repo's cross-engine float convention.
+
+    Scale posture: one map-side projection computes keys; the top-k
+    compiles to TakeOrderedAndProject (per-partition heaps + driver
+    merge of k rows) — no shuffle, no window, no full sort.
+    Null/zero weights clamp to 1.0 (uniform floor) rather than
+    dropping rows.
+    """
+    scr = shard_scramble(F.col(id_col))
+    u = (scr + F.lit(1)).cast("double") / F.lit(float(SHARD_P + 1))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    keyed = df.withColumn("es_key", F.round(F.log(u) / w, 9))
+    return keyed.orderBy(F.desc("es_key"), id_col).limit(k)

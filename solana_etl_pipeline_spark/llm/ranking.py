@@ -274,3 +274,71 @@ def inverted_index(
             ",",
         ).alias("top_doc_ids"),
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the phrase-mining statistic behind multi-word
+    vocabulary entries and collocation-aware tokenizers:
+    ``pmi(x,y) = ln(p(x,y) / (p(x)·p(y)))`` with ``p(x,y)`` from
+    bigram counts and ``p(x)`` from token counts.
+
+    Scale posture: the corpus is touched twice, both map-side-
+    combinable hash aggregations (token counts, adjacent-pair counts
+    from a ``zip_with`` over each token array — no self-join); the
+    scoring join then runs over the DISTINCT-bigram table filtered to
+    ``count >= min_count``, joined to the vocab-sized unigram table,
+    with the two corpus totals riding a 1-row broadcast scalar
+    combine (the llm/ranking.py convention). The final top-k compiles
+    to TakeOrderedAndProject on the ROUNDED score with a full
+    ``(w1, w2)`` tie-break.
+    """
+    ws = df.select(tokenize.words(F.col(text_col)).alias("ws"))
+    toks = ws.select(F.explode("ws").alias("w")).filter(F.col("w") != "")
+    n1 = F.greatest(F.size("ws") - 1, F.lit(0))
+    pair_arr = F.zip_with(
+        F.slice("ws", 1, n1),
+        F.slice("ws", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        ws.select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = toks.agg(F.count(F.lit(1)).alias("t_tokens")).crossJoin(
+        big.agg(F.count(F.lit(1)).alias("b_bigrams"))
+    )  # two 1-row scalars; broadcast combine, not a data cartesian
+    cxy = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    joined = (
+        cxy.join(
+            uni.select(F.col("w").alias("w1"), F.col("cw").alias("c_x")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cw").alias("c_y")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("c_xy").cast("double") * F.col("t_tokens") * F.col("t_tokens"))
+        / (F.col("b_bigrams").cast("double") * F.col("c_x") * F.col("c_y"))
+    )
+    return (
+        joined.select(
+            "w1", "w2", "c_xy", F.round(pmi, 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )

@@ -80,6 +80,20 @@ for _mod in (
 # at the very front (never witnessed).
 _PRIORITY = (
     # --- registered in round 7: never driver-witnessed, lead the prefix ---
+    "events_interval_coverage",
+    "graph_pagerank_parts",
+    "basket_part_pairs",
+    "user_rfm_segments",
+    "data_benford_digits",
+    "session_paths_topk",
+    "events_gapfill_locf",
+    "events_time_weighted_avg",
+    "cdc_apply_documents",
+    "drift_psi_report",
+    "llm_pmi_bigrams",
+    "llm_weighted_sample",
+    "events_transition_matrix",
+    "pareto_top_parts",
     "events_ohlc_bars",
     "agg_corr_regression",
     "scd2_state_intervals",

@@ -12,7 +12,7 @@ rollup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.operators.funnel import ordered_funnel
@@ -147,6 +147,80 @@ def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: ``P(next event type | current event type)`` — the
+    product-analytics path model (where do users go after a click?)
+    that the funnel's fixed step order cannot express.
+
+    Plan: one ``lead`` window on the fine-grained user_id series key
+    (parallel, skew-free), then two dimension-sized hash aggs
+    (|types|² transition counts, |types| row totals) joined broadcast.
+    Raw events are touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    series = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(series))
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+    )
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("total")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("total"), 6
+        ).alias("p_transition"),
+    )
+
+
+PARETO_K = 100
+
+
+def pareto_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: the top-100 parts by discounted revenue
+    with each part's cumulative share of TOTAL corpus revenue — the
+    '20% of parts drive 80% of revenue' concentration report.
+
+    Scale posture: per-part revenue is one map-side-combinable hash
+    agg; the top-100 cut compiles to TakeOrderedAndProject; the
+    cumulative window then runs over the 100 SURVIVING rows only
+    (never the full part table — a global ranked cumsum over all
+    parts would be the single-partition window anti-pattern), with
+    the 1-row total riding a broadcast scalar combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+    total = rev.agg(F.round(F.sum("revenue"), 4).alias("total_revenue"))
+    top = rev.orderBy(F.desc("revenue"), "l_partkey").limit(PARETO_K)
+    order = Window.orderBy(F.desc("revenue"), "l_partkey")
+    cum = F.sum("revenue").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(order).alias("part_rank"),
+            "l_partkey",
+            "revenue",
+            F.round(cum, 4).alias("cum_revenue"),
+            F.round(cum / F.col("total_revenue"), 6).alias("cum_share"),
+        )
+    )
+
+
 def _q_rank_sql(q: float) -> str:
     q_micro = int(round(q * 1_000_000))
     return f"greatest(1, ({q_micro} * total + 999999) // 1000000)"
@@ -166,6 +240,221 @@ _HIST_Q_SELECTS = "\n            UNION ALL\n".join(
             GROUP BY total"""
     for q in HIST_QS
 )
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+PAGERANK_TOP = 30
+
+
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite part↔supplier supply graph (edges =
+    distinct (l_partkey, l_suppkey) pairs from lineitem), 3 damped
+    iterations — which parts/suppliers are most central to the supply
+    network. The iterative-join complement of the connected-components
+    operator; see operators/graph.py for the per-iteration rounding
+    discipline that keeps both engines bit-aligned.
+
+    Scale posture: degree rides the edge rows (no per-iteration degree
+    join); each iteration is one equi-join + one hash agg; the rank
+    frame stays O(|V|); top-30 on the rounded rank compiles to
+    TakeOrderedAndProject."""
+    from solana_etl_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Every loop-side shuffle stays on BIGINT keys: nodes are
+    # parity-tagged integers (part k → 2k, supplier k → 2k+1 —
+    # disjoint namespaces, so no post-union dedup either:
+    # dedup_edges=False), decoded to their 'p:'/'s:' labels only on
+    # the 30 output rows. String node ids tripled the edge-shuffle
+    # bytes and dominated the wall clock.
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    # |V| ≤ |part| + |supplier| — dimension-bounded, so the rank frame
+    # broadcasts and the 591 k-edge set never shuffles inside the loop.
+    ranks = pagerank(
+        edges,
+        damping=PAGERANK_DAMPING,
+        n_iter=PAGERANK_ITERS,
+        dedup_edges=False,
+        broadcast_ranks=True,
+    )
+    label = F.when(
+        F.col("node").bitwiseAND(1) == 0,
+        F.concat(
+            F.lit("p:"), F.shiftright("node", 1).cast("string")
+        ),
+    ).otherwise(
+        F.concat(F.lit("s:"), F.shiftright("node", 1).cast("string"))
+    )
+    return (
+        ranks.select(
+            label.alias("node"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(PAGERANK_TOP)
+    )
+
+
+BASKET_MIN_PAIR = 2
+BASKET_TOP = 20
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders-as-baskets: for
+    part pairs co-occurring in ≥ 2 orders, support / confidence / lift
+    from exact BIGINT counts; top-20 by lift.
+
+    Scale posture: the pair generator is a SELF-EQUI-JOIN on
+    l_orderkey with p1 < p2 — per-order fan-out is bounded by
+    lines-per-order² (TPC-H ≤ 7 lines ⇒ ≤ 21 pairs), so it scales
+    linearly in orders, never parts². Item frequencies join in on the
+    pair's part keys (|parts|-sized side); the 1-row basket total
+    rides a broadcast scalar combine; ratios derive from exact BIGINTs
+    and round at 1e-6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = items.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("a.p") < F.col("b.p"))
+        .groupBy(
+            F.col("a.p").alias("p1"), F.col("b.p").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= BASKET_MIN_PAIR)
+    )
+    freq = items.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        pairs.join(
+            freq.select(F.col("p").alias("p1"), F.col("cnt").alias("c1")),
+            "p1",
+        )
+        .join(
+            freq.select(F.col("p").alias("p2"), F.col("cnt").alias("c2")),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n_orders))  # 1-row scalar combine
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            F.round(F.col("pair_cnt") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_cnt") / F.col("c1"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("pair_cnt") * F.col("n_orders")
+                / (F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "p1", "p2").limit(BASKET_TOP)
+
+
+RFM_TILES = 5
+
+
+def _value_quantile_tiles(
+    metrics: DataFrame, value_col: str, tile_col: str, ascending: bool
+) -> DataFrame:
+    """Value-cohesive n-tile assignment: every row with the same
+    metric value gets the same tile (tile of the value's LAST global
+    rank), so no within-value total order — and therefore no global
+    single-partition window over users — is ever needed. The cumsum
+    window runs over the DISTINCT-VALUE rollup only (bounded: recency
+    is whole days, frequency small integers, monetary pre-banded to
+    whole units), and the tile map broadcasts back onto users."""
+    counts = metrics.groupBy(value_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    order = (
+        Window.orderBy(F.asc(value_col))
+        if ascending
+        else Window.orderBy(F.desc(value_col))
+    )
+    cum = F.sum("cnt").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("cnt").over(
+        order.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    tiles = counts.select(
+        value_col,
+        (
+            F.lit(1)
+            + F.floor(
+                (cum - F.lit(1)) * F.lit(RFM_TILES) / total
+            )
+        ).cast("int").alias(tile_col),
+    )
+    return metrics.join(F.broadcast(tiles), value_col)
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over purchase events: per-user Recency (whole
+    days since last purchase vs the corpus max), Frequency (purchase
+    count), Monetary (banded to whole value units) → value-cohesive
+    quintiles → segment rollup.
+
+    Scale posture: the per-user metric build is one hash agg on
+    user_id; each quintile assignment windows over the DISTINCT-VALUE
+    rollup only (days/counts/whole-unit bands — dimension-sized, never
+    users) and broadcasts the tile map back, so no global user-ordered
+    window exists anywhere in the plan (the textbook ntile would be a
+    single-partition sort over all users). The final segment rollup is
+    ≤ 125 groups."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    ref = purch.agg(F.max("ts_us").alias("ref_us"))
+    per_user = (
+        purch.groupBy("user_id")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 6).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))  # 1-row scalar combine
+        .select(
+            "user_id",
+            F.floor(
+                (F.col("ref_us") - F.col("last_us")) / F.lit(86_400_000_000)
+            ).alias("recency_days"),
+            "frequency",
+            F.floor("monetary").alias("monetary_band"),
+        )
+    )
+    tiled = _value_quantile_tiles(
+        per_user, "recency_days", "r_tile", ascending=True
+    )
+    tiled = _value_quantile_tiles(tiled, "frequency", "f_tile", ascending=False)
+    tiled = _value_quantile_tiles(
+        tiled, "monetary_band", "m_tile", ascending=False
+    )
+    return (
+        tiled.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("frequency"), 6).alias("avg_frequency"),
+            F.round(F.avg("monetary_band"), 6).alias("avg_monetary_band"),
+        )
+    )
+
 
 QUERIES: dict[str, QuerySpec] = {
     "agg_histogram_quantiles": QuerySpec(
@@ -227,6 +516,66 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Ordered signup→click→purchase funnel, 7-day entry budget",
         tags=("§2.11", "A"),
+    ),
+    "events_transition_matrix": QuerySpec(
+        spark=events_transition_matrix,
+        oracle="""
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       AS next_type
+              FROM events),
+            trans AS (
+              SELECT event_type AS from_type, next_type AS to_type
+              FROM seq WHERE next_type IS NOT NULL),
+            counts AS (
+              SELECT from_type, to_type, count(*) AS n_transitions
+              FROM trans GROUP BY 1, 2),
+            tot AS (
+              SELECT from_type,
+                     CAST(sum(n_transitions) AS BIGINT) AS total
+              FROM counts GROUP BY 1)
+            SELECT c.from_type, c.to_type, c.n_transitions,
+                   round(CAST(c.n_transitions AS DOUBLE) / t.total, 6)
+                     AS p_transition
+            FROM counts c JOIN tot t ON c.from_type = t.from_type
+        """,
+        doc="First-order Markov transition matrix over user streams",
+        tags=("§2.11", "W"),
+    ),
+    "pareto_top_parts": QuerySpec(
+        spark=pareto_top_parts,
+        oracle=f"""
+            WITH rev AS (
+              SELECT l_partkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+              FROM lineitem GROUP BY 1),
+            tot AS (
+              SELECT round(sum(revenue), 4) AS total_revenue FROM rev),
+            ranked AS (
+              SELECT l_partkey, revenue,
+                     row_number() OVER (ORDER BY revenue DESC,
+                                        l_partkey) AS part_rank
+              FROM rev),
+            top AS (
+              SELECT * FROM ranked WHERE part_rank <= {PARETO_K})
+            SELECT CAST(t.part_rank AS INT) AS part_rank, t.l_partkey,
+                   t.revenue,
+                   round(sum(t.revenue) OVER (
+                     ORDER BY t.part_rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     4) AS cum_revenue,
+                   round(sum(t.revenue) OVER (
+                     ORDER BY t.part_rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / tt.total_revenue, 6) AS cum_share
+            FROM top t CROSS JOIN tot tt
+        """,
+        doc="Pareto top-100 parts: revenue + cumulative share of total",
+        tags=("§2.11", "W"),
     ),
     "sketch_cms_user_counts": QuerySpec(
         spark=sketch_cms_user_counts,
@@ -291,5 +640,136 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Weekly cohort-retention triangle (first-active-week cohorts)",
         tags=("§2.11", "A"),
+    ),
+    "graph_pagerank_parts": QuerySpec(
+        spark=graph_pagerank_parts,
+        # The oracle unrolls the 3 iterations as chained CTEs with the
+        # SAME per-iteration 1e-9 rounding, so both engines feed
+        # bit-identical ranks into each round; literals are spelled so
+        # the IEEE op sequence matches the Spark side exactly
+        # ((1.0-0.85)/n, not a pre-folded 0.15).
+        oracle=f"""
+            WITH e0 AS (
+              SELECT DISTINCT
+                     'p:' || CAST(l_partkey AS VARCHAR) AS src,
+                     's:' || CAST(l_suppkey AS VARCHAR) AS dst
+              FROM lineitem),
+            und AS (
+              SELECT src, dst FROM e0
+              UNION
+              SELECT dst, src FROM e0),
+            deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+            nv AS (SELECT count(DISTINCT src) AS n FROM und),
+            r0 AS (
+              SELECT DISTINCT src AS node,
+                     round(1.0e0 / (SELECT n FROM nv), 9) AS rank
+              FROM und),
+            r1 AS (
+              SELECT u.dst AS node,
+                     round((1.0e0 - {PAGERANK_DAMPING}e0)
+                             / (SELECT n FROM nv)
+                           + {PAGERANK_DAMPING}e0
+                             * sum(r.rank / d.deg), 9) AS rank
+              FROM und u
+              JOIN deg d USING (src)
+              JOIN r0 r ON r.node = u.src
+              GROUP BY 1),
+            r2 AS (
+              SELECT u.dst AS node,
+                     round((1.0e0 - {PAGERANK_DAMPING}e0)
+                             / (SELECT n FROM nv)
+                           + {PAGERANK_DAMPING}e0
+                             * sum(r.rank / d.deg), 9) AS rank
+              FROM und u
+              JOIN deg d USING (src)
+              JOIN r1 r ON r.node = u.src
+              GROUP BY 1),
+            r3 AS (
+              SELECT u.dst AS node,
+                     round((1.0e0 - {PAGERANK_DAMPING}e0)
+                             / (SELECT n FROM nv)
+                           + {PAGERANK_DAMPING}e0
+                             * sum(r.rank / d.deg), 9) AS rank
+              FROM und u
+              JOIN deg d USING (src)
+              JOIN r2 r ON r.node = u.src
+              GROUP BY 1)
+            SELECT node, round(rank, 6) AS rank FROM r3
+            ORDER BY rank DESC, node LIMIT {PAGERANK_TOP}
+        """,
+        doc="3-iteration PageRank over the part↔supplier supply graph",
+        tags=("§2.11", "J"),
+    ),
+    "basket_part_pairs": QuerySpec(
+        spark=basket_part_pairs,
+        oracle=f"""
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS okey, l_partkey AS p
+              FROM lineitem),
+            nv AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+            pairs AS (
+              SELECT a.p AS p1, b.p AS p2, count(*) AS pair_cnt
+              FROM items a JOIN items b USING (okey)
+              WHERE a.p < b.p
+              GROUP BY 1, 2
+              HAVING count(*) >= {BASKET_MIN_PAIR}),
+            freq AS (SELECT p, count(*) AS cnt FROM items GROUP BY 1)
+            SELECT p1, p2, pair_cnt,
+                   round(pair_cnt / (SELECT n_orders FROM nv), 6)
+                     AS support,
+                   round(pair_cnt / f1.cnt, 6) AS confidence,
+                   round(pair_cnt * (SELECT n_orders FROM nv)
+                         / (f1.cnt * f2.cnt), 6) AS lift
+            FROM pairs
+            JOIN freq f1 ON f1.p = pairs.p1
+            JOIN freq f2 ON f2.p = pairs.p2
+            ORDER BY lift DESC, p1, p2 LIMIT {BASKET_TOP}
+        """,
+        doc="Market-basket support/confidence/lift over order baskets",
+        tags=("§2.11", "J", "A"),
+    ),
+    "user_rfm_segments": QuerySpec(
+        spark=user_rfm_segments,
+        oracle="""
+            WITH p AS (
+              SELECT user_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+              FROM events WHERE event_type = 'purchase'),
+            ref AS (SELECT max(ts_us) AS ref_us FROM p),
+            pu AS (
+              SELECT user_id,
+                     CAST(floor(((SELECT ref_us FROM ref) - max(ts_us))
+                                / 86400000000) AS BIGINT) AS recency_days,
+                     count(*) AS frequency,
+                     CAST(floor(round(sum(value), 6)) AS BIGINT)
+                       AS monetary_band
+              FROM p GROUP BY 1),
+            rc AS (SELECT recency_days AS v, count(*) AS cnt
+                   FROM pu GROUP BY 1),
+            rt AS (SELECT v, CAST(1 + floor(
+                     (sum(cnt) OVER (ORDER BY v ASC) - 1) * 5
+                     / sum(cnt) OVER ()) AS INT) AS r_tile FROM rc),
+            fc AS (SELECT frequency AS v, count(*) AS cnt
+                   FROM pu GROUP BY 1),
+            ft AS (SELECT v, CAST(1 + floor(
+                     (sum(cnt) OVER (ORDER BY v DESC) - 1) * 5
+                     / sum(cnt) OVER ()) AS INT) AS f_tile FROM fc),
+            mc AS (SELECT monetary_band AS v, count(*) AS cnt
+                   FROM pu GROUP BY 1),
+            mt AS (SELECT v, CAST(1 + floor(
+                     (sum(cnt) OVER (ORDER BY v DESC) - 1) * 5
+                     / sum(cnt) OVER ()) AS INT) AS m_tile FROM mc)
+            SELECT r_tile, f_tile, m_tile,
+                   count(*) AS n_users,
+                   round(avg(frequency), 6) AS avg_frequency,
+                   round(avg(monetary_band), 6) AS avg_monetary_band
+            FROM pu
+            JOIN rt ON rt.v = pu.recency_days
+            JOIN ft ON ft.v = pu.frequency
+            JOIN mt ON mt.v = pu.monetary_band
+            GROUP BY 1, 2, 3
+        """,
+        doc="RFM quintile segmentation (value-cohesive, window-free on users)",
+        tags=("§2.11", "A", "W"),
     ),
 }

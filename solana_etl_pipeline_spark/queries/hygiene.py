@@ -25,6 +25,7 @@ from solana_etl_pipeline_spark.llm.mixture import (
     mixture_plan,
     mixture_sample,
     quota_sample,
+    weighted_sample,
 )
 from solana_etl_pipeline_spark.llm.textstats import (
     gopher_quality_report,
@@ -93,6 +94,18 @@ def llm_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod-prime scramble order; salted two-phase top-k, no window)."""
     docs = load_table(spark, sf_dir, "documents")
     return quota_sample(docs, "source", "doc_id", k=QUOTA_K)
+
+
+WEIGHTED_K = 100
+
+
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis sample of 100 docs with
+    selection probability ∝ n_chars (quality-weighted curation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=WEIGHTED_K).select(
+        "doc_id", "source", "n_chars", "es_key"
+    )
 
 
 def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,7 +360,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "llm_gopher_rules": QuerySpec(
         spark=llm_gopher_rules,
-        oracle=f"""
+        oracle=rf"""
             -- Same tokenizer, same 1e-6 rounding, flags compared on
             -- the ROUNDED metrics; flags and verdict are BIGINT 0/1.
             WITH w AS (
@@ -448,6 +461,27 @@ QUERIES: dict[str, QuerySpec] = {
             FROM ranked WHERE sample_rank <= {QUOTA_K}
         """,
         doc="Exact per-source quota sample in portable scramble order",
+        tags=("§2.11",),
+    ),
+    "llm_weighted_sample": QuerySpec(
+        spark=llm_weighted_sample,
+        oracle=f"""
+            WITH scr AS (
+              SELECT doc_id, source, n_chars,
+                     ((doc_id % 1000000007) * (2654435761 % 1000000007))
+                       % 1000000007 AS s
+              FROM documents),
+            keyed AS (
+              SELECT doc_id, source, n_chars,
+                     round(ln(CAST(s + 1 AS DOUBLE) / 1000000008.0)
+                           / greatest(CAST(n_chars AS DOUBLE), 1.0), 9)
+                       AS es_key
+              FROM scr)
+            SELECT doc_id, source, n_chars, es_key
+            FROM keyed ORDER BY es_key DESC, doc_id
+            LIMIT {WEIGHTED_K}
+        """,
+        doc="Efraimidis–Spirakis weighted sample (prob ∝ n_chars)",
         tags=("§2.11",),
     ),
     "llm_mixture_sample": QuerySpec(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.functions.timestamps import format_ts, parse_ts
 from solana_etl_pipeline_spark.operators.asof import asof_join
+from solana_etl_pipeline_spark.operators.cdc import apply_changes
 from solana_etl_pipeline_spark.operators.diff import snapshot_diff
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
@@ -303,7 +304,89 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge-apply (``operators/cdc.py``) of a deterministic
+    synthetic change feed into the documents snapshot: inserts
+    (shifted-id copies of every 11th-mod-5 doc, seq 1), text updates
+    (every 5th doc, seq 2), deletes (every 7th-mod-3 doc, seq 3).
+    Keys hit by both an update and a later delete (doc_id ≡ 10 mod
+    35) exercise latest-wins. Output digests the text (md5) so the
+    result set stays compact."""
+    docs = load_table(spark, sf_dir, "documents")
+    inserts = docs.filter(F.pmod("doc_id", F.lit(11)) == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.lit("upsert").alias("op"),
+        F.lit(1).alias("seq"),
+        "text",
+        "lang",
+        F.lit("cdc_insert").alias("source"),
+        "n_chars",
+    )
+    v2_text = F.concat(F.col("text"), F.lit(" [v2]"))
+    updates = docs.filter(F.pmod("doc_id", F.lit(5)) == 0).select(
+        "doc_id",
+        F.lit("upsert").alias("op"),
+        F.lit(2).alias("seq"),
+        v2_text.alias("text"),
+        "lang",
+        "source",
+        F.length(v2_text).cast("long").alias("n_chars"),
+    )
+    deletes = docs.filter(F.pmod("doc_id", F.lit(7)) == 3).select(
+        "doc_id",
+        F.lit("delete").alias("op"),
+        F.lit(3).alias("seq"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    changes = inserts.unionByName(updates).unionByName(deletes)
+    applied = apply_changes(docs, changes, key="doc_id")
+    return applied.select(
+        "doc_id",
+        F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cdc_apply_documents": QuerySpec(
+        spark=cdc_apply_documents,
+        oracle="""
+            WITH changes AS (
+              SELECT doc_id + 2000000 AS doc_id, 'upsert' AS op,
+                     1 AS seq, text, lang,
+                     'cdc_insert' AS source, n_chars
+              FROM documents WHERE doc_id % 11 = 5
+              UNION ALL
+              SELECT doc_id, 'upsert', 2, text || ' [v2]', lang,
+                     source, length(text || ' [v2]')
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, 'delete', 3, NULL, NULL, NULL, NULL
+              FROM documents WHERE doc_id % 7 = 3),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY seq DESC) AS rn
+              FROM changes),
+            final AS (SELECT * FROM ranked WHERE rn = 1),
+            applied AS (
+              SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+              FROM documents b LEFT JOIN final f ON b.doc_id = f.doc_id
+              WHERE f.doc_id IS NULL
+              UNION ALL
+              SELECT doc_id, text, lang, source, n_chars
+              FROM final WHERE op = 'upsert')
+            SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
+                   lang, source, n_chars
+            FROM applied
+        """,
+        doc="CDC merge-apply: latest-wins upserts + deletes into base",
+        tags=("§2.11",),
+    ),
     "snapshot_diff_documents": QuerySpec(
         spark=snapshot_diff_documents,
         oracle="""

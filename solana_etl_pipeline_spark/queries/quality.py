@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.textstats import normalize_text
+from solana_etl_pipeline_spark.operators.drift import psi_report
 from solana_etl_pipeline_spark.operators.quality import (
     constraint_report,
     split_by_constraints,
@@ -111,7 +112,177 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (``operators/drift.py``): PSI of the
+    ``value`` distribution per event type, reference = first two weeks
+    of January vs current = the rest of the month, 10 equal-width bins
+    from the reference slice's exact min/max."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    return psi_report(
+        ev,
+        group_col="event_type",
+        value_col="value",
+        is_current=F.col("ts")
+        >= F.lit("2024-01-15 00:00:00").cast("timestamp"),
+        n_bins=10,
+    )
+
+
+# The smoothed-share expression, spelled once and inlined four times in
+# the oracle so both engines evaluate byte-identical arithmetic.
+_PSI_P = "((CAST(f.ref_count AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 5.0))"
+_PSI_Q = "((CAST(f.cur_count AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 5.0))"
+
+
+import math
+
+# Benford expectations log10(1 + 1/d), pre-rounded so both engines
+# consume the identical 9 constants (no cross-libm log10 in the plan).
+_BENFORD_EXP = {
+    d: round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)
+}
+
+
+def data_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of ``l_extendedprice`` — the
+    classic fabricated-numbers / data-quality screen. The first
+    significant digit is taken on the EXACT integer cents
+    (``round(price*100)`` → BIGINT → first character of its decimal
+    string), never via ``log10`` on doubles, whose libm rounding at
+    powers of ten differs across engines.
+
+    Scale posture: one map-side hash aggregation to the 9-digit
+    rollup; the share/χ² arithmetic windows over those 9 rows only.
+    Expected shares are pre-rounded constants injected into BOTH
+    plans, so the χ² contributions derive from identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice") > 0
+    )
+    digit = F.substring(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast(
+            "string"
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    exp_share = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d in range(1, 10)
+                for x in (F.lit(d), F.lit(_BENFORD_EXP[d]))
+            ]
+        ),
+        F.col("digit"),
+    )
+    from pyspark.sql import Window as _W
+
+    total = F.sum("n").over(
+        _W.partitionBy().rowsBetween(
+            _W.unboundedPreceding, _W.unboundedFollowing
+        )
+    )
+    obs = F.round(F.col("n") / total, 6)
+    return counts.select(
+        "digit",
+        "n",
+        obs.alias("obs_share"),
+        exp_share.alias("exp_share"),
+        F.round(
+            (obs - exp_share) * (obs - exp_share) / exp_share, 9
+        ).alias("chi_contrib"),
+    )
+
+
+# e0 suffix: DuckDB parses bare float literals as DECIMAL; scientific
+# notation forces DOUBLE, matching Spark's literal typing.
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {_BENFORD_EXP[d]}e0" for d in range(1, 10)
+) + " END"
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "data_benford_digits": QuerySpec(
+        spark=data_benford_digits,
+        oracle=f"""
+            WITH c AS (
+              SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                       AS digit,
+                     count(*) AS n
+              FROM lineitem WHERE l_extendedprice > 0
+              GROUP BY 1),
+            s AS (
+              SELECT digit, n,
+                     round(n / sum(n) OVER (), 6) AS obs_share,
+                     {_BENFORD_CASE} AS exp_share
+              FROM c)
+            SELECT digit, n, obs_share, exp_share,
+                   round((obs_share - exp_share)
+                         * (obs_share - exp_share) / exp_share, 9)
+                     AS chi_contrib
+            FROM s
+        """,
+        doc="Benford first-digit audit on exact integer cents",
+        tags=("§2.11", "A"),
+    ),
+    "drift_psi_report": QuerySpec(
+        spark=drift_psi_report,
+        oracle=f"""
+            WITH tagged AS (
+              SELECT event_type AS grp, value AS v,
+                     CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+                       AS cur
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL),
+            stats AS (
+              SELECT grp, min(v) AS mn, max(v) AS mx
+              FROM tagged WHERE NOT cur GROUP BY 1),
+            binned AS (
+              SELECT t.grp,
+                     CASE WHEN s.mx = s.mn THEN 0
+                          ELSE CAST(greatest(0, least(9,
+                               floor((t.v - s.mn) * 10 / (s.mx - s.mn))))
+                               AS INT)
+                     END AS bin_idx,
+                     t.cur
+              FROM tagged t JOIN stats s ON t.grp = s.grp),
+            counts AS (
+              SELECT grp, bin_idx,
+                     sum(CASE WHEN NOT cur THEN 1 ELSE 0 END)
+                       AS ref_count,
+                     sum(CASE WHEN cur THEN 1 ELSE 0 END) AS cur_count
+              FROM binned GROUP BY 1, 2),
+            grid AS (
+              SELECT grp, unnest(range(0, 10)) AS bin_idx FROM stats),
+            fullg AS (
+              SELECT g.grp, CAST(g.bin_idx AS INT) AS bin_idx,
+                     CAST(coalesce(c.ref_count, 0) AS BIGINT)
+                       AS ref_count,
+                     CAST(coalesce(c.cur_count, 0) AS BIGINT)
+                       AS cur_count
+              FROM grid g LEFT JOIN counts c
+                ON g.grp = c.grp AND g.bin_idx = c.bin_idx),
+            tot AS (
+              SELECT grp, CAST(sum(ref_count) AS BIGINT) AS n_ref,
+                     CAST(sum(cur_count) AS BIGINT) AS n_cur
+              FROM fullg GROUP BY 1)
+            SELECT f.grp AS event_type, f.bin_idx, f.ref_count,
+                   f.cur_count,
+                   round({_PSI_P}, 6) AS ref_share,
+                   round({_PSI_Q}, 6) AS cur_share,
+                   round(({_PSI_P} - {_PSI_Q})
+                         * ln({_PSI_P} / {_PSI_Q}), 6) AS psi_term
+            FROM fullg f JOIN tot t ON f.grp = t.grp
+        """,
+        doc="PSI distribution-drift monitor per event type, 10 bins",
+        tags=("§2.11",),
+    ),
     "data_quality_report": QuerySpec(
         spark=data_quality_report,
         oracle=f"""

@@ -20,6 +20,7 @@ from solana_etl_pipeline_spark.llm.ranking import (
     BM25_K1,
     bm25_topk,
     inverted_index,
+    pmi_bigrams,
     tfidf_top_terms,
 )
 from solana_etl_pipeline_spark.queries.base import QuerySpec
@@ -50,6 +51,12 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted index: per-term df / total tf / top-5 postings."""
     docs = load_table(spark, sf_dir, "documents")
     return inverted_index(docs, "doc_id", "text", postings_k=POSTINGS_K)
+
+
+def llm_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (min count 5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, "text", min_count=5, k=20)
 
 
 # coalesce mirrors the Spark side's _tokens null-text handling
@@ -157,6 +164,42 @@ QUERIES: dict[str, QuerySpec] = {
             FROM stats s JOIN posts p USING (term)
         """,
         doc="Capped inverted index: df / total tf / top-5 postings per term",
+        tags=("§2.11",),
+    ),
+    "llm_pmi_bigrams": QuerySpec(
+        spark=llm_pmi_bigrams,
+        oracle="""
+            WITH w AS (
+              SELECT string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\r\\f]+', ' ', 'g'), ' '), ' ')
+                AS ws
+              FROM documents),
+            tok AS (SELECT unnest(ws) AS t FROM w),
+            toks AS (SELECT t FROM tok WHERE t <> ''),
+            big0 AS (
+              SELECT ws[CAST(i AS INT)] AS w1,
+                     ws[CAST(i AS INT) + 1] AS w2
+              FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)),
+            big AS (SELECT w1, w2 FROM big0
+                    WHERE w1 <> '' AND w2 <> ''),
+            uni AS (SELECT t AS w, count(*) AS cw FROM toks GROUP BY 1),
+            tot AS (
+              SELECT (SELECT count(*) FROM toks) AS t_tokens,
+                     (SELECT count(*) FROM big) AS b_bigrams),
+            cxy AS (
+              SELECT w1, w2, count(*) AS c_xy
+              FROM big GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT c.w1, c.w2, c.c_xy,
+                   round(ln((CAST(c.c_xy AS DOUBLE) * t.t_tokens
+                             * t.t_tokens)
+                          / (CAST(t.b_bigrams AS DOUBLE) * u1.cw
+                             * u2.cw)), 6) AS pmi
+            FROM cxy c
+            JOIN uni u1 ON c.w1 = u1.w
+            JOIN uni u2 ON c.w2 = u2.w
+            CROSS JOIN tot t
+            ORDER BY pmi DESC, c.w1, c.w2 LIMIT 20
+        """,
+        doc="Top-20 bigram collocations by PMI, min bigram count 5",
         tags=("§2.11",),
     ),
 }

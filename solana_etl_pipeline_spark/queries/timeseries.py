@@ -26,7 +26,7 @@ here collects or self-joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.functions.timestamps import format_ts
@@ -88,6 +88,142 @@ def scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_intervals(
         ev, key="user_id", state_col="event_type", ts_col="ts",
         tie_col="event_id",
+    )
+
+
+# Gap-fill threshold: value >= 200 thins the stream enough that hourly
+# gaps exist at every fixture SF (sf0.001: ~15 observed hours on a
+# ~1500-hour spine; sf0.1: ~1400 of ~3600) while observations remain.
+GAPFILL_MIN_VALUE = 200.0
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled resample with last-observation-carried-forward
+    (the hypertable ``time_bucket_gapfill + locf`` surface the
+    reference's dashboard charts would need for sparse series,
+    ``streamlit 1.3.txt:96-104``).
+
+    Scale posture: raw events are touched exactly once (the hourly
+    hash rollup); the spine, join, and LOCF window all run over
+    ROLLUP-sized data (series × hours — dimension-scale, not
+    event-scale), so the window partition-by-series cost is
+    independent of raw volume. The per-hour average is rounded
+    BEFORE the carry-forward so both engines propagate identical
+    doubles."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value") >= GAPFILL_MIN_VALUE
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    joined = spine.join(hourly, ["event_type", "hour_ts"], "left")
+    locf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        format_ts(F.col("hour_ts")).alias("hour"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(locf).alias(
+            "filled_value"
+        ),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type: each
+    observation is weighted by how long it remained the series'
+    latest reading (until the next event in the same
+    ``(user_id, event_type)`` series). The standard hypertable
+    ``time_weight('LOCF')`` aggregate for irregular telemetry, where
+    a plain mean over-counts bursts.
+
+    Scale posture: one shuffle on the fine-grained
+    ``(user_id, event_type)`` series key feeds the ``lead`` window
+    (high cardinality — parallel, skew-free), then the rollup is a
+    map-side-combinable hash agg. Durations are exact BIGINT
+    microseconds (``unix_micros``/``epoch_us``), so only the final
+    double ratios carry float error — orders of magnitude below the
+    1e-6 rounding grain."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    series = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    # the fixture reads ts as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+    # and the session zone is UTC, so the cast is wall-clock identity
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    seg = ev.withColumn(
+        "dt_us",
+        micros(F.lead("ts").over(series)) - micros(F.col("ts")),
+    ).filter(F.col("dt_us").isNotNull())
+    return seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+        ).alias("twa_value"),
+        F.round(F.avg("value"), 6).alias("plain_avg_value"),
+        F.round(
+            F.sum("dt_us").cast("double") / F.lit(3.6e9), 4
+        ).alias("total_hours"),
+    )
+
+
+COVERAGE_HOLD_S = 1800  # each event holds the user "active" 30 min
+COVERAGE_TOP = 100
+
+
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands activity coverage: each event opens a 30-minute
+    activity interval; overlapping intervals merge into islands
+    (operators/intervals.py) and the top-100 users by exact merged
+    active seconds are reported.
+
+    The classical interval-merge primitive the reference's feed view
+    (`streamlit 1.3.txt:83-113`) leaves to the reader. Scale posture:
+    one shuffle on user_id shared by both window passes and the island
+    rollup (exchange reuse); no interval self-join (the O(n²) overlap
+    join becomes an O(n log n) sorted sweep). All durations are exact
+    BIGINT microseconds — no float tolerance anywhere — and the top-k
+    compiles to TakeOrderedAndProject."""
+    from solana_etl_pipeline_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    cov = interval_coverage(
+        ev, key_col="user_id", ts_col="ts", hold_seconds=COVERAGE_HOLD_S
+    )
+    return (
+        cov.select(
+            F.col("key").alias("user_id"),
+            "n_islands",
+            "covered_sec",
+            "n_events",
+        )
+        .orderBy(
+            F.desc("covered_sec"), F.desc("n_islands"), F.asc("user_id")
+        )
+        .limit(COVERAGE_TOP)
     )
 
 
@@ -175,6 +311,110 @@ QUERIES: dict[str, QuerySpec] = {
             FROM intervals
         """,
         doc="SCD2 gaps-and-islands validity intervals of user state",
+        tags=("§2.11", "W"),
+    ),
+    "events_gapfill_locf": QuerySpec(
+        spark=events_gapfill_locf,
+        oracle="""
+            WITH hourly AS (
+              -- CAST ts to us-precision TIMESTAMP: Spark reads the
+              -- nanos fixture truncated to micros, DuckDB must match.
+              SELECT event_type,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+                     count(*) AS n_events,
+                     round(avg(value), 6) AS avg_value
+              FROM events WHERE value >= 200.0
+              GROUP BY 1, 2),
+            bounds AS (
+              SELECT event_type, min(hour_ts) AS lo, max(hour_ts) AS hi
+              FROM hourly GROUP BY 1),
+            spine AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS hour_ts
+              FROM bounds),
+            j AS (
+              SELECT s.event_type, s.hour_ts, h.n_events, h.avg_value
+              FROM spine s LEFT JOIN hourly h
+                ON s.event_type = h.event_type
+               AND s.hour_ts = h.hour_ts)
+            SELECT event_type,
+                   strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+                   coalesce(n_events, 0) AS n_events,
+                   avg_value,
+                   last_value(avg_value IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS filled_value,
+                   (n_events IS NULL) AS is_gap
+            FROM j
+        """,
+        doc="Hourly gap-filled resample with LOCF over sparse series",
+        tags=("§2.11", "W"),
+    ),
+    "events_time_weighted_avg": QuerySpec(
+        spark=events_time_weighted_avg,
+        oracle="""
+            WITH seg AS (
+              -- us-precision CAST mirrors Spark's nanos->micros read
+              SELECT event_type, value,
+                     epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                       - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
+              FROM events WHERE value IS NOT NULL)
+            SELECT event_type,
+                   count(*) AS n_segments,
+                   round(sum(value * dt_us) / sum(dt_us), 6) AS twa_value,
+                   round(avg(value), 6) AS plain_avg_value,
+                   round(CAST(sum(dt_us) AS DOUBLE) / 3.6e9, 4)
+                     AS total_hours
+            FROM seg WHERE dt_us IS NOT NULL
+            GROUP BY event_type
+        """,
+        doc="Time-weighted average per event type (LOCF segment weights)",
+        tags=("§2.11", "A", "W"),
+    ),
+    "events_interval_coverage": QuerySpec(
+        spark=events_interval_coverage,
+        oracle=f"""
+            WITH base AS (
+              SELECT user_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                     epoch_us(CAST(ts AS TIMESTAMP))
+                       + {COVERAGE_HOLD_S} * 1000000 AS e
+              FROM events WHERE ts IS NOT NULL),
+            flagged AS (
+              SELECT user_id, s, e,
+                     CASE WHEN max(e) OVER w IS NULL
+                            OR s > max(e) OVER w
+                          THEN 1 ELSE 0 END AS new_island
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)),
+            numbered AS (
+              SELECT user_id, s, e,
+                     sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+              FROM flagged),
+            islands AS (
+              SELECT user_id, island,
+                     min(s) AS i_start, max(e) AS i_end,
+                     count(*) AS n_ev
+              FROM numbered GROUP BY 1, 2)
+            SELECT user_id,
+                   count(*) AS n_islands,
+                   CAST(floor(sum(i_end - i_start) / 1000000)
+                        AS BIGINT) AS covered_sec,
+                   CAST(sum(n_ev) AS BIGINT) AS n_events
+            FROM islands GROUP BY user_id
+            ORDER BY covered_sec DESC, n_islands DESC, user_id
+            LIMIT {COVERAGE_TOP}
+        """,
+        doc="Merged 30-min activity islands per user, top-100 coverage",
         tags=("§2.11", "W"),
     ),
 }

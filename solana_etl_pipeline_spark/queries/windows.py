@@ -201,6 +201,61 @@ def window_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_zscore(load_table(spark, sf_dir, "events"))
 
 
+PATH_GAP_MIN = 30  # session gap, minutes
+PATH_LEN = 3  # leading events per session that define the path
+PATH_TOP = 15
+
+
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: sessionize (30-min gap), take each session's
+    first 3 event types in ``(ts, event_id)`` order, and count the
+    resulting '>'-joined paths — the next-page / funnel-discovery view
+    the reference dashboard approximates with raw event feeds.
+
+    Scale posture: both windows partition by user (session numbering)
+    or (user, session) (ordinal) — the same hash shuffle, reused; the
+    per-session path assembles from ≤ 3 rows via an order-carrying
+    struct sort inside one hash agg (no second window); the final
+    top-15 over path counts compiles to TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = PATH_GAP_MIN * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(by_user).cast("timestamp"))
+    new_s = F.when(
+        prev_us.isNull() | (us - prev_us > gap_us), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_s).over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    in_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    first3 = sess.withColumn(
+        "rn", F.row_number().over(in_sess)
+    ).where(F.col("rn") <= PATH_LEN)
+    paths = first3.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_trailing_zscore": QuerySpec(
         spark=window_trailing_zscore,
@@ -312,6 +367,46 @@ QUERIES: dict[str, QuerySpec] = {
             FROM islands GROUP BY user_id, session_id
         """,
         doc="Batch session_window vs gaps-and-islands oracle",
+        tags=("W", "§2.11"),
+    ),
+    "session_paths_topk": QuerySpec(
+        spark=session_paths_topk,
+        oracle=f"""
+            WITH ordered AS (
+              SELECT user_id, event_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us
+              FROM events),
+            flagged AS (
+              SELECT *,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w
+                               > {PATH_GAP_MIN} * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ordered
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            sess AS (
+              SELECT *,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS session_id
+              FROM flagged),
+            first3 AS (
+              SELECT user_id, session_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY us, event_id) AS rn
+              FROM sess
+              QUALIFY rn <= {PATH_LEN}),
+            paths AS (
+              SELECT user_id, session_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM first3 GROUP BY 1, 2)
+            SELECT path, count(*) AS n_sessions
+            FROM paths GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
+        """,
+        doc="Top session journey paths (first 3 events, 30-min sessions)",
         tags=("W", "§2.11"),
     ),
 }

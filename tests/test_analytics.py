@@ -152,3 +152,73 @@ def test_funnel_greedy_earliest_completion_maximizes_budget(spark):
         for r in ordered_funnel(_ev(spark, rows)).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_transition_matrix_hand_computed(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from solana_etl_pipeline_spark.queries.analytics import (
+        events_transition_matrix,
+    )
+
+    t0 = dt.datetime(2024, 2, 1, 9, 0, 0)
+    rows = [
+        # user 1: a -> b -> a  (transitions a>b, b>a)
+        (1, t0, 1, "a", 1.0),
+        (2, t0 + dt.timedelta(minutes=1), 1, "b", 1.0),
+        (3, t0 + dt.timedelta(minutes=2), 1, "a", 1.0),
+        # user 2: a -> b      (a>b)
+        (4, t0, 2, "a", 1.0),
+        (5, t0 + dt.timedelta(minutes=1), 2, "b", 1.0),
+        # user 3: same-ts tie, event_id order: a(6) -> c(7)
+        (6, t0, 3, "a", 1.0),
+        (7, t0, 3, "c", 1.0),
+        # user 4: single event, no transitions
+        (8, t0, 4, "z", 1.0),
+    ]
+    out = tmp_path_factory.mktemp("trans_sf")
+    table = pa.Table.from_pylist(
+        [
+            {"event_id": e, "ts": ts, "user_id": u, "event_type": et,
+             "value": v, "props": "{}"}
+            for (e, ts, u, et, v) in rows
+        ],
+        schema=pa.schema(
+            [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+             ("user_id", pa.int64()), ("event_type", pa.string()),
+             ("value", pa.float64()), ("props", pa.string())]
+        ),
+    )
+    pq.write_table(table, out / "events.parquet")
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p_transition)
+        for r in events_transition_matrix(spark, str(out)).collect()
+    }
+    # from a: 2x a>b, 1x a>c (tie resolved by event_id); from b: 1x b>a
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_pareto_top_parts_cumulative(spark, sf_dir):
+    from solana_etl_pipeline_spark.queries.analytics import (
+        pareto_top_parts,
+    )
+
+    rows = pareto_top_parts(spark, sf_dir).collect()
+    assert len(rows) == 100
+    rows.sort(key=lambda r: r.part_rank)
+    # ranks are 1..100, revenue non-increasing, share non-decreasing <= 1
+    assert [r.part_rank for r in rows] == list(range(1, 101))
+    for a, b in zip(rows, rows[1:]):
+        assert a.revenue >= b.revenue
+        assert a.cum_share <= b.cum_share
+    assert rows[0].cum_revenue == rows[0].revenue
+    assert 0 < rows[-1].cum_share <= 1.0
+    # cumulative really accumulates
+    assert abs(
+        rows[1].cum_revenue - (rows[0].revenue + rows[1].revenue)
+    ) < 0.01

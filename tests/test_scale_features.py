@@ -138,6 +138,18 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # funnel: the 1-row step-1 count broadcasts into the
         # per-step count rows for the conversion ratio
         "funnel_conversion_steps",
+        # PMI: the two corpus totals (tokens, bigrams) ride a 1-row
+        # broadcast scalar combine into the vocab-bounded bigram table
+        "llm_pmi_bigrams",
+        # Pareto: the 1-row total-revenue scalar broadcasts into the
+        # 100 surviving top-k rows for the cumulative share
+        "pareto_top_parts",
+        # basket rules: the 1-row order-count scalar broadcasts into
+        # the min-support-filtered pair table for support/lift ratios
+        "basket_part_pairs",
+        # RFM: the 1-row max-purchase-ts scalar broadcasts into the
+        # per-user metric rollup for the recency offset
+        "user_rfm_segments",
     }
     offenders = []
     for name, spec in QUERIES.items():
