@@ -80,6 +80,10 @@ for _mod in (
 # at the very front (never witnessed).
 _PRIORITY = (
     # --- registered in round 7: never driver-witnessed, lead the prefix ---
+    "events_ewma_hourly",
+    "data_ref_integrity",
+    "profile_events_columns",
+    "llm_label_centroids",
     "events_interval_coverage",
     "graph_pagerank_parts",
     "basket_part_pairs",

@@ -78,7 +78,55 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WORDS = tokenize.words_sql("text")
 
+def llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype table
+    behind semantic classifiers, cluster seeding, and drift checks on
+    embedding spaces: for each label and dimension, the mean
+    component, plus per-label member counts.
+
+    Scale posture: ``posexplode`` fans each vector into (label, dim,
+    component) rows map-side (dim-bounded, 64×), then ONE hash
+    aggregation on (label, dim) — labels × dim output rows
+    (dimension-scale). No collect, no window; the float surface is a
+    single mean, rounded at 1e-6 (components are |x| ≤ ~1 floats, so
+    cross-engine sum-order drift sits ~8 orders below the grain)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn(
+        # int64: the oracle's generate_subscripts emits BIGINT and the
+        # driver hashes Arrow types, not just values
+        "dim",
+        F.col("dim").cast("bigint"),
+    )
+    return comps.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "llm_label_centroids": QuerySpec(
+        spark=llm_label_centroids,
+        # generate_subscripts is 1-based; Spark's posexplode 0-based —
+        # the oracle shifts to match.
+        oracle="""
+            WITH c AS (
+              SELECT label,
+                     unnest(embedding::DOUBLE[]) AS x,
+                     generate_subscripts(embedding, 1) - 1 AS dim
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) > 0)
+            SELECT label, dim,
+                   count(*) AS n_vectors,
+                   round(avg(x), 6) AS centroid
+            FROM c GROUP BY 1, 2
+        """,
+        doc="Per-label embedding centroids (labels × dims rollup)",
+        tags=("§2.11", "A"),
+    ),
     "llm_nb_source_classifier": QuerySpec(
         spark=llm_nb_source_classifier,
         oracle=f"""

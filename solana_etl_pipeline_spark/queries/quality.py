@@ -206,7 +206,212 @@ _BENFORD_CASE = "CASE digit " + " ".join(
 ) + " END"
 
 
+# (child table, fk column, parent table, pk column)
+_FK_RELATIONS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def data_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's six FK
+    relationships: per relationship, child row count and orphan count
+    (child rows whose FK matches no parent key) — the constraint
+    check a warehouse runs before trusting a load, which the
+    reference's rebuild-everything flow (``clean_data.py:292-365``)
+    has no equivalent of.
+
+    Scale posture: each relationship is ONE left-anti equi-join —
+    dimension parents (nation, customer, supplier, part) broadcast;
+    the lineitem→orders anti-join shuffles on the shared orderkey.
+    The six 1-row aggregates union into a 6-row report (no scalar
+    cross joins — the counts aggregate per branch)."""
+    reports = []
+    for child, fk, parent, pk in _FK_RELATIONS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")
+        )
+        orphans = c.join(
+            p, c[fk] == p["__pk"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        totals = c.agg(F.count(F.lit(1)).alias("n_rows"))
+        reports.append(
+            totals.crossJoin(orphans).select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias(
+                    "relationship"
+                ),
+                "n_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_PROFILE_COLUMNS = (
+    # (column, kind): numeric columns report min/max as DOUBLE,
+    # temporal as formatted strings, text as raw strings — never a
+    # cross-engine double→string render.
+    ("event_id", "num"),
+    ("user_id", "num"),
+    ("value", "num"),
+    ("ts", "time"),
+    ("event_type", "text"),
+    ("props", "text"),
+)
+
+
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report over ``events`` (the Deequ/profiling
+    shape): per column — row count, null count, exact distinct count,
+    and typed min/max (numeric as DOUBLE, temporal as a formatted
+    string, text as-is).
+
+    Scale posture: ONE aggregation pass computes every statistic
+    (Spark plans the multi-distinct via Expand — rows × 6, the
+    standard exact shape; swap in approx_count_distinct when an
+    estimate suffices at 100 TB); the per-column report rows unpivot
+    from the single 1-row aggregate via ``stack``, map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in _PROFILE_COLUMNS:
+        aggs.append(
+            F.sum(F.col(col).isNull().cast("bigint")).alias(f"nl_{col}")
+        )
+        aggs.append(F.count_distinct(F.col(col)).alias(f"nd_{col}"))
+        if kind == "num":
+            aggs.append(
+                F.round(F.min(col).cast("double"), 6).alias(f"mn_{col}")
+            )
+            aggs.append(
+                F.round(F.max(col).cast("double"), 6).alias(f"mx_{col}")
+            )
+        elif kind == "time":
+            aggs.append(
+                F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"mn_{col}"
+                )
+            )
+            aggs.append(
+                F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"mx_{col}"
+                )
+            )
+        else:
+            aggs.append(F.min(col).alias(f"mn_{col}"))
+            aggs.append(F.max(col).alias(f"mx_{col}"))
+    one = ev.agg(*aggs)
+    stack_args = []
+    for col, kind in _PROFILE_COLUMNS:
+        is_num = kind == "num"
+        stack_args.append(
+            (
+                F.lit(col),
+                F.col(f"nl_{col}"),
+                F.col(f"nd_{col}"),
+                F.col(f"mn_{col}") if is_num else F.lit(None).cast("double"),
+                F.col(f"mx_{col}") if is_num else F.lit(None).cast("double"),
+                F.lit(None).cast("string")
+                if is_num
+                else F.col(f"mn_{col}").cast("string"),
+                F.lit(None).cast("string")
+                if is_num
+                else F.col(f"mx_{col}").cast("string"),
+            )
+        )
+    rows = one.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        t[0].alias("column_name"),
+                        t[1].alias("n_nulls"),
+                        t[2].alias("n_distinct"),
+                        t[3].alias("min_num"),
+                        t[4].alias("max_num"),
+                        t[5].alias("min_text"),
+                        t[6].alias("max_text"),
+                    )
+                    for t in stack_args
+                ]
+            )
+        ).alias("p"),
+    )
+    return rows.select(
+        F.col("p.column_name").alias("column_name"),
+        "n_rows",
+        F.col("p.n_nulls").alias("n_nulls"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_num").alias("min_num"),
+        F.col("p.max_num").alias("max_num"),
+        F.col("p.min_text").alias("min_text"),
+        F.col("p.max_text").alias("max_text"),
+    )
+
+
+def _profile_oracle_branch(col: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"round(CAST(min({col}) AS DOUBLE), 6)"
+        mx = f"round(CAST(max({col}) AS DOUBLE), 6)"
+        mnt = "CAST(NULL AS VARCHAR)"
+        mxt = "CAST(NULL AS VARCHAR)"
+    elif kind == "time":
+        mn = "CAST(NULL AS DOUBLE)"
+        mx = "CAST(NULL AS DOUBLE)"
+        mnt = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S')"
+        mxt = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn = "CAST(NULL AS DOUBLE)"
+        mx = "CAST(NULL AS DOUBLE)"
+        mnt = f"min({col})"
+        mxt = f"max({col})"
+    return f"""
+            SELECT '{col}' AS column_name,
+                   count(*) AS n_rows,
+                   count(*) - count({col}) AS n_nulls,
+                   count(DISTINCT {col}) AS n_distinct,
+                   {mn} AS min_num, {mx} AS max_num,
+                   {mnt} AS min_text, {mxt} AS max_text
+            FROM events"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "data_ref_integrity": QuerySpec(
+        spark=data_ref_integrity,
+        oracle="\n            UNION ALL".join(
+            f"""
+            SELECT '{child}.{fk} -> {parent}.{pk}' AS relationship,
+                   (SELECT count(*) FROM {child}) AS n_rows,
+                   (SELECT count(*) FROM {child} c
+                     WHERE NOT EXISTS (
+                       SELECT 1 FROM {parent} p
+                       WHERE p.{pk} = c.{fk})) AS n_orphans,
+                   (SELECT count(*) FROM {child} c
+                     WHERE NOT EXISTS (
+                       SELECT 1 FROM {parent} p
+                       WHERE p.{pk} = c.{fk})) = 0 AS intact"""
+            for child, fk, parent, pk in _FK_RELATIONS
+        ),
+        doc="FK orphan audit across the six star-schema relationships",
+        tags=("§2.11", "J"),
+    ),
+    "profile_events_columns": QuerySpec(
+        spark=profile_events_columns,
+        oracle="\n            UNION ALL".join(
+            _profile_oracle_branch(c, k) for c, k in _PROFILE_COLUMNS
+        ),
+        doc="Deequ-style column profile: nulls/distinct/typed min-max",
+        tags=("§2.11", "A"),
+    ),
     "data_benford_digits": QuerySpec(
         spark=data_benford_digits,
         oracle=f"""

@@ -227,6 +227,67 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 20  # truncated horizon: (1-α)^20 < 0.08% residual mass
+# Weights (1-α)^k precomputed in Python and injected as literals into
+# BOTH plans — cross-libm pow() at the last ulp never enters either
+# engine's arithmetic.
+EWMA_WEIGHTS = tuple(
+    round((1.0 - EWMA_ALPHA) ** k, 12) for k in range(EWMA_WINDOW)
+)
+
+
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of the hourly
+    mean ``value`` per event type — the dashboard smoother
+    (`streamlit 1.3.txt:96-104` charts raw per-refresh points). The
+    classical recursive EWMA is sequential; the truncated form
+    ``Σ w_k·x_{t-k} / Σ w_k`` over the last 20 observed hours is
+    embarrassingly parallel and self-normalizing across gaps and
+    series starts (missing hours simply contribute no weight).
+
+    Scale posture: raw events are touched once (the hourly rollup);
+    the 20× contribution fan-out is a map-side ``explode`` over
+    ROLLUP-sized rows (series × hours), re-aggregated by one hash agg
+    on the same key grain; no window function at all. Hourly means
+    are rounded BEFORE weighting so both engines combine identical
+    doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    w_arr = F.array(*[F.lit(w) for w in EWMA_WEIGHTS])
+    contrib = hourly.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(EWMA_WINDOW - 1))).alias("k"),
+        F.col("hour_ts").alias("obs_hour"),
+        "avg_value",
+    ).select(
+        "event_type",
+        (
+            F.col("obs_hour")
+            + F.make_interval(hours=F.col("k").cast("int"))
+        ).alias("hour_ts"),
+        (F.element_at(w_arr, F.col("k").cast("int") + 1)).alias("w"),
+        "avg_value",
+    )
+    smoothed = contrib.groupBy("event_type", "hour_ts").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("avg_value")) / F.sum("w"), 6
+        ).alias("ewma_value"),
+        F.count(F.lit(1)).alias("n_contrib"),
+    )
+    # inner join back to observed hours: EWMA is reported only where
+    # the series actually has a point (the gap-fill query owns spines)
+    return smoothed.join(hourly, ["event_type", "hour_ts"]).select(
+        "event_type",
+        format_ts(F.col("hour_ts")).alias("hour"),
+        "avg_value",
+        "ewma_value",
+        "n_contrib",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_ohlc_bars": QuerySpec(
         spark=events_ohlc_bars,
@@ -416,5 +477,37 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Merged 30-min activity islands per user, top-100 coverage",
         tags=("§2.11", "W"),
+    ),
+    "events_ewma_hourly": QuerySpec(
+        spark=events_ewma_hourly,
+        oracle=f"""
+            WITH hourly AS (
+              SELECT event_type,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+                     round(avg(value), 6) AS avg_value
+              FROM events GROUP BY 1, 2),
+            contrib AS (
+              SELECT h.event_type,
+                     h.hour_ts + to_hours(k.k) AS hour_ts,
+                     [{", ".join(f"{w}e0" for w in EWMA_WEIGHTS)}][k.k + 1]
+                       AS w,
+                     h.avg_value
+              FROM hourly h
+              CROSS JOIN (
+                SELECT unnest(range({EWMA_WINDOW})) AS k) k),
+            smoothed AS (
+              SELECT event_type, hour_ts,
+                     round(sum(w * avg_value) / sum(w), 6) AS ewma_value,
+                     count(*) AS n_contrib
+              FROM contrib GROUP BY 1, 2)
+            SELECT s.event_type,
+                   strftime(s.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+                   h.avg_value, s.ewma_value, s.n_contrib
+            FROM smoothed s
+            JOIN hourly h
+              ON h.event_type = s.event_type AND h.hour_ts = s.hour_ts
+        """,
+        doc="Truncated 20-hour EWMA smoother, window-free and gap-safe",
+        tags=("§2.11", "A", "W"),
     ),
 }

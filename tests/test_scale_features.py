@@ -150,6 +150,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # RFM: the 1-row max-purchase-ts scalar broadcasts into the
         # per-user metric rollup for the recency offset
         "user_rfm_segments",
+        # FK audit: six (1-row total × 1-row orphan-count) scalar
+        # combines, one per relationship — never row-level data
+        "data_ref_integrity",
     }
     offenders = []
     for name, spec in QUERIES.items():

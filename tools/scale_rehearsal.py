@@ -425,6 +425,259 @@ def main() -> None:
 
     timed("cohort retention", run_cohort)
 
+    # ---- round-7 batch: resample / CDC / drift / graph / analytics ----
+    from pyspark.sql import Window
+
+    def run_gapfill():
+        hourly = events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        bounds = hourly.groupBy("event_type").agg(
+            F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
+        )
+        spine = bounds.select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+        locf = (
+            Window.partitionBy("event_type")
+            .orderBy("hour_ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        noop(
+            spine.join(hourly, ["event_type", "hour_ts"], "left").select(
+                "event_type",
+                "hour_ts",
+                F.last("avg_value", ignorenulls=True).over(locf).alias(
+                    "filled"
+                ),
+            )
+        )
+
+    timed("gapfill+locf (hourly rollup + spine)", run_gapfill)
+
+    def run_twa():
+        series = Window.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id"
+        )
+        us = F.unix_micros(F.col("ts"))
+        seg = events.withColumn(
+            "dt_us", F.unix_micros(F.lead("ts").over(series)) - us
+        ).filter(F.col("dt_us").isNotNull())
+        noop(
+            seg.groupBy("event_type").agg(
+                F.round(
+                    F.sum(F.col("value") * F.col("dt_us"))
+                    / F.sum("dt_us"),
+                    6,
+                ).alias("twa")
+            )
+        )
+
+    timed("time-weighted average", run_twa)
+
+    def run_psi():
+        from solana_etl_pipeline_spark.operators.drift import psi_report
+
+        noop(
+            psi_report(
+                events,
+                "event_type",
+                "value",
+                is_current=F.dayofmonth("ts") >= 15,
+            )
+        )
+
+    timed("psi drift report", run_psi)
+
+    def run_cdc():
+        from solana_etl_pipeline_spark.operators.cdc import apply_changes
+
+        base = docs.select("doc_id", "text")
+        feed = (
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .select(
+                "doc_id",
+                F.pmod(F.xxhash64("doc_id"), F.lit(5)).alias("seq"),
+                F.when(F.col("doc_id") % 30 == 0, F.lit("delete"))
+                .otherwise(F.lit("upsert"))
+                .alias("op"),
+                F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+            )
+        )
+        noop(apply_changes(base, feed, key="doc_id"))
+
+    timed("cdc apply (10% change feed)", run_cdc)
+
+    def run_interval():
+        from solana_etl_pipeline_spark.operators.intervals import (
+            interval_coverage,
+        )
+
+        noop(interval_coverage(events, "user_id", "ts", hold_seconds=1800))
+
+    timed("interval coverage (gaps-and-islands)", run_interval)
+
+    def run_paths():
+        by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts"))
+        prev = F.unix_micros(F.lag("ts").over(by_user))
+        sess = events.withColumn(
+            "session_id",
+            F.sum(
+                F.when(prev.isNull() | (us - prev > 1800 * 1_000_000), 1)
+                .otherwise(0)
+            ).over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        in_s = Window.partitionBy("user_id", "session_id").orderBy(
+            "ts", "event_id"
+        )
+        first3 = sess.withColumn("rn", F.row_number().over(in_s)).where(
+            F.col("rn") <= 3
+        )
+        paths = first3.groupBy("user_id", "session_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        noop(paths.groupBy("path").agg(F.count(F.lit(1)).alias("n")))
+
+    timed("session paths (first-3)", run_paths)
+
+    def run_transition():
+        by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        noop(
+            events.withColumn(
+                "next_type", F.lead("event_type").over(by_user)
+            )
+            .filter(F.col("next_type").isNotNull())
+            .groupBy("event_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    timed("transition matrix", run_transition)
+
+    def run_rfm():
+        buys = events.where(F.col("event_type") == "buy").select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
+        ref = buys.agg(F.max("ts_us").alias("ref_us"))
+        per_user = (
+            buys.groupBy("user_id")
+            .agg(
+                F.max("ts_us").alias("last_us"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.round(F.sum("value"), 6).alias("monetary"),
+            )
+            .crossJoin(F.broadcast(ref))
+            .select(
+                "user_id",
+                F.floor(
+                    (F.col("ref_us") - F.col("last_us"))
+                    / F.lit(86_400_000_000)
+                ).alias("recency_days"),
+                "frequency",
+                F.floor("monetary").alias("monetary_band"),
+            )
+        )
+        from solana_etl_pipeline_spark.queries.analytics import (
+            _value_quantile_tiles,
+        )
+
+        tiled = _value_quantile_tiles(
+            per_user, "recency_days", "r_tile", ascending=True
+        )
+        tiled = _value_quantile_tiles(
+            tiled, "frequency", "f_tile", ascending=False
+        )
+        tiled = _value_quantile_tiles(
+            tiled, "monetary_band", "m_tile", ascending=False
+        )
+        noop(
+            tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+                F.count(F.lit(1)).alias("n_users")
+            )
+        )
+
+    timed("rfm segmentation", run_rfm)
+
+    def run_benford():
+        digit = F.substring(
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        ).cast("int")
+        noop(
+            events.where(F.col("value") > 0)
+            .select(digit.alias("digit"))
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    timed("benford digit rollup", run_benford)
+
+    def run_pagerank():
+        from solana_etl_pipeline_spark.operators.graph import pagerank
+
+        # bipartite user↔community graph, |E| ≈ 3 per user
+        edges = events.select(
+            (F.col("user_id") * 2).alias("src"),
+            (F.pmod(F.xxhash64("user_id", "event_type"), F.lit(997)) * 2
+             + 1).alias("dst"),
+        ).distinct()
+        noop(
+            pagerank(
+                edges, n_iter=3, dedup_edges=False, broadcast_ranks=True
+            )
+        )
+
+    timed("pagerank (3 iters, bipartite)", run_pagerank)
+
+    def run_basket():
+        # baskets = (user, day); items = 8 hashed value buckets
+        items = events.select(
+            F.struct("user_id", F.to_date("ts").alias("d")).alias("okey"),
+            F.pmod(F.xxhash64("value"), F.lit(8)).alias("p"),
+        ).distinct()
+        a, b = items.alias("a"), items.alias("b")
+        pairs = (
+            a.join(b, "okey")
+            .where(F.col("a.p") < F.col("b.p"))
+            .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+            .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        )
+        noop(pairs)
+
+    timed("basket pairs (bounded per-basket fan-out)", run_basket)
+
+    def run_pmi():
+        from solana_etl_pipeline_spark.llm.ranking import pmi_bigrams
+
+        noop(pmi_bigrams(docs, min_count=5, k=20))
+
+    timed("pmi bigrams", run_pmi)
+
+    def run_weighted():
+        from solana_etl_pipeline_spark.llm.mixture import weighted_sample
+
+        weighted = docs.select(
+            "doc_id", F.length("text").cast("double").alias("w")
+        )
+        noop(weighted_sample(weighted, "doc_id", "w", k=1000))
+
+    timed("weighted sample (ES A-Res)", run_weighted)
+
     if len(sys.argv) <= 2:
         shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
