@@ -80,6 +80,9 @@ for _mod in (
 # at the very front (never witnessed).
 _PRIORITY = (
     # --- registered in round 7: never driver-witnessed, lead the prefix ---
+    "events_seasonal_anomalies",
+    "sketch_hll_overlap",
+    "llm_source_vocab_overlap",
     "events_ewma_hourly",
     "data_ref_integrity",
     "profile_events_columns",

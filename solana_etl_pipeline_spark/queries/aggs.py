@@ -182,7 +182,113 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimates from MERGEABLE sketches: for every
+    event-type pair, the distinct-user intersection via
+    inclusion-exclusion on HLL sketches (|A∩B| = est(A) + est(B) −
+    est(A∪B)) — the segment-overlap question a dashboard answers from
+    KB-sized sketch rows without re-touching raw events.
+
+    Self-banded like the HLL rollup: the exact overlap is computed
+    alongside and the oracle asserts the estimate lands within 5% of
+    the exact UNION size (inclusion-exclusion compounds the ~1.6%
+    per-sketch error, and the union is the natural scale of that
+    error). Raw events are touched twice (sketch agg, exact distinct
+    pairs); the pair enumeration is a 5-row × 5-row sketch-table
+    self-join — dimension-scale, a sanctioned bounded loop join."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("et_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("et_b"), F.col("sk").alias("sk_b")
+    )
+    est = a.join(b, F.col("et_a") < F.col("et_b")).select(
+        "et_a",
+        "et_b",
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias(
+            "est_union"
+        ),
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    x = du.select(
+        F.col("event_type").alias("et_a"), F.col("user_id").alias("u")
+    )
+    y = du.select(
+        F.col("event_type").alias("et_b"), F.col("user_id").alias("u")
+    )
+    exact_pair = (
+        x.join(y, "u")
+        .where(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    exact_sz = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = (
+        est.join(exact_pair, ["et_a", "et_b"])
+        .join(
+            exact_sz.select(
+                F.col("event_type").alias("et_a"), F.col("n").alias("n_a")
+            ),
+            "et_a",
+        )
+        .join(
+            exact_sz.select(
+                F.col("event_type").alias("et_b"), F.col("n").alias("n_b")
+            ),
+            "et_b",
+        )
+    )
+    overlap_est = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    exact_union = F.col("n_a") + F.col("n_b") - F.col("exact_overlap")
+    return joined.select(
+        "et_a",
+        "et_b",
+        F.col("n_a").alias("exact_a"),
+        F.col("n_b").alias("exact_b"),
+        "exact_overlap",
+        (
+            F.abs(overlap_est - F.col("exact_overlap"))
+            <= 0.05 * exact_union
+        ).alias("overlap_est_ok"),
+    )
+
+
+_HLL_OVERLAP_ORACLE = """
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+    pair AS (
+      SELECT x.event_type AS et_a, y.event_type AS et_b,
+             count(*) AS exact_overlap
+      FROM du x JOIN du y ON x.user_id = y.user_id
+      WHERE x.event_type < y.event_type
+      GROUP BY 1, 2)
+    SELECT p.et_a, p.et_b,
+           sa.n AS exact_a, sb.n AS exact_b,
+           p.exact_overlap,
+           TRUE AS overlap_est_ok
+    FROM pair p
+    JOIN sz sa ON sa.event_type = p.et_a
+    JOIN sz sb ON sb.event_type = p.et_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_hll_overlap": QuerySpec(
+        spark=sketch_hll_overlap,
+        oracle=_HLL_OVERLAP_ORACLE,
+        doc="HLL inclusion-exclusion audience overlap, self-banded vs "
+        "exact (flag must hold for the match)",
+        tags=("§2.11", "A2"),
+    ),
     "sketch_rollup_distinct_users": QuerySpec(
         spark=sketch_rollup_distinct_users,
         oracle="""

@@ -27,6 +27,7 @@ from solana_etl_pipeline_spark.llm.curate import (
     pii_counts,
     redact_pii,
 )
+from solana_etl_pipeline_spark.llm import tokenize
 from solana_etl_pipeline_spark.llm.paragraphs import dedup_paragraphs
 from solana_etl_pipeline_spark.queries.base import QuerySpec
 from solana_etl_pipeline_spark.sources import load_table
@@ -274,6 +275,61 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def llm_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    corpus-comparison statistic behind mixture design ("how much does
+    web overlap with code?") and dedup-scope decisions.
+
+    Scale posture: the corpus tokenizes once into DISTINCT
+    (source, word) rows (one hash agg — vocabulary-scale output);
+    the pair join runs on the word key with per-word fan-out bounded
+    by #sources² (tens), then one hash agg to the ≤ sources² pair
+    grid. Jaccard derives from exact BIGINTs, rounded at 1e-6."""
+    docs = load_table(spark, sf_dir, "documents")
+    sv = (
+        docs.select(
+            "source",
+            F.explode(tokenize.words(F.col("text"))).alias("w"),
+        )
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    x = sv.select(F.col("source").alias("src_a"), "w")
+    y = sv.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        x.join(y, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("source").alias("src_a"), F.col("n").alias("n_a")
+            ),
+            "src_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("src_b"), F.col("n").alias("n_b")
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "llm_url_dedup": QuerySpec(
         spark=llm_url_dedup,
@@ -484,5 +540,30 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Per-domain URL rollup (blocklist/quality curation stats)",
         tags=("§2.11", "F5"),
+    ),
+    "llm_source_vocab_overlap": QuerySpec(
+        spark=llm_source_vocab_overlap,
+        oracle=f"""
+            WITH sv AS (
+              SELECT DISTINCT source,
+                     unnest({tokenize.words_sql("text")}) AS w
+              FROM documents),
+            sizes AS (SELECT source, count(*) AS n FROM sv GROUP BY 1),
+            inter AS (
+              SELECT x.source AS src_a, y.source AS src_b,
+                     count(*) AS n_common
+              FROM sv x JOIN sv y ON x.w = y.w
+              WHERE x.source < y.source
+              GROUP BY 1, 2)
+            SELECT i.src_a, i.src_b,
+                   sa.n AS n_a, sb.n AS n_b, i.n_common,
+                   round(i.n_common / (sa.n + sb.n - i.n_common), 6)
+                     AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.source = i.src_a
+            JOIN sizes sb ON sb.source = i.src_b
+        """,
+        doc="Pairwise vocabulary Jaccard between corpus sources",
+        tags=("§2.11",),
     ),
 }

@@ -288,6 +288,53 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEASONAL_TOP = 20
+
+
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly report: the (event_type, weekday,
+    hour-of-day) mean is the seasonal profile — the classical
+    dashboard decomposition for daily/weekly rhythm — and the top-20
+    largest absolute residuals against it are the anomalies.
+
+    Scale posture: the profile is one map-side hash agg to ≤ types ×
+    168 rows, which then BROADCASTS back onto the raw stream (the
+    residual pass is map-side); the top-20 compiles to
+    TakeOrderedAndProject. Weekday convention: Spark ``weekday()``
+    (0 = Monday) ≡ DuckDB ``isodow − 1``; the profile mean is rounded
+    before the residual subtraction so both engines difference
+    identical doubles."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    keyed = ev.select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        F.weekday("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    )
+    profile = keyed.groupBy("event_type", "dow", "hod").agg(
+        F.round(F.avg("value"), 6).alias("seasonal"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    resid = keyed.join(
+        F.broadcast(profile), ["event_type", "dow", "hod"]
+    ).select(
+        "event_id",
+        "event_type",
+        format_ts(F.col("ts")).alias("ts"),
+        "value",
+        "seasonal",
+        F.round(F.col("value") - F.col("seasonal"), 6).alias("residual"),
+        "n_obs",
+    )
+    return resid.orderBy(
+        F.desc(F.abs(F.col("residual"))), "event_id"
+    ).limit(SEASONAL_TOP)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_ohlc_bars": QuerySpec(
         spark=events_ohlc_bars,
@@ -509,5 +556,32 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Truncated 20-hour EWMA smoother, window-free and gap-safe",
         tags=("§2.11", "A", "W"),
+    ),
+    "events_seasonal_anomalies": QuerySpec(
+        spark=events_seasonal_anomalies,
+        oracle=f"""
+            WITH keyed AS (
+              SELECT event_id, event_type,
+                     CAST(ts AS TIMESTAMP) AS ts, value,
+                     isodow(ts) - 1 AS dow,
+                     hour(ts) AS hod
+              FROM events WHERE value IS NOT NULL),
+            profile AS (
+              SELECT event_type, dow, hod,
+                     round(avg(value), 6) AS seasonal,
+                     count(*) AS n_obs
+              FROM keyed GROUP BY 1, 2, 3)
+            SELECT k.event_id, k.event_type,
+                   strftime(k.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   k.value, p.seasonal,
+                   round(k.value - p.seasonal, 6) AS residual,
+                   p.n_obs
+            FROM keyed k
+            JOIN profile p USING (event_type, dow, hod)
+            ORDER BY abs(round(k.value - p.seasonal, 6)) DESC, k.event_id
+            LIMIT {SEASONAL_TOP}
+        """,
+        doc="Weekday×hour seasonal profile, top-20 residual anomalies",
+        tags=("§2.11", "A"),
     ),
 }

@@ -123,3 +123,67 @@ def test_label_centroids_hand_computed(spark, monkeypatch):
     assert out[(0, 0)].centroid == 2.0 and out[(0, 1)].centroid == 1.0
     assert out[(0, 0)].n_vectors == 2
     assert out[(1, 0)].centroid == 5.0 and out[(1, 0)].n_vectors == 1
+
+
+def test_seasonal_anomalies_hand_residuals(spark, monkeypatch):
+    import solana_etl_pipeline_spark.queries.timeseries as mod
+
+    # Two Mondays 10:00 at 10 and 20 → seasonal 15, residuals ±5;
+    # one Tuesday 10:00 singleton → residual 0.
+    rows = [
+        (1, 1, _ts("2024-01-01T10:00:00"), "A", 10.0),  # Monday
+        (2, 1, _ts("2024-01-08T10:00:00"), "A", 20.0),  # Monday
+        (3, 1, _ts("2024-01-02T10:00:00"), "A", 99.0),  # Tuesday
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    monkeypatch.setattr(mod, "load_table", lambda s, d, n: df)
+    out = {r.event_id: r for r in mod.events_seasonal_anomalies(spark, "x").collect()}
+    assert out[1].seasonal == 15.0 and out[1].residual == -5.0
+    assert out[2].residual == 5.0 and out[2].n_obs == 2
+    assert out[3].residual == 0.0 and out[3].n_obs == 1
+    # ordering: |5| ties broken by event_id, residual-0 row last
+    assert [r.event_id for r in mod.events_seasonal_anomalies(spark, "x").collect()] == [1, 2, 3]
+
+
+def test_hll_overlap_exact_sets_and_flag(spark, monkeypatch):
+    import solana_etl_pipeline_spark.queries.aggs as mod
+
+    # A-users {1..100}, B-users {51..150} → overlap 50, union 150.
+    rows = [(i, "A") for i in range(1, 101)] + [
+        (i, "B") for i in range(51, 151)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type"]).selectExpr(
+        "user_id", "event_type", "timestamp('2024-01-01 00:00:00') AS ts"
+    )
+    monkeypatch.setattr(mod, "load_table", lambda s, d, n: df)
+    out = mod.sketch_hll_overlap(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.et_a, r.et_b) == ("A", "B")
+    assert r.exact_a == 100 and r.exact_b == 100 and r.exact_overlap == 50
+    # at these cardinalities HLL is near-exact — the 5%-of-union band holds
+    assert r.overlap_est_ok
+
+
+def test_vocab_overlap_hand_jaccard(spark, monkeypatch):
+    import solana_etl_pipeline_spark.queries.curation as mod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "s1"),
+            (2, "beta beta delta", "s1"),  # dup 'beta' collapses
+            (3, "beta gamma epsilon", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    monkeypatch.setattr(mod, "load_table", lambda s, d, n: docs)
+    out = mod.llm_source_vocab_overlap(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    # s1 vocab {alpha,beta,gamma,delta}=4; s2 {beta,gamma,epsilon}=3;
+    # common {beta,gamma}=2; union 5 → jaccard 0.4
+    assert (r.src_a, r.src_b) == ("s1", "s2")
+    assert r.n_a == 4 and r.n_b == 3 and r.n_common == 2
+    assert abs(r.jaccard - 0.4) < 1e-9

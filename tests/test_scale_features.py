@@ -153,6 +153,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # FK audit: six (1-row total × 1-row orphan-count) scalar
         # combines, one per relationship — never row-level data
         "data_ref_integrity",
+        # HLL overlap: the pair enumeration is a 5-row × 5-row
+        # sketch-table theta self-join (event-type dimension scale)
+        "sketch_hll_overlap",
     }
     offenders = []
     for name, spec in QUERIES.items():
