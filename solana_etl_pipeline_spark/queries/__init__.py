@@ -76,10 +76,44 @@ for _mod in (
 # stalest-first. The round-7 ordering below is that tool's full-registry
 # output at r6 HEAD: the 27 queries last driver-witnessed in r4 (aged 2
 # after r6) lead, then the r5-green block, then the r6-green block
-# (freshest rows last). Queries registered during round 7 are inserted
-# at the very front (never witnessed).
+# (freshest rows last). Round 7 registered 39 new queries — more than
+# the budget can absorb alongside the 27 must-rotate r4 rows — so the
+# planner (and this ordering) puts MUST-ROTATE first: the two-round
+# invariant is enforceable evidence, a first witness is best-effort
+# and the overflow takes its first driver row in r8.
 _PRIORITY = (
-    # --- registered in round 7: never driver-witnessed, lead the prefix ---
+    # --- MUST-ROTATE: staleness 2 (last green r04) — these breach the
+    # two-round invariant if they miss the r7 prefix, so they lead it;
+    # round-7 registrations (never witnessed, gate not yet binding)
+    # follow and the overflow takes its first driver row in r8.
+    "events_value_banding",
+    "events_pst_rendering",
+    "token_detail_view",
+    "join_left_semi",
+    "join_fact_revenue",
+    "window_lag_delta",
+    "window_running_sum",
+    "window_rank_customers",
+    "setop_intersect",
+    "distinct_event_types",
+    "agg_rollup_returnflag",
+    "agg_cube_orders",
+    "agg_collect_set_sorted",
+    "nested_dispatch_agg",
+    "unpivot_lineitem_metrics",
+    "skew_salted_user_rollup",
+    "data_quality_report",
+    "data_quality_split",
+    "normalized_exact_dedup",
+    "risk_scores_topk_approx",
+    "sketch_rollup_distinct_users",
+    "sample_stratified",
+    "llm_tfidf_top_terms",
+    "llm_bm25_search",
+    "llm_pii_redact",
+    "llm_pack_sequences",
+    "llm_corpus_filter",
+    # --- registered in round 7: never driver-witnessed ---
     "events_seasonal_anomalies",
     "sketch_hll_overlap",
     "llm_source_vocab_overlap",
@@ -119,34 +153,6 @@ _PRIORITY = (
     "llm_substring_dedup",
     "llm_ccnet_buckets",
     "llm_bpe_top_pairs",
-    # --- staleness 2 (last green r04) ---
-    "events_value_banding",
-    "events_pst_rendering",
-    "token_detail_view",
-    "join_left_semi",
-    "join_fact_revenue",
-    "window_lag_delta",
-    "window_running_sum",
-    "window_rank_customers",
-    "setop_intersect",
-    "distinct_event_types",
-    "agg_rollup_returnflag",
-    "agg_cube_orders",
-    "agg_collect_set_sorted",
-    "nested_dispatch_agg",
-    "unpivot_lineitem_metrics",
-    "skew_salted_user_rollup",
-    "data_quality_report",
-    "data_quality_split",
-    "normalized_exact_dedup",
-    "risk_scores_topk_approx",
-    "sketch_rollup_distinct_users",
-    "sample_stratified",
-    "llm_tfidf_top_terms",
-    "llm_bm25_search",
-    "llm_pii_redact",
-    "llm_pack_sequences",
-    "llm_corpus_filter",
     # --- staleness 1 (last green r05) ---
     "llm_export_shards",
     "llm_token_heavy_hitters",

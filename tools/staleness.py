@@ -78,16 +78,25 @@ def plan_next_prefix(budget: int = 50) -> dict:
     names = registry_names()
     staleness = {n: latest - last_green[n] for n in names if n in last_green}
     unwitnessed = [n for n in names if n not in last_green]
-    # Next round, everything ages one more round. Queries that would
-    # then exceed staleness 1 (i.e. currently >= 1 round stale) are
-    # rotation candidates; take the stalest first, stable registry
-    # order within a staleness tier so the plan is deterministic.
+    # Next round, everything ages one more round. Priority order:
+    #   1. MUST-ROTATE — witnessed queries at staleness >= 2, which
+    #      would breach the two-round invariant (and trip the
+    #      test_hardening gate) if they miss the next prefix;
+    #   2. never-witnessed queries — a first driver row is best-effort
+    #      (the gate only binds once a query has been witnessed), so
+    #      in a heavy-registration round they wait a round rather than
+    #      aging enforceable evidence past the invariant;
+    #   3. the remaining witnessed queries, stalest first.
+    # Stable registry order within each tier keeps the plan
+    # deterministic.
     order = {n: i for i, n in enumerate(names)}
-    candidates = sorted(
+    witnessed = sorted(
         (n for n in names if n in last_green),
         key=lambda n: (-staleness[n], order[n]),
     )
-    prefix = unwitnessed + candidates
+    must_rotate = [n for n in witnessed if staleness[n] >= 2]
+    rest = [n for n in witnessed if staleness[n] < 2]
+    prefix = must_rotate + unwitnessed + rest
     return {
         "latest_round": latest,
         "unwitnessed": unwitnessed,
