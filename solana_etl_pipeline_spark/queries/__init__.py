@@ -114,6 +114,9 @@ _PRIORITY = (
     "llm_pack_sequences",
     "llm_corpus_filter",
     # --- registered in round 7: never driver-witnessed ---
+    "attribution_last_touch",
+    "orders_mom_revenue",
+    "order_fulfillment_latency",
     "events_seasonal_anomalies",
     "sketch_hll_overlap",
     "llm_source_vocab_overlap",

@@ -241,6 +241,146 @@ _HIST_Q_SELECTS = "\n            UNION ALL\n".join(
     for q in HIST_QS
 )
 
+ATTR_WINDOW_S = 7 * 86400  # attribution lookback: 7 days
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent NON-purchase event within the 7 days before
+    it, rolled up by touch type — the marketing-attribution view the
+    funnel (ordered steps) and as-of join (nearest-prior) queries
+    don't cover: here the touch channel varies per conversion.
+
+    Scale posture: ONE shuffle on user_id; the last-qualifying-touch
+    carries forward via ``last(..., ignorenulls)`` over the user
+    window (incremental frame, no per-purchase rescan, no self-join);
+    the final rollup is a hash agg over ≤ |event types| rows. The
+    7-day budget and the touch→purchase latency use exact BIGINT
+    microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(
+                us.alias("t_us"), F.col("event_type").alias("t_type")
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    flagged = (
+        ev.withColumn("u_us", us)
+        .withColumn("touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "value",
+            "u_us",
+            F.col("touch.t_type").alias("touch_type"),
+            F.col("touch.t_us").alias("t_us"),
+        )
+    )
+    attributed = flagged.select(
+        F.when(
+            F.col("t_us").isNotNull()
+            & (F.col("u_us") - F.col("t_us") <= ATTR_WINDOW_S * 1_000_000),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("(none)"))
+        .alias("touch_type"),
+        "value",
+        (F.col("u_us") - F.col("t_us")).alias("lag_us"),
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("attributed_value"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("touch_type") != "(none)",
+                    F.col("lag_us") / F.lit(60_000_000.0),
+                )
+            ),
+            6,
+        ).alias("avg_minutes_to_convert"),
+    )
+
+
+def orders_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue: monthly order totals with absolute
+    and percentage deltas vs the prior month — the standard
+    period-over-period finance report.
+
+    Scale posture: raw orders collapse in ONE map-side hash agg to
+    month-grain rows; the lag window then runs over those ≤ dozens of
+    rollup rows (the unpartitioned window is over the MONTH dimension,
+    never raw orders). Sums round before differencing so both engines
+    subtract identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(
+            F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+        ).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") - prev, 4).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100.0, 6).alias(
+            "mom_pct"
+        ),
+    )
+
+
+FULFILL_BANDS = (7, 30, 90)  # latency band edges, days
+
+
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency distribution: days from order date to
+    the LAST line shipment, banded (≤7, ≤30, ≤90, >90 days) with order
+    counts and average order value per band.
+
+    Scale posture: lineitem collapses to per-order max shipdate in one
+    hash agg on the SAME orderkey the join then uses (exchange reuse);
+    latency is an exact whole-day datediff; the band rollup is ≤ 4
+    rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    lat = orders.join(
+        shipped, orders["o_orderkey"] == shipped["l_orderkey"]
+    ).select(
+        F.datediff(
+            F.col("last_ship"), F.to_date("o_orderdate")
+        ).alias("days"),
+        "o_totalprice",
+    )
+    band = (
+        F.when(F.col("days") <= FULFILL_BANDS[0], "a_week")
+        .when(F.col("days") <= FULFILL_BANDS[1], "b_month")
+        .when(F.col("days") <= FULFILL_BANDS[2], "c_quarter")
+        .otherwise("d_longer")
+    )
+    return lat.groupBy(band.alias("latency_band")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("days").alias("min_days"),
+        F.max("days").alias("max_days"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_order_value"),
+    )
+
+
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 3
 PAGERANK_TOP = 30
@@ -314,9 +454,14 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides a broadcast scalar combine; ratios derive from exact BIGINTs
     and round at 1e-6."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Persist the distinct basket-item frame: both pair-join sides,
+    # the frequency table, and the basket count consume it, and the
+    # self-join aliasing defeats ReusedExchange here (measured: the
+    # persist is neutral-to-better, 2.9 s → 2.7 s at sf0.1, and drops
+    # the lineitem scan count from 5 to 1).
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().persist()
     n_orders = items.select("okey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
@@ -438,6 +583,12 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             F.floor("monetary").alias("monetary_band"),
         )
+        # Persist: each tiling stage otherwise re-derives the rollup
+        # from raw events for both its counts branch and its join
+        # branch — the unpersisted plan re-scanned events 16× (42
+        # exchanges); persisted, one scan feeds all three tilings
+        # (measured 2.3 s → 1.4 s at sf0.1).
+        .persist()
     )
     tiled = _value_quantile_tiles(
         per_user, "recency_days", "r_tile", ascending=True
@@ -640,6 +791,92 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Weekly cohort-retention triangle (first-active-week cohorts)",
         tags=("§2.11", "A"),
+    ),
+    "attribution_last_touch": QuerySpec(
+        spark=attribution_last_touch,
+        oracle=f"""
+            WITH e AS (
+              SELECT event_id, user_id, event_type, value,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS u_us
+              FROM events),
+            carried AS (
+              SELECT *,
+                     last_value(
+                       CASE WHEN event_type <> 'purchase'
+                            THEN struct_pack(t_us := u_us,
+                                             t_type := event_type)
+                       END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY u_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS touch
+              FROM e),
+            flagged AS (
+              SELECT value, u_us,
+                     touch.t_type AS touch_type,
+                     touch.t_us AS t_us
+              FROM carried WHERE event_type = 'purchase'),
+            attributed AS (
+              SELECT CASE WHEN t_us IS NOT NULL
+                            AND u_us - t_us <= {ATTR_WINDOW_S}::BIGINT
+                                               * 1000000
+                          THEN touch_type ELSE '(none)' END AS touch_type,
+                     value, u_us - t_us AS lag_us
+              FROM flagged)
+            SELECT touch_type,
+                   count(*) AS n_purchases,
+                   round(sum(value), 4) AS attributed_value,
+                   round(avg(CASE WHEN touch_type <> '(none)'
+                                  THEN lag_us / 60000000.0e0 END), 6)
+                     AS avg_minutes_to_convert
+            FROM attributed GROUP BY touch_type
+        """,
+        doc="Last-touch purchase attribution by channel (7-day budget)",
+        tags=("§2.11", "W", "A"),
+    ),
+    "orders_mom_revenue": QuerySpec(
+        spark=orders_mom_revenue,
+        oracle="""
+            WITH monthly AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                     count(*) AS n_orders,
+                     round(sum(o_totalprice), 4) AS revenue
+              FROM orders GROUP BY 1)
+            SELECT month, n_orders, revenue,
+                   round(revenue - lag(revenue) OVER (ORDER BY month), 4)
+                     AS mom_delta,
+                   round((revenue - lag(revenue) OVER (ORDER BY month))
+                         / lag(revenue) OVER (ORDER BY month) * 100.0e0,
+                         6) AS mom_pct
+            FROM monthly
+        """,
+        doc="Month-over-month revenue deltas (rollup-scale lag window)",
+        tags=("§2.11", "W", "A"),
+    ),
+    "order_fulfillment_latency": QuerySpec(
+        spark=order_fulfillment_latency,
+        oracle=f"""
+            WITH shipped AS (
+              SELECT l_orderkey,
+                     max(CAST(l_shipdate AS DATE)) AS last_ship
+              FROM lineitem GROUP BY 1),
+            lat AS (
+              SELECT datediff('day', CAST(o_orderdate AS DATE), last_ship)
+                       AS days,
+                     o_totalprice
+              FROM orders JOIN shipped ON l_orderkey = o_orderkey)
+            SELECT CASE WHEN days <= {FULFILL_BANDS[0]} THEN 'a_week'
+                        WHEN days <= {FULFILL_BANDS[1]} THEN 'b_month'
+                        WHEN days <= {FULFILL_BANDS[2]} THEN 'c_quarter'
+                        ELSE 'd_longer' END AS latency_band,
+                   count(*) AS n_orders,
+                   min(days) AS min_days,
+                   max(days) AS max_days,
+                   round(avg(o_totalprice), 6) AS avg_order_value
+            FROM lat GROUP BY 1
+        """,
+        doc="Order→last-shipment latency bands with order-value stats",
+        tags=("§2.11", "J", "A"),
     ),
     "graph_pagerank_parts": QuerySpec(
         spark=graph_pagerank_parts,

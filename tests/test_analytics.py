@@ -222,3 +222,89 @@ def test_pareto_top_parts_cumulative(spark, sf_dir):
     assert abs(
         rows[1].cum_revenue - (rows[0].revenue + rows[1].revenue)
     ) < 0.01
+
+
+def test_attribution_last_touch_hand(spark, monkeypatch):
+    import datetime as dt
+
+    import solana_etl_pipeline_spark.queries.analytics as mod
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ev(eid, uid, minutes, et, v=1.0):
+        return (eid, uid, base + dt.timedelta(minutes=minutes), et, v)
+
+    rows = [
+        # user 1: click 5 min before purchase → attributed to click
+        ev(1, 1, 0, "click"), ev(2, 1, 5, "purchase", 10.0),
+        # user 2: view 8 days before purchase → outside budget → (none)
+        ev(3, 2, 0, "view"), ev(4, 2, 8 * 1440, "purchase", 20.0),
+        # user 3: purchase with no prior events → (none)
+        ev(5, 3, 0, "purchase", 30.0),
+        # user 4: view then click then purchase → LAST touch (click) wins
+        ev(6, 4, 0, "view"), ev(7, 4, 1, "click"), ev(8, 4, 2, "purchase", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    monkeypatch.setattr(mod, "load_table", lambda s, d, n: df)
+    out = {r.touch_type: r for r in mod.attribution_last_touch(spark, "x").collect()}
+    assert out["click"].n_purchases == 2
+    assert abs(out["click"].attributed_value - 50.0) < 1e-9
+    # lags: 5 min (user 1) and 1 min (user 4, click at +1 → purchase
+    # at +2) → avg 3.0
+    assert abs(out["click"].avg_minutes_to_convert - 3.0) < 1e-9
+    assert out["(none)"].n_purchases == 2
+    assert out["(none)"].avg_minutes_to_convert is None
+    assert "view" not in out  # never the LAST touch
+
+
+def test_orders_mom_revenue_deltas(spark, monkeypatch):
+    import datetime as dt
+
+    import solana_etl_pipeline_spark.queries.analytics as mod
+
+    rows = [
+        (1, 1, "O", 100.0, dt.datetime(2024, 1, 5), "P"),
+        (2, 1, "O", 50.0, dt.datetime(2024, 1, 20), "P"),
+        (3, 1, "O", 300.0, dt.datetime(2024, 2, 1), "P"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+    monkeypatch.setattr(mod, "load_table", lambda s, d, n: df)
+    out = {r.month: r for r in mod.orders_mom_revenue(spark, "x").collect()}
+    assert out["2024-01"].revenue == 150.0
+    assert out["2024-01"].mom_delta is None  # first month has no prior
+    assert out["2024-02"].mom_delta == 150.0
+    assert abs(out["2024-02"].mom_pct - 100.0) < 1e-9
+
+
+def test_order_fulfillment_latency_bands(spark, monkeypatch):
+    import datetime as dt
+
+    import solana_etl_pipeline_spark.queries.analytics as mod
+
+    d0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 100.0, d0, "P"), (2, 1, "O", 200.0, d0, "P")],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+    li = spark.createDataFrame(
+        [
+            # order 1: lines ship day 3 and day 6 → last ship 6 → a_week
+            (1, d0 + dt.timedelta(days=3)), (1, d0 + dt.timedelta(days=6)),
+            # order 2: ships day 45 → c_quarter
+            (2, d0 + dt.timedelta(days=45)),
+        ],
+        ["l_orderkey", "l_shipdate"],
+    )
+    tables = {"orders": orders, "lineitem": li}
+    monkeypatch.setattr(mod, "load_table", lambda s, d, n: tables[n])
+    out = {r.latency_band: r for r in mod.order_fulfillment_latency(spark, "x").collect()}
+    assert out["a_week"].n_orders == 1 and out["a_week"].max_days == 6
+    assert out["c_quarter"].n_orders == 1 and out["c_quarter"].min_days == 45
+    assert abs(out["a_week"].avg_order_value - 100.0) < 1e-9
