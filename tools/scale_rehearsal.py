@@ -678,6 +678,146 @@ def main() -> None:
 
     timed("weighted sample (ES A-Res)", run_weighted)
 
+    # ---- round-7 third batch: seasonal / ewma / attribution /
+    #      profile / overlap family ----
+    def run_seasonal():
+        keyed = events.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.weekday("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        profile = keyed.groupBy("event_type", "dow", "hod").agg(
+            F.round(F.avg("value"), 6).alias("seasonal")
+        )
+        noop(
+            keyed.join(F.broadcast(profile), ["event_type", "dow", "hod"])
+            .select(
+                "event_id",
+                F.round(F.col("value") - F.col("seasonal"), 6).alias("r"),
+            )
+            .orderBy(F.desc(F.abs(F.col("r"))), "event_id")
+            .limit(20)
+        )
+
+    timed("seasonal anomalies (profile broadcast)", run_seasonal)
+
+    def run_ewma():
+        hourly = events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+        ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        w_arr = F.array(*[F.lit(round(0.7**k, 12)) for k in range(20)])
+        contrib = hourly.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("k"),
+            F.col("hour_ts").alias("obs_hour"),
+            "avg_value",
+        ).select(
+            "event_type",
+            (
+                F.col("obs_hour")
+                + F.make_interval(hours=F.col("k").cast("int"))
+            ).alias("hour_ts"),
+            F.element_at(w_arr, F.col("k").cast("int") + 1).alias("w"),
+            "avg_value",
+        )
+        noop(
+            contrib.groupBy("event_type", "hour_ts").agg(
+                F.round(
+                    F.sum(F.col("w") * F.col("avg_value")) / F.sum("w"), 6
+                ).alias("ewma")
+            )
+        )
+
+    timed("ewma (explode over rollup)", run_ewma)
+
+    def run_attr():
+        from pyspark.sql import Window as W
+
+        us = F.unix_micros(F.col("ts"))
+        w = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        touch = F.last(
+            F.when(
+                F.col("event_type") != "buy",
+                F.struct(us.alias("t_us"), F.col("event_type").alias("t")),
+            ),
+            ignorenulls=True,
+        ).over(w)
+        noop(
+            events.withColumn("u_us", us)
+            .withColumn("touch", touch)
+            .where(F.col("event_type") == "buy")
+            .groupBy(F.col("touch.t").alias("t"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    timed("last-touch attribution", run_attr)
+
+    def run_profile():
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for col in ("event_id", "user_id", "value", "event_type"):
+            aggs.append(
+                F.sum(F.col(col).isNull().cast("bigint")).alias(f"nl_{col}")
+            )
+            aggs.append(F.count_distinct(F.col(col)).alias(f"nd_{col}"))
+        noop(events.agg(*aggs))
+
+    timed("column profile (multi-distinct Expand)", run_profile)
+
+    def run_hll_overlap():
+        sk = events.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        a = sk.select(F.col("event_type").alias("ea"), F.col("sk").alias("sa"))
+        b = sk.select(F.col("event_type").alias("eb"), F.col("sk").alias("sb"))
+        noop(
+            a.join(b, F.col("ea") < F.col("eb")).select(
+                "ea",
+                "eb",
+                (
+                    F.hll_sketch_estimate("sa")
+                    + F.hll_sketch_estimate("sb")
+                    - F.hll_sketch_estimate(F.hll_union("sa", "sb"))
+                ).alias("overlap_est"),
+            )
+        )
+
+    timed("hll overlap (sketch-side only)", run_hll_overlap)
+
+    def run_vocab_overlap():
+        from solana_etl_pipeline_spark.llm import tokenize
+
+        sv = docs.select(
+            "source", F.explode(tokenize.words(F.col("text"))).alias("w")
+        ).distinct()
+        x = sv.select(F.col("source").alias("sa"), "w")
+        y = sv.select(F.col("source").alias("sb"), "w")
+        noop(
+            x.join(y, "w")
+            .where(F.col("sa") < F.col("sb"))
+            .groupBy("sa", "sb")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+
+    timed("vocab overlap (pair join)", run_vocab_overlap)
+
+    def run_centroids():
+        noop(
+            emb.select(
+                (F.col("vec_id") % 10).alias("label"),
+                F.posexplode("embedding").alias("dim", "x"),
+            )
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("centroid"))
+        )
+
+    timed("label centroids (posexplode)", run_centroids)
+
     if len(sys.argv) <= 2:
         shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
