@@ -114,6 +114,7 @@ _PRIORITY = (
     "llm_pack_sequences",
     "llm_corpus_filter",
     # --- registered in round 7: never driver-witnessed ---
+    "data_skew_report",
     "attribution_last_touch",
     "orders_mom_revenue",
     "order_fulfillment_latency",

@@ -384,7 +384,59 @@ def _profile_oracle_branch(col: str, kind: str) -> str:
             FROM events"""
 
 
+SKEW_TOP = 10
+
+
+def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostics for events.user_id: the
+    top-10 heaviest keys with their share of all rows and the ratio to
+    a perfectly uniform key — the pre-flight report that decides
+    whether a join needs salting (operators/skew.py) or AQE skew
+    handling before it runs at 100 TB.
+
+    Scale posture: one map-side hash agg to per-key counts; the top-10
+    cut compiles to TakeOrderedAndProject; the two corpus scalars
+    (total rows, distinct keys) ride a 1-row broadcast combine onto
+    the 10 surviving rows. Shares and ratios derive from exact
+    BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    totals = per_key.agg(
+        F.sum("n").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = per_key.orderBy(F.desc("n"), "user_id").limit(SKEW_TOP)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "user_id",
+        "n",
+        F.round(F.col("n") / F.col("total_rows"), 6).alias("row_share"),
+        F.round(
+            F.col("n") * F.col("n_keys") / F.col("total_rows"), 6
+        ).alias("x_uniform"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "data_skew_report": QuerySpec(
+        spark=data_skew_report,
+        oracle=f"""
+            WITH per_key AS (
+              SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+            totals AS (
+              SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+                     count(*) AS n_keys
+              FROM per_key),
+            top AS (
+              SELECT user_id, n FROM per_key
+              ORDER BY n DESC, user_id LIMIT {SKEW_TOP})
+            SELECT user_id, n,
+                   round(n / total_rows, 6) AS row_share,
+                   round(n * n_keys / total_rows, 6) AS x_uniform
+            FROM top, totals
+        """,
+        doc="Top-10 heaviest shuffle keys with uniform-key skew ratio",
+        tags=("§2.11", "A"),
+    ),
     "data_ref_integrity": QuerySpec(
         spark=data_ref_integrity,
         oracle="\n            UNION ALL".join(

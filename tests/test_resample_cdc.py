@@ -213,3 +213,99 @@ def test_cdc_apply_windowless_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan, plan
+
+
+def test_streaming_cdc_foreach_batch_upsert(spark, tmp_path):
+    """The CDC operator driven from a STREAM: a change feed lands as
+    JSON files; each micro-batch folds into the keyed snapshot via
+    apply_changes inside foreachBatch, writing a new snapshot version
+    keyed by batch_id (idempotent under checkpoint replay). The
+    reference's only refresh path is a full rebuild
+    (clean_data.py:292-365); this is the incremental replacement."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from solana_etl_pipeline_spark.operators.cdc import apply_changes
+    from solana_etl_pipeline_spark.streaming.ingest import (
+        foreach_batch_refresh,
+        landing_stream,
+    )
+
+    feed_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base_dir = str(tmp_path / "snap" / "v=0")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    ).write.parquet(base_dir)
+
+    landing = tmp_path / "feed"
+    landing.mkdir()
+    now = _time.time()
+
+    def land(name, rows, mtime):
+        p = str(landing / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    land(
+        "c1.json",
+        [
+            {"doc_id": 2, "seq": 1, "op": "upsert", "text": "b2"},
+            {"doc_id": 3, "seq": 2, "op": "delete", "text": None},
+            {"doc_id": 4, "seq": 3, "op": "upsert", "text": "d"},
+        ],
+        now - 20,
+    )
+    land(
+        "c2.json",
+        [
+            {"doc_id": 4, "seq": 4, "op": "delete", "text": None},
+            {"doc_id": 3, "seq": 5, "op": "upsert", "text": "c2"},
+        ],
+        now - 10,
+    )
+
+    snap_root = str(tmp_path / "snap")
+    state = {"version": 0}
+
+    def upsert(batch_df, batch_id):
+        # idempotent on batch_id: the output version dir is a pure
+        # function of it; a replayed batch overwrites the same dir
+        cur = spark.read.parquet(f"{snap_root}/v={state['version']}")
+        nxt = apply_changes(cur, batch_df, key="doc_id")
+        nxt.write.mode("overwrite").parquet(f"{snap_root}/v={batch_id + 1}")
+        state["version"] = batch_id + 1
+
+    stream = landing_stream(
+        spark, str(landing), feed_schema, max_files_per_trigger=1
+    )
+    foreach_batch_refresh(stream, upsert, str(tmp_path / "ckpt"))
+    final = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            f"{snap_root}/v={state['version']}"
+        ).collect()
+    }
+    # doc2 updated, doc3 deleted-then-reupserted, doc4 inserted-then-
+    # deleted, doc1 untouched
+    assert final == {1: "a", 2: "b2", 3: "c2"}
+
+    # checkpoint replay: a second drain sees no new files and leaves
+    # the snapshot version untouched
+    v_before = state["version"]
+    stream2 = landing_stream(
+        spark, str(landing), feed_schema, max_files_per_trigger=1
+    )
+    foreach_batch_refresh(stream2, upsert, str(tmp_path / "ckpt"))
+    assert state["version"] == v_before

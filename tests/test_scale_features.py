@@ -156,6 +156,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # HLL overlap: the pair enumeration is a 5-row × 5-row
         # sketch-table theta self-join (event-type dimension scale)
         "sketch_hll_overlap",
+        # skew report: the 1-row (total, n_keys) scalar broadcasts
+        # onto the 10 surviving top-k rows
+        "data_skew_report",
     }
     offenders = []
     for name, spec in QUERIES.items():
