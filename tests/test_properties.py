@@ -315,3 +315,115 @@ def test_tokenizer_three_engines_agree_on_any_text(spark, texts):
         expect = py_words(t)
         assert got_spark[i] == expect, (repr(t), got_spark[i], expect)
         assert got_duck[i] == expect, (repr(t), got_duck[i], expect)
+
+
+# ---------------------------------------------- interval merge (r7)
+
+_iv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user
+        st.integers(min_value=0, max_value=10_000),     # start second
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_interval_merge(rows, hold_s):
+    """Reference merge: per key, sort starts, sweep, count islands and
+    exact covered seconds."""
+    out = {}
+    by_key = {}
+    for k, s in rows:
+        by_key.setdefault(k, []).append(s)
+    for k, starts in by_key.items():
+        ivs = sorted((s, s + hold_s) for s in starts)
+        islands = 0
+        covered = 0
+        cur_s = cur_e = None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                islands += 1
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        out[k] = (islands, covered, len(starts))
+    return out
+
+
+@_SETTINGS
+@given(data=_iv_rows)
+def test_interval_coverage_matches_python_sweep(spark, data):
+    """operators/intervals.py ≡ the classical single-threaded sweep on
+    arbitrary overlapping/touching/duplicate intervals."""
+    import datetime as dt
+
+    from solana_etl_pipeline_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s)) for k, s in data],
+        ["user_id", "ts"],
+    )
+    got = {
+        r.key: (r.n_islands, r.covered_sec, r.n_events)
+        for r in interval_coverage(
+            df, "user_id", "ts", hold_seconds=600
+        ).collect()
+    }
+    assert got == _py_interval_merge(data, 600)
+
+
+# --------------------------------------------------- pagerank (r7)
+
+_edge_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # left node
+        st.integers(min_value=10, max_value=14), # right node (disjoint)
+    ),
+    min_size=1,
+    max_size=15,
+    unique=True,
+)
+
+
+def _py_pagerank(edges, damping=0.85, n_iter=3, r=9):
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({x for e in und for x in e})
+    deg = {n: sum(1 for s, _ in und if s == n) for n in nodes}
+    rank = {n: round(1.0 / len(nodes), r) for n in nodes}
+    tele = (1.0 - damping) / float(len(nodes))
+    for _ in range(n_iter):
+        mass = {n: 0.0 for n in nodes}
+        for s, d in sorted(und):
+            mass[d] += rank[s] / deg[s]
+        rank = {n: round(tele + damping * mass[n], r) for n in nodes}
+    return rank
+
+
+@_SETTINGS
+@given(edges=_edge_rows)
+def test_pagerank_matches_python_twin(spark, edges):
+    """operators/graph.py ≡ a sequential Python PageRank with the same
+    per-iteration rounding (summation-order float drift lives below
+    the 1e-9 grain on these graph sizes, so equality is exact at 1e-6
+    reporting)."""
+    from solana_etl_pipeline_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(list(edges), ["src", "dst"])
+    got = {
+        r.node: round(r.rank, 6)
+        for r in pagerank(df, n_iter=3).collect()
+    }
+    want = {
+        n: round(v, 6) for n, v in _py_pagerank(list(edges)).items()
+    }
+    assert got == want
