@@ -68,75 +68,22 @@ for _mod in (
 # Driver-facing ordering. The verify harness checks a prefix of the
 # registry (~50 queries per round), so the order is score-bearing.
 # Rotation invariant (see README.md "Prefix rotation" and
-# tools/staleness.py): every query's most recent driver-green
-# CORRECTNESS row must be at most two rounds old. Each round the
-# prefix is regenerated mechanically with
-#     python tools/staleness.py --budget 50
-# which orders never-witnessed queries first, then witnessed queries
-# stalest-first. The round-7 ordering below is that tool's full-registry
-# output at r6 HEAD: the 27 queries last driver-witnessed in r4 (aged 2
-# after r6) lead, then the r5-green block, then the r6-green block
-# (freshest rows last). Round 7 registered 39 new queries — more than
-# the budget can absorb alongside the 27 must-rotate r4 rows — so the
-# planner (and this ordering) puts MUST-ROTATE first: the two-round
-# invariant is enforceable evidence, a first witness is best-effort
-# and the overflow takes its first driver row in r8.
+# tools/staleness.py): every witnessed query's most recent
+# driver-green CORRECTNESS row must be at most invariant_bound() =
+# ceil(N_queries / 50) rounds old — 4 at the current 170 queries. The
+# bound is derived from rotation arithmetic (a full rotation takes
+# ceil(170/50) = 4 rounds), replacing the round<=7 hand-written
+# "two rounds" invariant that was unsatisfiable at this registry size.
+# Each round the prefix is regenerated mechanically with
+#     python tools/staleness.py --budget 170
+# Tiers: (1) witnessed queries that would breach the bound next round,
+# (2) never-witnessed queries (first-witness priority), (3) remaining
+# witnessed queries stalest-first. The round-9 ordering below is that
+# tool's full-registry output at r8 HEAD: no query is at staleness >=
+# 4, so the 20 never-witnessed round-7 registrations lead, then the
+# 50-query r5-green block (staleness 3), then r6 (staleness 2), then
+# the r8-green block (freshest rows last).
 _PRIORITY = (
-    # --- MUST-ROTATE: staleness 2 (last green r04) — these breach the
-    # two-round invariant if they miss the r7 prefix, so they lead it;
-    # round-7 registrations (never witnessed, gate not yet binding)
-    # follow and the overflow takes its first driver row in r8.
-    "events_value_banding",
-    "events_pst_rendering",
-    "token_detail_view",
-    "join_left_semi",
-    "join_fact_revenue",
-    "window_lag_delta",
-    "window_running_sum",
-    "window_rank_customers",
-    "setop_intersect",
-    "distinct_event_types",
-    "agg_rollup_returnflag",
-    "agg_cube_orders",
-    "agg_collect_set_sorted",
-    "nested_dispatch_agg",
-    "unpivot_lineitem_metrics",
-    "skew_salted_user_rollup",
-    "data_quality_report",
-    "data_quality_split",
-    "normalized_exact_dedup",
-    "risk_scores_topk_approx",
-    "sketch_rollup_distinct_users",
-    "sample_stratified",
-    "llm_tfidf_top_terms",
-    "llm_bm25_search",
-    "llm_pii_redact",
-    "llm_pack_sequences",
-    "llm_corpus_filter",
-    # --- registered in round 7: never driver-witnessed ---
-    "data_skew_report",
-    "attribution_last_touch",
-    "orders_mom_revenue",
-    "order_fulfillment_latency",
-    "events_seasonal_anomalies",
-    "sketch_hll_overlap",
-    "llm_source_vocab_overlap",
-    "events_ewma_hourly",
-    "data_ref_integrity",
-    "profile_events_columns",
-    "llm_label_centroids",
-    "events_interval_coverage",
-    "graph_pagerank_parts",
-    "basket_part_pairs",
-    "user_rfm_segments",
-    "data_benford_digits",
-    "session_paths_topk",
-    "events_gapfill_locf",
-    "events_time_weighted_avg",
-    "cdc_apply_documents",
-    "drift_psi_report",
-    "llm_pmi_bigrams",
-    "llm_weighted_sample",
     "events_transition_matrix",
     "pareto_top_parts",
     "events_ohlc_bars",
@@ -157,7 +104,6 @@ _PRIORITY = (
     "llm_substring_dedup",
     "llm_ccnet_buckets",
     "llm_bpe_top_pairs",
-    # --- staleness 1 (last green r05) ---
     "llm_export_shards",
     "llm_token_heavy_hitters",
     "sink_zorder_roundtrip",
@@ -173,7 +119,6 @@ _PRIORITY = (
     "llm_repetition_rules",
     "llm_mixture_sample",
     "llm_chunk_documents",
-    # --- position 51+: below the 50-query driver budget ---
     "streaming_interval_join",
     "llm_split_assign",
     "llm_lm_quality_score",
@@ -209,7 +154,6 @@ _PRIORITY = (
     "agg_grouping_sets",
     "agg_percentiles_stddev",
     "streaming_hourly_rollup",
-    # --- staleness 0 (last green r06) ---
     "llm_paragraph_dedup",
     "llm_pq_cosine_topk",
     "sketch_cms_user_counts",
@@ -260,6 +204,56 @@ _PRIORITY = (
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
     "events_hourly_rollup",
+    "events_value_banding",
+    "events_pst_rendering",
+    "token_detail_view",
+    "join_left_semi",
+    "join_fact_revenue",
+    "window_lag_delta",
+    "window_running_sum",
+    "window_rank_customers",
+    "setop_intersect",
+    "distinct_event_types",
+    "agg_rollup_returnflag",
+    "agg_cube_orders",
+    "agg_collect_set_sorted",
+    "nested_dispatch_agg",
+    "unpivot_lineitem_metrics",
+    "skew_salted_user_rollup",
+    "data_quality_report",
+    "data_quality_split",
+    "normalized_exact_dedup",
+    "risk_scores_topk_approx",
+    "sketch_rollup_distinct_users",
+    "sample_stratified",
+    "llm_tfidf_top_terms",
+    "llm_bm25_search",
+    "llm_pii_redact",
+    "llm_pack_sequences",
+    "llm_corpus_filter",
+    "data_skew_report",
+    "attribution_last_touch",
+    "orders_mom_revenue",
+    "order_fulfillment_latency",
+    "events_seasonal_anomalies",
+    "sketch_hll_overlap",
+    "llm_source_vocab_overlap",
+    "events_ewma_hourly",
+    "data_ref_integrity",
+    "profile_events_columns",
+    "llm_label_centroids",
+    "events_interval_coverage",
+    "graph_pagerank_parts",
+    "basket_part_pairs",
+    "user_rfm_segments",
+    "data_benford_digits",
+    "session_paths_topk",
+    "events_gapfill_locf",
+    "events_time_weighted_avg",
+    "cdc_apply_documents",
+    "drift_psi_report",
+    "llm_pmi_bigrams",
+    "llm_weighted_sample",
 )
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -147,15 +147,21 @@ def test_sink_format_seam_delta_writer_wiring(spark, monkeypatch, tmp_path):
 def test_correctness_witnesses_not_stale():
     """Prefix-rotation invariant (README 'Prefix rotation'): every
     driver-witnessed query's most recent green CORRECTNESS row is at
-    most two rounds old. tools/staleness.py computes this from the
-    CORRECTNESS_r*.json files; a missed rotation trips this test one
-    round later instead of silently aging the evidence."""
+    most ``invariant_bound()`` rounds old — ceil(N_queries / 50), the
+    tightest bound a 50-row-per-round rotation can arithmetically
+    satisfy (plus its built-in backlog-slack round; see
+    tools/staleness.py). A missed rotation trips this test one round
+    later instead of silently aging the evidence."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     try:
-        from tools.staleness import load_witness_rounds, registry_names
+        from tools.staleness import (
+            invariant_bound,
+            load_witness_rounds,
+            registry_names,
+        )
     finally:
         sys.path.pop(0)
 
@@ -163,14 +169,16 @@ def test_correctness_witnesses_not_stale():
     if latest == 0:  # pragma: no cover - fresh checkout without rows
         pytest.skip("no CORRECTNESS files on disk")
     names = registry_names()
+    bound = invariant_bound(len(names))
     over = {
         n: latest - last_green[n]
         for n in names
-        if n in last_green and latest - last_green[n] > 2
+        if n in last_green and latest - last_green[n] > bound
     }
     assert not over, (
-        f"stale correctness witnesses (regenerate _PRIORITY with "
-        f"`python tools/staleness.py --budget 50`): {over}"
+        f"correctness witnesses older than the invariant bound "
+        f"(staleness <= {bound} = ceil({len(names)}/50); regenerate "
+        f"_PRIORITY with `python tools/staleness.py`): {over}"
     )
 
 

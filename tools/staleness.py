@@ -1,38 +1,74 @@
 """Correctness-witness staleness audit + prefix-rotation planner.
 
-The driver verifies a ~50-query prefix of the registry each round and
-records the results in ``CORRECTNESS_r{N}.json``.  The rotation
-invariant (documented in README.md "Prefix rotation") is:
+The driver verifies a ~``PREFIX_BUDGET``-query prefix of the registry
+each round and records the results in ``CORRECTNESS_r{N}.json``.  The
+rotation invariant (documented in README.md "Prefix rotation") is:
 
     every registered query's most recent driver-green row is at most
-    TWO rounds old once it has been witnessed at least once.
+    ``invariant_bound()`` rounds old once it has been witnessed.
+
+The bound is **derived from arithmetic, not aspiration**: with N
+registered queries and a budget of B driver rows per round, a full
+rotation takes ``ceil(N / B)`` rounds, so the tightest staleness any
+perfect rotation can guarantee in steady state is ``ceil(N / B) - 1``
+— and one extra round of slack absorbs a backlog-recovery round (e.g.
+a burst of new registrations, or digging out of a missed round)
+without making the gate permanently red.  Hence::
+
+    invariant_bound() == ceil(len(registry) / PREFIX_BUDGET)
+
+At 170 queries / 50 rows that is 4.  The earlier hand-written
+"two rounds" invariant was unsatisfiable at this registry size
+(ceil(170/50) = 4 > 2) — see VERDICT r7 task #1 / r8 task #2.
 
 This tool computes, from the CORRECTNESS files on disk:
 
   * the last round each registered query was driver-witnessed green;
   * the staleness (rounds since last green) of every query;
-  * a recommended next-round prefix: all queries whose staleness would
-    exceed the invariant next round, oldest first, padded with the
-    next-oldest greens up to the prefix budget.
+  * a recommended next-round prefix, in three tiers:
+      1. witnessed queries that would BREACH the bound next round
+         (staleness >= bound now);
+      2. never-witnessed queries (first-witness priority);
+      3. remaining witnessed queries, stalest first.
 
 Run as a script for a human-readable report::
 
     python tools/staleness.py [--budget 50] [--fail-over N]
 
 ``--fail-over N`` exits non-zero if any witnessed query is more than N
-rounds stale — used by ``tests/test_hardening.py`` to keep the
-rotation mechanical instead of relying on a hand-maintained comment.
+rounds stale (default: ``invariant_bound()``) — used by
+``tests/test_hardening.py`` to keep the rotation mechanical instead of
+relying on a hand-maintained comment.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import re
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+#: Driver rows per round — set by the verify harness, not by us.
+PREFIX_BUDGET = 50
+
+
+def invariant_bound(n_queries: int | None = None,
+                    budget: int = PREFIX_BUDGET) -> int:
+    """Maximum permitted witness staleness, derived from rotation math.
+
+    ``ceil(N / B)``: the number of rounds a full rotation of N queries
+    takes at B driver rows per round.  Perfect rotation keeps steady-
+    state staleness at ``ceil(N/B) - 1``; the extra round of headroom
+    covers transient backlog (registration bursts, recovery from a
+    missed round) so the gate is satisfiable, not merely aspirational.
+    """
+    if n_queries is None:
+        n_queries = len(registry_names())
+    return max(1, math.ceil(n_queries / budget))
 
 
 def load_witness_rounds(repo: Path = REPO) -> tuple[int, dict[str, int]]:
@@ -72,20 +108,25 @@ def registry_names() -> list[str]:
     return list(QUERIES)
 
 
-def plan_next_prefix(budget: int = 50) -> dict:
+def plan_next_prefix(budget: int = PREFIX_BUDGET) -> dict:
     """Compute staleness and the recommended next-round prefix."""
     latest, last_green = load_witness_rounds()
     names = registry_names()
+    # The invariant bound always uses the driver's real per-round row
+    # count (PREFIX_BUDGET); ``budget`` only controls how much of the
+    # recommended ordering this call emits.
+    bound = invariant_bound(len(names))
     staleness = {n: latest - last_green[n] for n in names if n in last_green}
     unwitnessed = [n for n in names if n not in last_green]
     # Next round, everything ages one more round. Priority order:
-    #   1. MUST-ROTATE — witnessed queries at staleness >= 2, which
-    #      would breach the two-round invariant (and trip the
+    #   1. MUST-ROTATE — witnessed queries at staleness >= bound,
+    #      which would breach the invariant (and trip the
     #      test_hardening gate) if they miss the next prefix;
-    #   2. never-witnessed queries — a first driver row is best-effort
-    #      (the gate only binds once a query has been witnessed), so
-    #      in a heavy-registration round they wait a round rather than
-    #      aging enforceable evidence past the invariant;
+    #   2. never-witnessed queries — first-witness priority: a query
+    #      with zero driver rows is weaker evidence than one aging
+    #      within the bound, so first witnesses outrank non-urgent
+    #      refreshes (the bound's built-in slack round is what makes
+    #      this safe for the refresh backlog);
     #   3. the remaining witnessed queries, stalest first.
     # Stable registry order within each tier keeps the plan
     # deterministic.
@@ -94,11 +135,12 @@ def plan_next_prefix(budget: int = 50) -> dict:
         (n for n in names if n in last_green),
         key=lambda n: (-staleness[n], order[n]),
     )
-    must_rotate = [n for n in witnessed if staleness[n] >= 2]
-    rest = [n for n in witnessed if staleness[n] < 2]
+    must_rotate = [n for n in witnessed if staleness[n] >= bound]
+    rest = [n for n in witnessed if staleness[n] < bound]
     prefix = must_rotate + unwitnessed + rest
     return {
         "latest_round": latest,
+        "bound": bound,
         "unwitnessed": unwitnessed,
         "staleness": staleness,
         "recommended_prefix": prefix[:budget],
@@ -107,20 +149,24 @@ def plan_next_prefix(budget: int = 50) -> dict:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--budget", type=int, default=50)
+    ap.add_argument("--budget", type=int, default=PREFIX_BUDGET)
     ap.add_argument("--fail-over", type=int, default=None, metavar="N",
-                    help="exit 1 if any witnessed query is > N rounds stale")
+                    help="exit 1 if any witnessed query is > N rounds "
+                         "stale (default: invariant_bound())")
     args = ap.parse_args(argv)
 
     plan = plan_next_prefix(args.budget)
+    if args.fail_over is None:
+        args.fail_over = plan["bound"]
     stale = plan["staleness"]
     by_age: dict[int, list[str]] = {}
     for n, s in stale.items():
         by_age.setdefault(s, []).append(n)
-    print(f"latest driver round: r{plan['latest_round']:02d}")
+    print(f"latest driver round: r{plan['latest_round']:02d}  "
+          f"(invariant bound: staleness <= {plan['bound']})")
     for age in sorted(by_age, reverse=True):
         print(f"  staleness {age}: {len(by_age[age])} queries")
-        if age >= 2:
+        if age >= plan["bound"]:
             for n in by_age[age]:
                 print(f"    - {n}")
     if plan["unwitnessed"]:
