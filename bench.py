@@ -19,6 +19,18 @@ one sweep — one rep of many queries — and the per-query median across
 sweeps rejects it, whereas back-to-back reps put all three inside the
 burst (round 4 recorded an 11.5 s simhash median that re-ran at
 1.7 s). Per-query ``{median, min, n}`` goes to BENCH_FULL.json.
+
+Noisy tail (round-8 verdict): at n=3 a single burst still lands within
+1 of the median rank, so unchanged queries swung ±50% round-over-round.
+After the base sweeps, queries whose median/min spread exceeds
+``SPARK_GRAFT_BENCH_SPREAD`` (default 1.4) get up to
+``SPARK_GRAFT_BENCH_EXTRA`` (default 2) additional sweeps — run
+INTERLEAVED over just the noisy subset, same burst-rejection argument —
+and the median is recomputed over all runs. Extra wall is proportional
+to the noisy subset, not the whole registry. Every run also appends one
+line to ``BENCH_HISTORY.jsonl`` (git HEAD + full per-query detail) so
+round-over-round comparison doesn't depend on git archaeology of the
+mutable BENCH_FULL.json.
 """
 
 from __future__ import annotations
@@ -60,18 +72,47 @@ def main() -> None:
             # so every rep pays the same (cold-cache) cost.
             spark.catalog.clearCache()
         print(f"# sweep {sweep + 1}/{reps} done", file=sys.stderr)
+
+    def median(runs: list[float]) -> float:
+        return sorted(runs)[len(runs) // 2]
+
+    # Adaptive top-up for the noisy tail: give high-spread queries more
+    # median votes so one or two bursts can't set the reported number.
+    # The floor (0.25 s) skips sub-second queries whose spread is cheap
+    # scheduler jitter, not signal the round comparison cares about.
+    spread_cap = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD", "1.4"))
+    extra = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2")))
+    noisy = [
+        name
+        for name, runs in all_runs.items()
+        if min(runs) > 0 and median(runs) / min(runs) > spread_cap
+        and median(runs) > 0.25
+    ]
+    for sweep in range(extra if noisy else 0):
+        for name in noisy:
+            t0 = time.perf_counter()
+            execute(QUERIES[name].spark(spark, sf_dir))
+            all_runs[name].append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        print(
+            f"# top-up sweep {sweep + 1}/{extra} over {len(noisy)} "
+            f"noisy queries done",
+            file=sys.stderr,
+        )
+
     timings: dict[str, float] = {}
     detail: dict[str, dict[str, float]] = {}
     for name, runs in all_runs.items():
-        med = sorted(runs)[len(runs) // 2]
+        med = median(runs)
         timings[name] = round(med, 4)
         detail[name] = {
             "median": round(med, 4),
             "min": round(min(runs), 4),
-            "n": reps,
+            "n": len(runs),
         }
         print(
-            f"# {name}: median {med:.3f}s min {min(runs):.3f}s n={reps}",
+            f"# {name}: median {med:.3f}s min {min(runs):.3f}s "
+            f"n={len(runs)}",
             file=sys.stderr,
         )
 
@@ -88,6 +129,31 @@ def main() -> None:
     sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_FULL.json")
     with open(sidecar, "w") as fh:
         json.dump({"total_sec": total, "sf": sf_val, "queries": detail}, fh)
+
+    # Append-only history: BENCH_FULL.json is overwritten each run, so
+    # per-round per-query records previously survived only via git
+    # archaeology of one mutable file. One JSONL line per run, keyed by
+    # git HEAD, preserves every record. Smoke drives that redirect the
+    # sidecar (the verify recipe) skip the history too.
+    if "SPARK_GRAFT_BENCH_SIDECAR" not in os.environ:
+        try:
+            import subprocess
+
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=os.path.dirname(
+                    os.path.abspath(__file__)),
+            ).stdout.strip() or None
+        except OSError:  # pragma: no cover - git absent
+            head = None
+        with open("BENCH_HISTORY.jsonl", "a") as fh:
+            fh.write(json.dumps({
+                "head": head,
+                "ts": int(time.time()),
+                "sf": sf_val,
+                "total_sec": total,
+                "queries": detail,
+            }) + "\n")
 
     headline = [
         "risk_scores_topk",
