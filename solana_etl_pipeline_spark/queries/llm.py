@@ -740,8 +740,8 @@ QUERIES: dict[str, QuerySpec] = {
         spark=llm_substring_dedup,
         oracle=f"""
             -- Full recompute: windows grouped on the raw 20-token
-            -- gram (the engine groups sha256 digests — identical up
-            -- to collisions, convention 2). Keep-first order uses
+            -- gram (the engine groups xxhash64-pair digests —
+            -- identical up to collisions, convention 2). Keep-first order uses
             -- doc_id*1000000+pos, equivalent to the engine's
             -- min(struct(doc_id, pos)) while positions stay below
             -- 1e6 (fixture docs are ~100 tokens).
