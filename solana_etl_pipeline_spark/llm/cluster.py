@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from solana_etl_pipeline_spark.plans.audit import record_pre_checkpoint
+
 
 def connected_components(
     pairs: DataFrame,
@@ -49,6 +51,7 @@ def connected_components(
         # materialize once: every iteration (and its convergence probe)
         # re-reads edges — without this, an expensive upstream pair
         # generator (MinHash-LSH) recomputes per round
+        record_pre_checkpoint("cc:edges", edges)
         edges = edges.localCheckpoint(eager=True)
 
     # Round 1 folded into initialization: with identity starting labels
@@ -63,6 +66,7 @@ def connected_components(
         .agg(F.min("component").alias("component"))
     )
     if checkpoint:
+        record_pre_checkpoint("cc:init_labels", labels)
         labels = labels.localCheckpoint(eager=False)
 
     # Convergence probe: per vertex the label is min(self ∪ neighbors),
@@ -91,6 +95,7 @@ def connected_components(
         if checkpoint:
             # eager=False: the probe below is the materializing action,
             # so checkpoint + convergence test cost ONE job per round
+            record_pre_checkpoint("cc:iter_labels", new_labels)
             new_labels = new_labels.localCheckpoint(eager=False)
         cur_sum = _label_sum(new_labels)
         labels = new_labels

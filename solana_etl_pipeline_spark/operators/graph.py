@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from solana_etl_pipeline_spark.plans.audit import record_pre_checkpoint
+
 ITER_ROUND = 9  # per-iteration rounding grain (see module docstring)
 
 
@@ -73,7 +75,9 @@ def pagerank(
     # the raw input, turning 3 iterations into ~3× redundant work and
     # an ever-deeper lineage (same discipline as llm/cluster.py:52).
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edged = und.join(deg, "src").localCheckpoint(eager=True)
+    edged = und.join(deg, "src")
+    record_pre_checkpoint("pagerank:edged", edged)
+    edged = edged.localCheckpoint(eager=True)
 
     nodes = edged.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar probe: |V|, driver-trivial
@@ -98,5 +102,7 @@ def pagerank(
                 F.lit(teleport) + F.lit(damping) * F.col("mass"),
                 ITER_ROUND,
             ).alias("rank"),
-        ).localCheckpoint(eager=False)  # truncate per-round lineage
+        )
+        record_pre_checkpoint("pagerank:iter_ranks", ranks)
+        ranks = ranks.localCheckpoint(eager=False)  # truncate lineage
     return ranks

@@ -11,6 +11,7 @@ rounds without re-running the bench.
 
 from __future__ import annotations
 
+import contextlib
 import re
 
 from pyspark.sql import DataFrame
@@ -19,6 +20,47 @@ from pyspark.sql import DataFrame
 def executed_plan(df: DataFrame) -> str:
     """The executed physical plan, as Spark prints it."""
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- #
+# Pre-checkpoint plan capture.
+#
+# Iterative operators (connected components, PageRank) truncate their
+# lineage with localCheckpoint each round, so the FINAL DataFrame's
+# plan is just a scan of checkpointed partitions — 0 exchanges, 0
+# joins. Auditing only final plans therefore leaves the graph family
+# invisible to the cartesian-product gate and to PLANS.md (r7 task #4
+# / r8 task #7). The fix: the iterative operators call
+# ``record_pre_checkpoint`` with each DataFrame RIGHT BEFORE
+# checkpointing it; inside a ``capture_pre_checkpoint_plans()`` scope
+# those per-round plans are collected (compiling the plan is
+# driver-side only — nothing extra executes). Outside a capture scope
+# the call is a no-op ``is None`` check, so production runs pay
+# nothing.
+# ---------------------------------------------------------------- #
+
+_PRE_CHECKPOINT: list[dict[str, str]] | None = None
+
+
+@contextlib.contextmanager
+def capture_pre_checkpoint_plans():
+    """Collect ``{"stage": ..., "plan": ...}`` for every checkpointed
+    intermediate built inside the scope. Reentrant-safe (inner scopes
+    shadow, then restore)."""
+    global _PRE_CHECKPOINT
+    prev = _PRE_CHECKPOINT
+    _PRE_CHECKPOINT = captured = []
+    try:
+        yield captured
+    finally:
+        _PRE_CHECKPOINT = prev
+
+
+def record_pre_checkpoint(stage: str, df: DataFrame) -> None:
+    """Called by iterative operators just before ``localCheckpoint``;
+    no-op unless a capture scope is active."""
+    if _PRE_CHECKPOINT is not None:
+        _PRE_CHECKPOINT.append({"stage": stage, "plan": executed_plan(df)})
 
 
 def formatted_explain(df: DataFrame) -> str:
@@ -87,8 +129,13 @@ def plan_report(queries, spark, sf_dir: str) -> dict[str, dict]:
     scan pushdown lines. ``queries`` is ``{name: (spark, sf_dir) -> DataFrame}``."""
     report: dict[str, dict] = {}
     for name, fn in queries.items():
-        df = fn(spark, sf_dir)
-        plan = executed_plan(df)
+        # capture per-round plans of checkpointed intermediates so the
+        # iterative queries report their real join/exchange counts
+        # instead of a bare checkpoint scan
+        with capture_pre_checkpoint_plans() as staged:
+            df = fn(spark, sf_dir)
+            plan = executed_plan(df)
+        plans = [plan] + [s["plan"] for s in staged]
         counts: dict[str, int] = {}
         for op in (
             "Exchange", "BroadcastHashJoin", "SortMergeJoin",
@@ -98,8 +145,10 @@ def plan_report(queries, spark, sf_dir: str) -> dict[str, dict]:
             "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
             "MapInPandas",
         ):
-            n = plan.count(op)
+            n = sum(p.count(op) for p in plans)
             if n:
                 counts[op] = n
         report[name] = {"operators": counts, "scans": scan_info(df)}
+        if staged:
+            report[name]["checkpoint_stages"] = len(staged)
     return report

@@ -14,6 +14,7 @@ from solana_etl_pipeline_spark.sources import load_table
 
 from solana_etl_pipeline_spark.plans import (
     assert_plan,
+    capture_pre_checkpoint_plans as _capture_plans,
     executed_plan as _executed_plan,
     formatted_explain as _optimized_explain,
     scan_info,
@@ -166,8 +167,17 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
             continue
         if name.startswith(("sink_", "enrich_http")):
             continue  # write temp dirs; plan shape covered elsewhere
-        plan = _executed_plan(spec.spark(spark, sf_dir))
-        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        # capture the pre-checkpoint plans too: the iterative queries
+        # (connected components, PageRank) truncate lineage per round,
+        # so their final plan is a bare checkpoint scan and only the
+        # captured per-round plans contain the joins this gate audits
+        with _capture_plans() as staged:
+            plans = [_executed_plan(spec.spark(spark, sf_dir))]
+        plans += [s["plan"] for s in staged]
+        if any(
+            "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+            for p in plans
+        ):
             offenders.append(name)
     assert not offenders, offenders
 
