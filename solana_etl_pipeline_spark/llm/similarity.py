@@ -216,8 +216,6 @@ def kmeans_fit(
     """
     import numpy as np
 
-    from pyspark.sql.types import IntegerType
-
     from solana_etl_pipeline_spark.llm.export import shard_scramble
 
     spark = df.sparkSession
@@ -264,42 +262,105 @@ def kmeans_fit(
             ).alias(vec_col),
         )
 
+    vecs_only = valid.select(_as_double(F.col(vec_col)).alias("v"))
     for _ in range(n_iters):
-        # training fast path: one numpy matmul per Arrow batch against
+        # Training fast path: one numpy matmul per partition against
         # the closure-captured codebook (the interpreted HOF dot in
         # ivf_assignments costs ~10× more per assignment — same
-        # trade-off as the SRP bucketing matmul above)
+        # trade-off as the SRP bucketing matmul above), with the
+        # per-cluster SUM reduced inside the same Arrow pass (classic
+        # two-phase distributed k-means). The previous shape — emit a
+        # per-row cluster_id, then groupBy with ``dim`` separate
+        # ``avg(v[i])`` aggregate columns — spent ~3 s/iteration just
+        # code-generating the 64-column aggregate and shipped every
+        # vector back out of Python; the partial-sum shape ships
+        # ≤ k×(dim+1) rows per partition and aggregates 3 flat
+        # columns (map-side combined, k×dim final groups — index
+        # metadata, never corpus-sized).
         cmat = np.array(
             [codebook[cid] for cid in sorted(codebook)], dtype=np.float64
         )
         cnorm = np.linalg.norm(cmat, axis=1)
         cnorm[cnorm == 0.0] = 1.0
+        kk = cmat.shape[0]
 
-        @F.pandas_udf(IntegerType())
-        def _nearest(vecs: pd.Series) -> pd.Series:
-            if len(vecs) == 0:
-                return pd.Series([], dtype="int32")
-            # the `valid` pre-filter guarantees non-null fixed-dim rows
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            vnorm = np.linalg.norm(m, axis=1)
-            vnorm[vnorm == 0.0] = 1.0
-            sims = (m @ cmat.T) / np.outer(vnorm, cnorm)
-            # argmax returns the FIRST max — the lowest cluster_id,
-            # matching ivf_assignments' row_number tie-break
-            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+        def _partials(batches):
+            import numpy as np
 
-        means = (
-            valid.select(
-                _nearest(_as_double(F.col(vec_col))).alias("cluster_id"),
-                _as_double(F.col(vec_col)).alias("v"),
+            sums = np.zeros((kk, dim), dtype=np.float64)
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                # the `valid` pre-filter guarantees fixed-dim rows
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                vnorm = np.linalg.norm(m, axis=1)
+                vnorm[vnorm == 0.0] = 1.0
+                sims = (m @ cmat.T) / np.outer(vnorm, cnorm)
+                # argmax returns the FIRST max — the lowest
+                # cluster_id, matching ivf_assignments' tie-break
+                cid = np.argmax(sims, axis=1)
+                np.add.at(sums, cid, m)
+                np.add.at(counts, cid, 1)
+            present = np.nonzero(counts)[0]
+            if len(present) == 0:
+                return
+            # pos -1 carries the member count; 0..dim-1 the coord sums
+            yield pd.DataFrame({
+                "cluster_id": np.repeat(present, dim + 1).astype("int32"),
+                "pos": np.tile(np.arange(-1, dim), len(present)).astype(
+                    "int32"
+                ),
+                "s": np.concatenate(
+                    [
+                        np.concatenate(([float(counts[c])], sums[c]))
+                        for c in present
+                    ]
+                ),
+            })
+
+        cells = (
+            vecs_only.mapInPandas(
+                _partials, schema="cluster_id int, pos int, s double"
             )
-            .groupBy("cluster_id")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("s").alias("s"))
             .collect()
         )
-        for r in means:
-            codebook[r.cluster_id] = [r[f"c{i}"] for i in range(dim)]
+        counts = {
+            r.cluster_id: r.s for r in cells if r.pos == -1
+        }
+        new_sums: dict[int, list[float]] = {
+            cid: [0.0] * dim for cid in counts
+        }
+        for r in cells:
+            if r.pos >= 0:
+                new_sums[r.cluster_id][r.pos] = r.s
+        for cid, total in counts.items():
+            # empty clusters keep their previous centroid (no row)
+            codebook[cid] = [x / total for x in new_sums[cid]]
     return _centroids_df(codebook)
+
+
+def _collect_centroids(centroids: DataFrame, vec_col: str):
+    """Collect the k×dim coarse codebook (index METADATA — bounded by
+    the codebook size, never the corpus) as ``(cids, cmat, cnorm)``,
+    sorted by cluster_id, zero norms clamped to 1."""
+    import numpy as np
+
+    rows = sorted(
+        centroids.select(
+            "cluster_id", _as_double(F.col(vec_col)).alias("v")
+        ).collect(),
+        key=lambda r: r.cluster_id,
+    )
+    if not rows:
+        raise ValueError("empty centroid table")
+    cids = np.array([r.cluster_id for r in rows], dtype=np.int64)
+    cmat = np.array([list(r.v) for r in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+    return cids, cmat, cnorm
 
 
 def ivf_assignments(
@@ -330,21 +391,9 @@ def ivf_assignments(
     zero-norm vectors assign deterministically (all-zero sims →
     cluster of the lowest id) and are left for the callers' own norm
     guards."""
-    import numpy as np
-
-    rows = sorted(
-        centroids.select("cluster_id", _as_double(F.col(vec_col)).alias("v"))
-        .collect(),
-        key=lambda r: r.cluster_id,
-    )
-    if not rows:
-        raise ValueError("ivf_assignments: empty centroid table")
-    cids = np.array([r.cluster_id for r in rows], dtype=np.int64)
-    cmat = np.array([list(r.v) for r in rows], dtype=np.float64)
-    cnorm = np.linalg.norm(cmat, axis=1)
-    cnorm[cnorm == 0.0] = 1.0
+    cids, cmat, cnorm = _collect_centroids(centroids, vec_col)
     dim = cmat.shape[1]
-    n = min(nprobe, len(rows))
+    n = min(nprobe, len(cids))
 
     @F.pandas_udf(ArrayType(LongType()))
     def _topn(vecs: pd.Series) -> pd.Series:
@@ -762,6 +811,76 @@ def pq_cosine_topk(
     return _adc_rerank_topk(q.crossJoin(enc), m, k, shortlist)
 
 
+def _ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: list,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(neighbor_id, cvec, cluster_id, codes): the stored form of an
+    IVF-PQ index, built in ONE Arrow pass.
+
+    Running :func:`ivf_assignments` and then :func:`_pq_encode_udf`
+    costs two ArrowEvalPython stages, each shipping every corpus
+    vector across the JVM↔Python boundary; fusing coarse assignment
+    (matmul argmax) and PQ encoding (per-subspace argmin) into one
+    ``mapInPandas`` halves that transfer — the index build touches
+    each vector exactly once, which is the 100 TB contract for an
+    index construction pass. Null / dim-mismatched vectors get no
+    row (the ivf_assignments / PQ NULL conventions combined)."""
+    import numpy as np
+
+    cids, cmat, cnorm = _collect_centroids(centroids, vec_col)
+    cbook = np.asarray(codebook, dtype=np.float64)  # (m, ksub, dsub)
+    m, _, dsub = cbook.shape
+    dim = cmat.shape[1]
+    if m * dsub != dim:
+        raise ValueError(
+            f"codebook covers {m * dsub} dims but centroids have {dim}"
+        )
+
+    def _index(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ok = pdf["v"].map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy()
+            if not ok.any():
+                continue
+            mat = np.stack(pdf["v"][ok].to_numpy()).astype(np.float64)
+            vnorm = np.linalg.norm(mat, axis=1)
+            vnorm[vnorm == 0.0] = 1.0
+            sims = (mat @ cmat.T) / np.outer(vnorm, cnorm)
+            # stable FIRST max — the lowest cluster index, matching
+            # ivf_assignments' tie-break
+            cluster = cids[np.argmax(sims, axis=1)]
+            parts = mat.reshape(len(mat), m, dsub)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for s in range(m):
+                d2 = (
+                    (parts[:, s, None, :] - cbook[s][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "neighbor_id": pdf["i"][ok].to_numpy(),
+                "cvec": list(mat),
+                "cluster_id": cluster,
+                "codes": list(codes),
+            })
+
+    return corpus.select(
+        F.col(id_col).alias("i"), _as_double(F.col(vec_col)).alias("v")
+    ).mapInPandas(
+        _index,
+        schema="neighbor_id bigint, cvec array<double>, "
+               "cluster_id bigint, codes array<bigint>",
+    )
+
+
 def ivfpq_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -803,15 +922,7 @@ def ivfpq_cosine_topk(
     import numpy as np
 
     m = np.asarray(codebook, dtype=np.float64).shape[0]
-    ca = ivf_assignments(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cvec"),
-        "cluster_id",
-    )
-    encode = _pq_encode_udf(codebook)
-    enc = ca.withColumn("codes", encode(F.col("cvec"))).filter(
-        F.col("codes").isNotNull()
-    )
+    enc = _ivfpq_index(corpus, centroids, codebook, id_col, vec_col)
     # lut rides each (query, probed-cell) row directly — joining a
     # lut-only frame back on query_id would square the nprobe fan-out
     qa = ivf_assignments(queries, centroids, id_col, vec_col, nprobe)
