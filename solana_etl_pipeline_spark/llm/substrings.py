@@ -24,13 +24,15 @@ Pipeline (all DataFrame ops, shuffle keys bounded):
 4. gaps-and-islands per document merges overlapping/adjacent
    windows into spans (window function over each doc's dup
    positions — state is per-doc, never corpus-wide);
-5. positions covered by spans are exploded and anti-joined against
-   the token positions; survivors reassemble with ONE groupBy(doc)
-   (ordered struct sort — the paragraphs.py reassembly pattern).
+5. each doc's merged span list (a small array — spans, not
+   positions) joins back to its token array, and the survivor text
+   is rebuilt in place with a position-aware array filter — no
+   token-position explode, no anti-join, no reassembly sort.
 
 At 100 TB: the heavy side (window rows) shuffles once on the digest
-with map-side combining; everything after step 3 is keyed on doc_id.
-No global sort, no suffix array, no driver-side state.
+with map-side combining; everything after step 3 is keyed on doc_id,
+and the reconstruction never re-explodes the corpus. No global sort,
+no suffix array, no driver-side state.
 """
 
 from __future__ import annotations
@@ -130,46 +132,44 @@ def duplicate_span_report(
         F.min("pos").alias("s"),
         (F.max("pos") + window).alias("e"),
     )
-    span_stats = spans.groupBy("_id").agg(
+    # One doc-keyed aggregate carries the stats AND the span list;
+    # merged islands are disjoint, so the list is small (≤ spans per
+    # doc, never corpus-sized).
+    span_agg = spans.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+        F.collect_list(F.struct("s", "e")).alias("_spans"),
     )
     dup_counts = dups.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_dup_windows")
     )
 
-    # 5. survivors: token positions not covered by any span.
-    tokpos = toks.select(
-        "_id", F.posexplode("_ws").alias("pos", "tok")
+    # 5. survivors: token positions not covered by any span —
+    # evaluated IN PLACE with a position-aware array filter against
+    # the doc's span list. The earlier formulation exploded every
+    # token position, anti-joined the covered positions, and
+    # reassembled with a collect_list sort: three corpus-wide
+    # shuffles of the widest rows in the pipeline just to drop a few
+    # slices. The span test is per-token × per-span (spans per doc
+    # are few after island-merge), runs inside whole-stage codegen,
+    # and everything after the keep-first join stays doc-keyed.
+    kept_tokens = F.filter(
+        "_ws",
+        lambda tok, i: ~F.exists(
+            "_spans", lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
     )
-    covered = spans.select(
-        "_id",
-        F.explode(
-            F.sequence(F.col("s"), F.col("e") - 1)
-        ).alias("pos"),
-    )
-    kept = tokpos.join(covered, ["_id", "pos"], "left_anti")
-    clean = kept.groupBy("_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("clean_text")
-    )
-
     return (
-        toks.select("_id", F.size("_ws").alias("n_tokens"))
-        .join(dup_counts, "_id", "left")
-        .join(span_stats, "_id", "left")
-        .join(clean, "_id", "left")
+        toks.join(dup_counts, "_id", "left")
+        .join(span_agg, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            "n_tokens",
+            F.size("_ws").alias("n_tokens"),
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.when(F.col("_spans").isNull(), F.concat_ws(" ", "_ws"))
+            .otherwise(F.concat_ws(" ", kept_tokens))
+            .alias("clean_text"),
         )
     )
