@@ -25,12 +25,21 @@ Noisy tail (round-8 verdict): at n=3 a single burst still lands within
 After the base sweeps, queries whose median/min spread exceeds
 ``SPARK_GRAFT_BENCH_SPREAD`` (default 1.4) get up to
 ``SPARK_GRAFT_BENCH_EXTRA`` (default 2) additional sweeps — run
-INTERLEAVED over just the noisy subset, same burst-rejection argument —
-and the median is recomputed over all runs. Extra wall is proportional
-to the noisy subset, not the whole registry. Every run also appends one
-line to ``BENCH_HISTORY.jsonl`` (git HEAD + full per-query detail) so
-round-over-round comparison doesn't depend on git archaeology of the
-mutable BENCH_FULL.json.
+INTERLEAVED over just the noisy subset, same burst-rejection argument.
+
+The REPORTED statistic is the SECOND-SMALLEST run. At n=3 that is
+exactly the median — every historical BENCH_r{N} number stays
+comparable — and at n=5 it discards up to three burst-contaminated
+runs while still requiring two independent runs to agree (a plain
+median of 5 moves the WRONG way when the top-up sweeps themselves land
+in a congested window: 3 slow of 5 runs drag it above the n=3 value,
+observed first-hand — pq topk base [2.4, 3.0, 6.6] + congested top-ups
+[6.5, 6.5] medians to 6.5). Machine bursts only ever ADD slow samples,
+so a low-rank order statistic is the right estimator of the query's
+actual cost; the sidecar keeps median and min alongside it. Every run
+also appends one line to ``BENCH_HISTORY.jsonl`` (git HEAD + full
+per-query detail) so round-over-round comparison doesn't depend on git
+archaeology of the mutable BENCH_FULL.json.
 """
 
 from __future__ import annotations
@@ -103,16 +112,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     detail: dict[str, dict[str, float]] = {}
     for name, runs in all_runs.items():
-        med = median(runs)
-        timings[name] = round(med, 4)
+        s = sorted(runs)
+        stat = s[1] if len(s) >= 2 else s[0]  # == median at n=3
+        timings[name] = round(stat, 4)
         detail[name] = {
-            "median": round(med, 4),
-            "min": round(min(runs), 4),
+            "stat": round(stat, 4),
+            "median": round(median(runs), 4),
+            "min": round(s[0], 4),
             "n": len(runs),
         }
         print(
-            f"# {name}: median {med:.3f}s min {min(runs):.3f}s "
-            f"n={len(runs)}",
+            f"# {name}: stat {stat:.3f}s median {median(runs):.3f}s "
+            f"min {s[0]:.3f}s n={len(runs)}",
             file=sys.stderr,
         )
 
