@@ -102,8 +102,25 @@ def duplicate_span_report(
     )
 
     # 2-3. keep-first on the digest; non-keeper occurrences are dups.
-    keepers = wins.groupBy("digest").agg(
-        F.min(F.struct("_id", "pos")).alias("keeper")
+    # Only digests seen MORE THAN ONCE can mark a dup (a unique window
+    # is its own keeper), so the keeper table is filtered to the
+    # duplicated digests before the probe join: the join's build side
+    # shrinks from |windows| to |duplicated digests| — on real corpora
+    # a small fraction (the boilerplate), which Spark then broadcasts
+    # (or AQE converts at runtime), sparing the window table a second
+    # corpus-wide shuffle + sort. The groupBy itself stays the
+    # map-side-combined hash aggregate — hot boilerplate digests
+    # combine per partition, so no single reducer sees a skewed key's
+    # full occurrence list (the reason a window-function min over the
+    # digest partition would NOT be scale-safe here).
+    keepers = (
+        wins.groupBy("digest")
+        .agg(
+            F.min(F.struct("_id", "pos")).alias("keeper"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") > 1)
+        .drop("_n")
     )
     dups = (
         wins.join(keepers, "digest")
