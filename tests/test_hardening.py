@@ -553,3 +553,25 @@ def test_cache_scope_is_thread_local(spark):
         t.join(timeout=30)
         for df in other_df:
             df.unpersist(blocking=True)
+
+
+# ------------------------------------- memoized-fixture idempotence
+
+
+def test_memoized_fixture_queries_are_invocation_idempotent(spark, sf_dir):
+    """The streaming landing dirs and the incremental seed store are
+    memoized per fixture dir (bench de-noising, round 9). Memoization
+    must be invisible to results: a second invocation in the same
+    process reuses the cached fixture and must return exactly the
+    same rows — in particular the incremental query must copy its
+    seed store per run (batch 1 indexes arrivals; replaying against a
+    MUTATED store would re-match the previous run's arrivals and
+    change the verdicts)."""
+    from solana_etl_pipeline_spark.queries import QUERIES
+
+    for name in ("streaming_hourly_rollup", "llm_incremental_near_dup"):
+        first = QUERIES[name].spark(spark, sf_dir)
+        second = QUERIES[name].spark(spark, sf_dir)
+        assert first.exceptAll(second).count() == 0, name
+        assert second.exceptAll(first).count() == 0, name
+        assert first.count() > 0, name
