@@ -37,6 +37,7 @@ no suffix array, no driver-side state.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,37 +69,58 @@ def duplicate_span_report(
         tokenize.words(F.col(text_col)).alias("_ws"),
     )
 
-    # 1. W-token windows, map-side. pos is 0-based token offset.
-    # Guarded when: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
-    # of being empty, which would feed slice() a 0 start — docs
-    # shorter than the window must produce an empty window array.
+    # 1. W-token windows, map-side. Window STRINGS are built in an
+    # Arrow-batched pandas_udf and hashed AFTER the explode on a flat
+    # string column: the higher-order ``transform``+``slice``+
+    # ``concat_ws`` twin evaluates interpreted closures per window
+    # position (the same shape ``llm/dedup.py::shingle_sets`` measured
+    # 4× slower than its Arrow twin), while xxhash64 over an exploded
+    # column runs inside whole-stage codegen. Tokenization uses the
+    # pinned Python twin of the ``tokenize.words`` convention
+    # (``tokenize.py_words`` — twin equality enforced by the
+    # whitespace-hostile fixtures), so the window grams are identical
+    # to the old expression's. Docs shorter than the window produce no
+    # window rows, exactly like the old ``sequence`` guard.
+    #
     # The window key is a PAIR of xxhash64s (16 bytes) rather than a
     # sha256 hex string (64 bytes): the digest is this pipeline's one
     # heavy shuffle key. Measured at the 200k-doc rehearsal: total
     # pipeline shuffle write 1219 -> 818 MB (1.49x; the digest rows
     # also carry doc_id/pos and the doc-keyed stages are unchanged,
     # so the whole-pipeline ratio is below the 4x key-width ratio).
-    # Wall is flat on local[32] where shuffle stays in page cache —
-    # the savings is network bytes on a real cluster. The second,
-    # salt-differentiated hash keeps the effective key width at 128
-    # bits: corpus-scale window counts (>> 2^32) would collide a
-    # single 64-bit key at birthday rates, while the pair needs 2^64.
-    # Keep-first ties stay on (doc_id, pos), never on the hash.
-    n_win = F.size("_ws") - window + 1
+    # The second, salt-differentiated hash keeps the effective key
+    # width at 128 bits: corpus-scale window counts (>> 2^32) would
+    # collide a single 64-bit key at birthday rates, while the pair
+    # needs 2^64. Keep-first ties stay on (doc_id, pos), never on
+    # the hash.
+    from pyspark.sql.types import ArrayType, StringType
 
-    def _pair(i):
-        win_str = F.concat_ws(" ", F.slice("_ws", i, window))
-        return F.struct(
-            F.xxhash64(win_str).alias("h1"),
-            F.xxhash64(F.lit(1), win_str).alias("h2"),
+    @F.pandas_udf(ArrayType(StringType()))
+    def _windows(texts: pd.Series) -> pd.Series:
+        def wins_of(t):
+            words = tokenize.py_words(t)
+            if len(words) < window:
+                return []
+            return [
+                " ".join(words[i : i + window])
+                for i in range(len(words) - window + 1)
+            ]
+
+        return pd.Series([wins_of(t) for t in texts])
+
+    wins = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(_windows(F.col(text_col))).alias("pos", "_win"),
         )
-
-    digests = F.when(
-        n_win >= 1,
-        F.transform(F.sequence(F.lit(1), n_win), _pair),
-    ).otherwise(F.array().cast("array<struct<h1:bigint,h2:bigint>>"))
-    wins = toks.select(
-        "_id", F.posexplode(digests).alias("pos", "digest")
+        .select(
+            "_id",
+            "pos",
+            F.struct(
+                F.xxhash64("_win").alias("h1"),
+                F.xxhash64(F.lit(1), F.col("_win")).alias("h2"),
+            ).alias("digest"),
+        )
     )
 
     # 2-3. keep-first on the digest; non-keeper occurrences are dups.
