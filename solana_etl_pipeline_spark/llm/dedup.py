@@ -562,9 +562,8 @@ def embedding_near_dup_pairs(
     property that matters at scale."""
     from solana_etl_pipeline_spark.llm.similarity import (
         _as_double,
-        _dot,
-        _norm,
         lsh_bucket_assignments,
+        pair_cosine,
     )
 
     buckets = lsh_bucket_assignments(emb, id_col, vec_col, n_planes, n_bands)
@@ -592,9 +591,7 @@ def embedding_near_dup_pairs(
     ).join(
         vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")), "id_b"
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    cos = pair_cosine(F.col("va"), F.col("vb"))
     return (
         cand.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
