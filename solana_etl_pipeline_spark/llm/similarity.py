@@ -72,15 +72,17 @@ def _pair_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
                 )
                 vals = num / den
                 for j, i in enumerate(idx):
-                    out[i] = float(vals[j])
+                    # Zero-norm (incl. empty) vectors: the JVM twin's
+                    # Divide yields NULL on a zero divisor, and NULL is
+                    # filtered/sorted-last everywhere NaN would instead
+                    # rank FIRST in desc top-k — so map 0/0 to None.
+                    out[i] = float(vals[j]) if den[j] != 0.0 else None
             else:  # pragma: no cover - ragged batch, rare
                 for i in idx:
                     x = np.asarray(av[i], dtype=np.float64)
                     y = np.asarray(bv[i], dtype=np.float64)
-                    out[i] = float(
-                        np.dot(x, y)
-                        / (np.linalg.norm(x) * np.linalg.norm(y))
-                    )
+                    d = float(np.linalg.norm(x) * np.linalg.norm(y))
+                    out[i] = float(np.dot(x, y)) / d if d != 0.0 else None
     return pd.Series(out, dtype=object)
 
 
@@ -96,8 +98,11 @@ def pair_cosine(a: Column, b: Column) -> Column:
     100 k vectors, almost all of it the verify). The numpy kernel does
     one ``einsum`` per Arrow batch. Null-propagation semantics match
     the JVM twin: either side null, or length-mismatched pairs
-    (zip_with's null padding), yield NULL; empty arrays yield NaN
-    (0/0) on both paths. Low-order float bits can differ from the
+    (zip_with's null padding), yield NULL; zero-norm vectors (incl.
+    empty arrays) also yield NULL on both paths — Spark's Divide
+    returns NULL on a zero divisor, and the kernel mirrors that so
+    degenerate vectors never NaN-rank first in desc top-k (Spark
+    orders NaN above every double). Low-order float bits can differ from the
     sequential JVM sum (numpy uses pairwise summation); every caller
     rounds to 1e-6 before comparing or ranking, the same tolerance
     already relied on for the JVM-vs-DuckDB engine difference."""

@@ -78,62 +78,13 @@ for _mod in (
 #     python tools/staleness.py --budget 170
 # Tiers: (1) witnessed queries that would breach the bound next round,
 # (2) never-witnessed queries (first-witness priority), (3) remaining
-# witnessed queries stalest-first. The round-9 ordering below is that
-# tool's full-registry output at r8 HEAD: no query is at staleness >=
-# 4, so the 20 never-witnessed round-7 registrations lead, then the
-# 50-query r5-green block (staleness 3), then r6 (staleness 2), then
-# the r8-green block (freshest rows last).
+# witnessed queries stalest-first. The round-10 ordering below is that
+# tool's full-registry output at r9 HEAD: every query has now been
+# driver-green at least once, so tier 2 is empty; the 20 r5-witnessed
+# queries at staleness 4 (= the bound) lead, then the r6-green block
+# (staleness 3), then r8 (staleness 1), then the r9-green block
+# (freshest rows last).
 _PRIORITY = (
-    "events_transition_matrix",
-    "pareto_top_parts",
-    "events_ohlc_bars",
-    "agg_corr_regression",
-    "scd2_state_intervals",
-    "llm_inverted_index",
-    "llm_edit_distance_near_dup",
-    "llm_quota_sample",
-    "events_cohort_retention",
-    "window_trailing_zscore",
-    "sketch_quantile_approx",
-    "snapshot_diff_documents",
-    "streaming_interval_join_outer",
-    "sink_orc_roundtrip",
-    "llm_gopher_rules",
-    "llm_c4_line_filter",
-    "llm_url_dedup",
-    "llm_substring_dedup",
-    "llm_ccnet_buckets",
-    "llm_bpe_top_pairs",
-    "llm_export_shards",
-    "llm_token_heavy_hitters",
-    "sink_zorder_roundtrip",
-    "llm_minhash_near_dup",
-    "llm_simhash_near_dup",
-    "llm_near_dup_survivors",
-    "llm_embedding_near_dup",
-    "llm_lsh_cosine_topk",
-    "llm_ivf_cosine_topk",
-    "llm_incremental_near_dup",
-    "streaming_session_windows",
-    "llm_decontaminate",
-    "llm_repetition_rules",
-    "llm_mixture_sample",
-    "llm_chunk_documents",
-    "streaming_interval_join",
-    "llm_split_assign",
-    "llm_lm_quality_score",
-    "risk_scores_topk",
-    "risk_banding_report",
-    "events_json_extract_agg",
-    "nested_helius_flatten",
-    "nested_explode_padding",
-    "nested_tojson_roundtrip",
-    "nested_array_access",
-    "typed_props_parse",
-    "events_project_filter",
-    "events_not_in_filter",
-    "negative_substring_filter",
-    "epoch_rendering_pst",
     "timestamp_parse_roundtrip",
     "string_functions_zoo",
     "regexp_extract_sources",
@@ -254,6 +205,56 @@ _PRIORITY = (
     "drift_psi_report",
     "llm_pmi_bigrams",
     "llm_weighted_sample",
+    "events_transition_matrix",
+    "pareto_top_parts",
+    "events_ohlc_bars",
+    "agg_corr_regression",
+    "scd2_state_intervals",
+    "llm_inverted_index",
+    "llm_edit_distance_near_dup",
+    "llm_quota_sample",
+    "events_cohort_retention",
+    "window_trailing_zscore",
+    "sketch_quantile_approx",
+    "snapshot_diff_documents",
+    "streaming_interval_join_outer",
+    "sink_orc_roundtrip",
+    "llm_gopher_rules",
+    "llm_c4_line_filter",
+    "llm_url_dedup",
+    "llm_substring_dedup",
+    "llm_ccnet_buckets",
+    "llm_bpe_top_pairs",
+    "llm_export_shards",
+    "llm_token_heavy_hitters",
+    "sink_zorder_roundtrip",
+    "llm_minhash_near_dup",
+    "llm_simhash_near_dup",
+    "llm_near_dup_survivors",
+    "llm_embedding_near_dup",
+    "llm_lsh_cosine_topk",
+    "llm_ivf_cosine_topk",
+    "llm_incremental_near_dup",
+    "streaming_session_windows",
+    "llm_decontaminate",
+    "llm_repetition_rules",
+    "llm_mixture_sample",
+    "llm_chunk_documents",
+    "streaming_interval_join",
+    "llm_split_assign",
+    "llm_lm_quality_score",
+    "risk_scores_topk",
+    "risk_banding_report",
+    "events_json_extract_agg",
+    "nested_helius_flatten",
+    "nested_explode_padding",
+    "nested_tojson_roundtrip",
+    "nested_array_access",
+    "typed_props_parse",
+    "events_project_filter",
+    "events_not_in_filter",
+    "negative_substring_filter",
+    "epoch_rendering_pst",
 )
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

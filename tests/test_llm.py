@@ -291,6 +291,59 @@ def test_lsh_null_and_ragged_embeddings_dropped(spark):
     assert by_id[2] == [None] and by_id[3] == [None]
 
 
+def test_pair_cosine_zero_norm_parity_with_jvm_twin(spark):
+    """Zero-norm and empty vectors must yield NULL from the Arrow
+    kernel, matching the JVM expression twin (Spark's Divide returns
+    NULL on a zero divisor). A NaN here would rank FIRST in every
+    desc-cosine top-k because Spark orders NaN above all doubles
+    (ADVICE r9)."""
+    from pyspark.sql import functions as F
+
+    from solana_etl_pipeline_spark.llm.similarity import (
+        _dot,
+        _norm,
+        pair_cosine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [1.0, 2.0]),  # normal
+            (2, [0.0, 0.0], [1.0, 2.0]),  # zero-norm left
+            (3, [], []),  # empty both
+            (4, None, [1.0, 2.0]),  # null left
+            (5, [1.0], [1.0, 2.0]),  # length mismatch
+            (6, [3.0, 4.0], [4.0, 3.0]),  # normal
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    jvm = _dot(F.col("a"), F.col("b")) / (
+        _norm(F.col("a")) * _norm(F.col("b"))
+    )
+    rows = (
+        df.select(
+            "id",
+            F.round(pair_cosine(F.col("a"), F.col("b")), 6).alias("arrow"),
+            F.round(jvm, 6).alias("jvm"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r in rows:
+        assert r.arrow == r.jvm, f"id={r.id}: arrow={r.arrow} jvm={r.jvm}"
+    got = {r.id: r.arrow for r in rows}
+    assert got[1] == 1.0 and got[6] == 0.96
+    assert got[2] is None and got[3] is None
+    assert got[4] is None and got[5] is None
+    # and in a desc top-k, the degenerate rows never outrank real ones
+    ranked = (
+        df.withColumn("cos", pair_cosine(F.col("a"), F.col("b")))
+        .orderBy(F.desc("cos"))
+        .select("id")
+        .first()
+    )
+    assert ranked.id in (1, 6)
+
+
 def test_lsh_dim_inference_tie_breaks_to_larger_length(spark):
     """With dim=None and an Arrow batch evenly split between corrupt
     short vectors and real long ones, the majority-length vote must
