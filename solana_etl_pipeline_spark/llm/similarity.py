@@ -105,8 +105,25 @@ def pair_cosine(a: Column, b: Column) -> Column:
     orders NaN above every double). Low-order float bits can differ from the
     sequential JVM sum (numpy uses pairwise summation); every caller
     rounds to 1e-6 before comparing or ranking, the same tolerance
-    already relied on for the JVM-vs-DuckDB engine difference."""
+    already relied on for the JVM-vs-DuckDB engine difference.
+
+    Crossover (r10 interleaved A/B at sf0.1, local[32]): at ~10 k
+    pairs the kernels tie on min wall (0.59 s Arrow vs 0.62 s expr)
+    but the Arrow path has a noisier tail from Python-worker startup;
+    at 100 k-vector candidate sets Arrow wins ~3× (36.8 s vs 105.7 s
+    harness sweep). Callers with a tiny, statically-known pair volume
+    can pass the expr twin via ``pair_cosine_expr`` instead."""
     return _pair_cosine_udf(a, b)
+
+
+def pair_cosine_expr(a: Column, b: Column) -> Column:
+    """JVM expression twin of :func:`pair_cosine` — interpreted
+    higher-order closures, no Python worker. Preferable only for tiny
+    pair volumes (≲ tens of thousands) where Arrow transit + worker
+    startup dominates; identical null/zero-norm semantics (Divide
+    yields NULL on a zero divisor) pinned by
+    tests/test_llm.py::test_pair_cosine_zero_norm_parity_with_jvm_twin."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -116,6 +133,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int | None = 10_000,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors (self-matches excluded). Output: (query_id, neighbor_id,
@@ -130,7 +148,15 @@ def cosine_topk(
     enforces the contract with a bounded probe (``limit(n+1).count()``
     — never a full count of an unexpectedly huge side); pass ``None``
     to opt out when the caller has already sized the query side.
+
+    ``kernel`` picks the cosine implementation: ``"arrow"`` (default)
+    is the batched numpy kernel — right whenever |q|·|corpus| is
+    large; ``"expr"`` is the JVM expression twin — steadier for tiny
+    statically-known pair volumes (see :func:`pair_cosine` crossover
+    note). Outputs are identical after the 1e-6 round (A/B-asserted).
     """
+    if kernel not in ("arrow", "expr"):  # pragma: no cover - guard
+        raise ValueError(f"kernel must be 'arrow' or 'expr': {kernel!r}")
     if max_queries is not None:
         probe = queries.limit(max_queries + 1).count()
         if probe > max_queries:
@@ -152,7 +178,8 @@ def cosine_topk(
         _as_double(F.col(vec_col)).alias("cvec"),
     )
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = pair_cosine(F.col("qvec"), F.col("cvec"))
+    cos_fn = pair_cosine if kernel == "arrow" else pair_cosine_expr
+    cos = cos_fn(F.col("qvec"), F.col("cvec"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

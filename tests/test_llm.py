@@ -344,6 +344,27 @@ def test_pair_cosine_zero_norm_parity_with_jvm_twin(spark):
     assert ranked.id in (1, 6)
 
 
+def test_cosine_topk_kernels_agree(spark):
+    """cosine_topk(kernel='expr') and (kernel='arrow') must emit
+    identical rows after the 1e-6 round — the expr kernel exists only
+    as a low-overhead dispatch for tiny pair volumes, never a
+    different answer."""
+    import random
+
+    from solana_etl_pipeline_spark.llm.similarity import cosine_topk
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = df.filter("vec_id < 4")
+    a = cosine_topk(df, q, k=5, max_queries=None, kernel="arrow").collect()
+    e = cosine_topk(df, q, k=5, max_queries=None, kernel="expr").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, e))
+
+
 def test_lsh_dim_inference_tie_breaks_to_larger_length(spark):
     """With dim=None and an Arrow batch evenly split between corrupt
     short vectors and real long ones, the majority-length vote must
