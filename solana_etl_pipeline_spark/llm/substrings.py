@@ -54,6 +54,7 @@ def duplicate_span_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = DEFAULT_WINDOW,
+    _tokenizer=None,
 ) -> DataFrame:
     """Per-document duplicated-span report + deduplicated text.
 
@@ -93,28 +94,48 @@ def duplicate_span_report(
     # collide a single 64-bit key at birthday rates, while the pair
     # needs 2^64. Keep-first ties stay on (doc_id, pos), never on
     # the hash.
-    from pyspark.sql.types import ArrayType, StringType
+    # The UDF also returns the PYTHON token count (_py_nt): window
+    # positions are indices into py_words, but step 5 cuts spans out
+    # of the JVM ``tokenize.words`` array — the twins are fuzz-pinned
+    # equal (tests/test_properties.py), but a silent drift (a Unicode
+    # lower-casing or whitespace-class edge) would shift every span
+    # and corrupt clean_text rather than fail (ADVICE r9). Carrying
+    # the py count lets step 5 verify both tokenizers saw the same
+    # token array and degrade to NO-OP dedup (full text) on mismatch.
+    # ``_tokenizer`` exists ONLY so tests can inject a deliberately
+    # drifted twin and observe the degrade path — production callers
+    # never pass it.
+    py_tokenize = _tokenizer if _tokenizer is not None else tokenize.py_words
 
-    @F.pandas_udf(ArrayType(StringType()))
-    def _windows(texts: pd.Series) -> pd.Series:
-        def wins_of(t):
-            words = tokenize.py_words(t)
-            if len(words) < window:
-                return []
-            return [
-                " ".join(words[i : i + window])
-                for i in range(len(words) - window + 1)
-            ]
-
-        return pd.Series([wins_of(t) for t in texts])
+    @F.pandas_udf("struct<nt:int, wins:array<string>>")
+    def _windows(texts: pd.Series) -> pd.DataFrame:
+        nts, winss = [], []
+        for t in texts:
+            words = py_tokenize(t)
+            nts.append(len(words))
+            winss.append(
+                []
+                if len(words) < window
+                else [
+                    " ".join(words[i : i + window])
+                    for i in range(len(words) - window + 1)
+                ]
+            )
+        return pd.DataFrame({"nt": nts, "wins": winss})
 
     wins = (
         docs.select(
             F.col(id_col).alias("_id"),
-            F.posexplode(_windows(F.col(text_col))).alias("pos", "_win"),
+            _windows(F.col(text_col)).alias("_pw"),
         )
         .select(
             "_id",
+            F.col("_pw.nt").alias("_py_nt"),
+            F.posexplode("_pw.wins").alias("pos", "_win"),
+        )
+        .select(
+            "_id",
+            "_py_nt",
             "pos",
             F.struct(
                 F.xxhash64("_win").alias("h1"),
@@ -144,10 +165,14 @@ def duplicate_span_report(
         .filter(F.col("_n") > 1)
         .drop("_n")
     )
+    # _py_nt rides only the DUP rows (a small fraction); the heavy
+    # digest groupBy above prunes it (its aggregate touches only
+    # digest + struct(_id, pos)), so the pipeline's one corpus-wide
+    # shuffle key stays 16 bytes.
     dups = (
         wins.join(keepers, "digest")
         .filter(F.struct("_id", "pos") != F.col("keeper"))
-        .select("_id", "pos")
+        .select("_id", "_py_nt", "pos")
     )
 
     # 4. merge overlapping/adjacent windows into spans per doc. With
@@ -170,6 +195,7 @@ def duplicate_span_report(
     spans = marked.groupBy("_id", "_isl").agg(
         F.min("pos").alias("s"),
         (F.max("pos") + window).alias("e"),
+        F.first("_py_nt").alias("_py_nt"),
     )
     # One doc-keyed aggregate carries the stats AND the span list;
     # merged islands are disjoint, so the list is small (≤ spans per
@@ -178,6 +204,7 @@ def duplicate_span_report(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
         F.collect_list(F.struct("s", "e")).alias("_spans"),
+        F.first("_py_nt").alias("_py_nt"),
     )
     dup_counts = dups.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_dup_windows")
@@ -198,6 +225,15 @@ def duplicate_span_report(
             "_spans", lambda sp: (i >= sp["s"]) & (i < sp["e"])
         ),
     )
+    # Tokenizer-drift guard (ADVICE r9): span positions index the
+    # PYTHON token array; the cut indexes the JVM one. The twins are
+    # fuzz-pinned equal, but if they ever diverge on a doc the counts
+    # differ and the spans would cut the WRONG tokens — degrade that
+    # doc to no-op dedup (full text survives, stats still reported)
+    # instead of silently corrupting clean_text.
+    spans_applicable = F.col("_spans").isNotNull() & (
+        F.col("_py_nt") == F.size("_ws")
+    )
     return (
         toks.join(dup_counts, "_id", "left")
         .join(span_agg, "_id", "left")
@@ -207,8 +243,8 @@ def duplicate_span_report(
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-            F.when(F.col("_spans").isNull(), F.concat_ws(" ", "_ws"))
-            .otherwise(F.concat_ws(" ", kept_tokens))
+            F.when(spans_applicable, F.concat_ws(" ", kept_tokens))
+            .otherwise(F.concat_ws(" ", "_ws"))
             .alias("clean_text"),
         )
     )

@@ -12,6 +12,7 @@ rounds without re-running the bench.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import re
 
 from pyspark.sql import DataFrame
@@ -39,28 +40,35 @@ def executed_plan(df: DataFrame) -> str:
 # nothing.
 # ---------------------------------------------------------------- #
 
-_PRE_CHECKPOINT: list[dict[str, str]] | None = None
+# ContextVar, not a module global: plan_report/gate runs build queries
+# from multiple threads (the suite exercises threaded construction —
+# cf. test_cache_scope_is_thread_local), and a shared buffer would
+# interleave stage records or restore the wrong previous scope
+# (ADVICE r9). Each thread/context sees its own capture buffer.
+_PRE_CHECKPOINT: contextvars.ContextVar[list[dict[str, str]] | None] = (
+    contextvars.ContextVar("pre_checkpoint_plans", default=None)
+)
 
 
 @contextlib.contextmanager
 def capture_pre_checkpoint_plans():
     """Collect ``{"stage": ..., "plan": ...}`` for every checkpointed
     intermediate built inside the scope. Reentrant-safe (inner scopes
-    shadow, then restore)."""
-    global _PRE_CHECKPOINT
-    prev = _PRE_CHECKPOINT
-    _PRE_CHECKPOINT = captured = []
+    shadow, then restore) and thread/context-isolated."""
+    captured: list[dict[str, str]] = []
+    token = _PRE_CHECKPOINT.set(captured)
     try:
         yield captured
     finally:
-        _PRE_CHECKPOINT = prev
+        _PRE_CHECKPOINT.reset(token)
 
 
 def record_pre_checkpoint(stage: str, df: DataFrame) -> None:
     """Called by iterative operators just before ``localCheckpoint``;
-    no-op unless a capture scope is active."""
-    if _PRE_CHECKPOINT is not None:
-        _PRE_CHECKPOINT.append({"stage": stage, "plan": executed_plan(df)})
+    no-op unless a capture scope is active in this thread/context."""
+    buf = _PRE_CHECKPOINT.get()
+    if buf is not None:
+        buf.append({"stage": stage, "plan": executed_plan(df)})
 
 
 def formatted_explain(df: DataFrame) -> str:

@@ -182,6 +182,43 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_pre_checkpoint_capture_is_thread_isolated(monkeypatch):
+    """Two concurrent capture scopes must not interleave stage records
+    or restore each other's buffer — the buffer is a ContextVar, not a
+    module global (ADVICE r9). Pure driver-side test: executed_plan is
+    stubbed so no Spark session is needed."""
+    import threading
+
+    from solana_etl_pipeline_spark.plans import audit
+
+    monkeypatch.setattr(audit, "executed_plan", lambda df: f"plan<{df}>")
+
+    results: dict[str, list] = {}
+    barrier = threading.Barrier(2)
+
+    def worker(tag: str) -> None:
+        with audit.capture_pre_checkpoint_plans() as captured:
+            barrier.wait()  # both scopes active simultaneously
+            for i in range(50):
+                audit.record_pre_checkpoint(f"{tag}:{i}", tag)
+            barrier.wait()  # neither exits before both recorded
+        results[tag] = captured
+
+    threads = [
+        threading.Thread(target=worker, args=(t,)) for t in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for tag in ("a", "b"):
+        stages = [r["stage"] for r in results[tag]]
+        assert stages == [f"{tag}:{i}" for i in range(50)]
+        assert all(r["plan"] == f"plan<{tag}>" for r in results[tag])
+    # and outside any scope, record is a no-op
+    audit.record_pre_checkpoint("outside", "x")
+
+
 def test_deep_tpch_topk_compiles_to_take_ordered(spark, sf_dir):
     """Q3/Q10/Q18 end in limit-after-sort: must be a per-partition heap
     merge (TakeOrderedAndProject), never a global Sort."""

@@ -76,6 +76,39 @@ def test_short_and_null_docs_pass_through(spark):
     assert got[1].n_tokens == 1 and got[1].clean_text == ""
 
 
+def test_tokenizer_drift_degrades_to_noop_not_corruption(spark):
+    """If the Python tokenizer ever drifts from the JVM words() twin
+    (window positions index py tokens, the cut indexes JVM tokens),
+    the guard must degrade the affected docs to NO-OP dedup — full
+    original text survives — never shift spans and corrupt clean_text
+    (ADVICE r9). Simulated by injecting a twin that drops the last
+    token, so every doc's py count != size(_ws)."""
+    from solana_etl_pipeline_spark.llm import tokenize
+    from solana_etl_pipeline_spark.llm.substrings import (
+        duplicate_span_report,
+    )
+
+    def drifted(t):
+        return tokenize.py_words(t)[:-1]
+
+    rows = [
+        Row(doc_id=0, text="a b c d e f unique zero tail"),
+        Row(doc_id=1, text="one lead a b c d e f one tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in duplicate_span_report(
+            df, window=W, _tokenizer=drifted
+        ).collect()
+    }
+    # duplicate stats are still detected and reported...
+    assert got[1].n_dup_windows > 0
+    # ...but no span is applied to a drifted doc: text passes through
+    assert got[0].clean_text == "a b c d e f unique zero tail"
+    assert got[1].clean_text == "one lead a b c d e f one tail"
+
+
 def test_fully_duplicated_doc_cleans_to_empty(spark):
     """An exact copy of an entire earlier doc loses everything."""
     body = "t1 t2 t3 t4 t5 t6 t7 t8"
