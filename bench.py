@@ -145,7 +145,7 @@ def main() -> None:
             "min": round(s[0], 4),
             "n": len(runs),
         }
-        if name in noisy:
+        if extra > 0 and name in noisy:
             detail[name]["topped_up"] = True
         if is_congested:
             detail[name]["congested"] = True
@@ -236,7 +236,7 @@ def main() -> None:
     compact["n_queries"] = len(timings)
     # surface measurement-quality flags on the headline line so
     # cross-round deltas aren't read off silently-different estimators
-    if noisy:
+    if extra > 0 and noisy:
         compact["n_topped_up"] = len(noisy)
     if congested:
         compact["n_congested"] = len(congested)
