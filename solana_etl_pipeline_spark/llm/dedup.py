@@ -417,6 +417,7 @@ def minhash_near_dup_pairs(
     shingle_len: int = 3,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
@@ -426,6 +427,23 @@ def minhash_near_dup_pairs(
     signatures (fraction of equal entries) — no second pass over text.
     ``shingles`` forwards a precomputed :func:`shingle_sets` frame to
     the signature stage (one corpus text parse for LSH + verify).
+
+    ``max_bucket`` bounds the quadratic worst case of the bucket
+    self-join. A band bucket of size s emits s·(s-1)/2 candidate
+    pairs, so ONE mega-bucket — boilerplate duplicated across
+    millions of documents, the classic web-corpus pathology — turns
+    the join into a job-killing O(s²) explosion no partitioning can
+    save. Buckets larger than ``max_bucket`` instead emit STAR edges
+    around the bucket's min id (s-1 pairs): for deduplication the
+    downstream connected-components resolution sees the same
+    component whenever the verify stage passes the star edges (exact
+    for the mass-duplication case that creates mega-buckets, since
+    every member verifies against the representative at jaccard 1.0);
+    pairwise recall inside an oversize bucket is deliberately traded
+    away — the same cap discipline production LSH dedups apply.
+    ``None`` (default) disables the cap and keeps exact clique
+    semantics; at 100 TB, set it (10³–10⁵) — the cost of the guard is
+    one map-side-combined count over the skinny band rows.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -463,18 +481,50 @@ def minhash_near_dup_pairs(
         ).alias("band_idx", "band_hash"),
     )
 
-    left = band_entries.select(
+    if max_bucket is not None:
+        # One map-side-combined aggregate sizes every bucket and
+        # carries its min id (the star representative). The hot key
+        # is harmless here — partial aggregation collapses it per
+        # partition before the shuffle, unlike the self-join below.
+        bucket_stats = band_entries.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min(id_col).alias("_rep"),
+        )
+        sized = band_entries.join(
+            bucket_stats, ["band_idx", "band_hash"]
+        )
+        small = sized.filter(F.col("_bsz") <= max_bucket).select(
+            id_col, "band_idx", "band_hash"
+        )
+        # oversize buckets: star around the min id — s-1 edges, never
+        # s², and rep < member always, so (id_a, id_b) is ordered
+        star = (
+            sized.filter(
+                (F.col("_bsz") > max_bucket)
+                & (F.col(id_col) != F.col("_rep"))
+            )
+            .select(
+                F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+    else:
+        small = band_entries
+        star = None
+
+    left = small.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
-    right = band_entries.select(
+    right = small.select(
         F.col(id_col).alias("id_b"), "band_idx", "band_hash"
     )
     pair_ids = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        pair_ids = pair_ids.unionByName(star)
+    pair_ids = pair_ids.dropDuplicates(["id_a", "id_b"])
     candidates = pair_ids.join(
         sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
         "id_a",
@@ -701,11 +751,24 @@ def simhash_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit pieces (pigeonhole: hamming ≤ 3 ⇒ some band equal), join on
-    equal bands, verify with bit_count(xor)."""
+    equal bands, verify with bit_count(xor).
+
+    ``max_bucket`` bounds the bucket self-join's quadratic worst case
+    exactly like :func:`minhash_near_dup_pairs`: band buckets larger
+    than the cap emit star edges around the bucket's min id instead
+    of the full clique (mass-duplicated boilerplate shares one
+    signature, so every member still verifies against the
+    representative at hamming 0 and connected-components dedup
+    resolves the same survivors). ``None`` keeps exact clique
+    semantics."""
     # persist: the 64-way conditional-sum aggregate feeds both sides of
     # the band self-join below
     sigs = _scoped_persist(simhash(df, id_col, text_col))
@@ -721,22 +784,56 @@ def simhash_candidate_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    left = banded.select(
+    if max_bucket is not None:
+        # size every band bucket and carry the min-id representative
+        # (with its signature, for the star edges' verify) in one
+        # map-side-combined aggregate — hot buckets collapse per
+        # partition here, unlike in the self-join they would feed
+        bucket_stats = banded.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min(F.struct(id_col, "simhash")).alias("_rep"),
+        )
+        sized = banded.join(bucket_stats, ["band_idx", "band_val"])
+        small = sized.filter(F.col("_bsz") <= max_bucket).select(
+            id_col, "simhash", "band_idx", "band_val"
+        )
+        star = (
+            sized.filter(
+                (F.col("_bsz") > max_bucket)
+                & (F.col(id_col) != F.col(f"_rep.{id_col}"))
+            )
+            .select(
+                F.col(f"_rep.{id_col}").alias("id_a"),
+                F.col("_rep.simhash").alias("sim_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("simhash").alias("sim_b"),
+            )
+        )
+    else:
+        small = banded
+        star = None
+
+    left = small.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sim_a"),
         "band_idx",
         "band_val",
     )
-    right = banded.select(
+    right = small.select(
         F.col(id_col).alias("id_b"),
         F.col("simhash").alias("sim_b"),
         "band_idx",
         "band_val",
     )
-    return (
+    pairs = (
         left.join(right, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "sim_a", "id_b", "sim_b")
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),

@@ -68,11 +68,105 @@ def test_minhash_finds_planted_near_dups(spark, planted_docs):
     assert not any(3 in p for p in found)  # unrelated doc never pairs
 
 
+def test_minhash_bucket_cap_identity_when_not_triggered(spark, planted_docs):
+    """With every bucket under the cap, max_bucket must be a pure
+    no-op: identical pairs and estimates as the uncapped path."""
+    base = minhash_near_dup_pairs(
+        planted_docs, "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.5,
+    )
+    capped = minhash_near_dup_pairs(
+        planted_docs, "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.5, max_bucket=100,
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+
+
+def test_minhash_bucket_cap_stars_mega_bucket_preserving_dedup(spark):
+    """A mass-duplicated boilerplate cluster (the mega-bucket
+    pathology): the cap must bound candidate pairs to a star (s-1 per
+    bucket, not s(s-1)/2) while the downstream connected-components
+    dedup still resolves the SAME survivors as the uncapped clique —
+    star edges preserve connectivity, and every member verifies
+    against the representative at est_jaccard 1.0."""
+    from solana_etl_pipeline_spark.llm.cluster import near_dup_dedup
+
+    n_clones = 40
+    rows = [
+        Row(doc_id=i, text="the same boilerplate footer repeated verbatim "
+                           "across the whole crawl again and again")
+        for i in range(n_clones)
+    ] + [
+        Row(doc_id=100 + i, text=f"genuinely distinct document number "
+                                 f"{i} with its own words body{i} tail{i}")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+    )
+    capped = minhash_near_dup_pairs(
+        docs, "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.5, max_bucket=10,
+    )
+    # clique: C(40,2) = 780 pairs; star: 39 — the quadratic is gone
+    assert uncapped.count() == n_clones * (n_clones - 1) // 2
+    cap_pairs = capped.collect()
+    assert len(cap_pairs) == n_clones - 1
+    assert all(r.id_a == 0 and r.est_jaccard == 1.0 for r in cap_pairs)
+    # and the dedup resolution is unchanged: one survivor (doc 0) for
+    # the clone cluster, every distinct doc surviving
+    surv_capped = sorted(
+        r.doc_id for r in near_dup_dedup(docs, capped, "doc_id").collect()
+    )
+    surv_uncapped = sorted(
+        r.doc_id
+        for r in near_dup_dedup(docs, uncapped, "doc_id").collect()
+    )
+    assert surv_capped == surv_uncapped == [0, 100, 101, 102, 103, 104]
+
+
 def test_simhash_candidates(spark, planted_docs):
     pairs = simhash_candidate_pairs(planted_docs, "doc_id", "text", max_hamming=3)
     found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert found[(0, 2)] == 0  # identical docs: identical signatures
     assert not any(3 in p for p in found)
+
+
+def test_simhash_bucket_cap_matches_minhash_semantics(spark, planted_docs):
+    """simhash's max_bucket: a no-op under the cap, a star over it —
+    with the same survivors either way (clone cluster case)."""
+    from solana_etl_pipeline_spark.llm.cluster import near_dup_dedup
+
+    base = simhash_candidate_pairs(
+        planted_docs, "doc_id", "text", max_hamming=3
+    )
+    capped = simhash_candidate_pairs(
+        planted_docs, "doc_id", "text", max_hamming=3, max_bucket=100
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+
+    rows = [
+        Row(doc_id=i, text="identical boilerplate body shared verbatim "
+                           "by every clone in the bucket")
+        for i in range(30)
+    ] + [Row(doc_id=99, text="completely different words none shared")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    star = simhash_candidate_pairs(
+        docs, "doc_id", "text", max_hamming=3, max_bucket=8
+    )
+    got = star.collect()
+    assert len(got) == 29  # star, not C(30,2)=435
+    assert all(r.id_a == 0 and r.hamming == 0 for r in got)
+    surv = sorted(
+        r.doc_id for r in near_dup_dedup(docs, star, "doc_id").collect()
+    )
+    assert surv == [0, 99]
 
 
 def test_lsh_finds_planted_high_sim_neighbors(spark, sf_dir):
