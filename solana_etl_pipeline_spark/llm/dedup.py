@@ -600,6 +600,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 32,
     n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets
     generate candidates (corpus self-join on band keys, never
@@ -609,7 +610,15 @@ def embedding_near_dup_pairs(
     with p≈0.5^8≈0.4%, while a 0.95-cosine pair (bit-match p≈0.9)
     collides in ≥1 of 4 bands with p≈0.9 — near-dup recall stays high
     while candidate volume stays ~linear in corpus size, which is the
-    property that matters at scale."""
+    property that matters at scale.
+
+    ``max_bucket`` bounds the self-join's per-bucket quadratic exactly
+    like :func:`minhash_near_dup_pairs`: oversize band buckets (mass-
+    duplicated embeddings — re-encoded boilerplate) emit star edges
+    around the bucket's min id instead of the clique; identical
+    vectors verify against the representative at cosine 1.0, so
+    connected-components dedup resolves the same survivors. ``None``
+    (default) keeps exact clique semantics."""
     from solana_etl_pipeline_spark.llm.similarity import (
         _as_double,
         lsh_bucket_assignments,
@@ -625,16 +634,41 @@ def embedding_near_dup_pairs(
     bands_only = _scoped_persist(
         buckets.select(F.col(id_col), "band_idx", "band_val")
     )
+    if max_bucket is not None:
+        # same star discipline as minhash_near_dup_pairs: one
+        # map-side-combined count bounds the join's quadratic
+        bucket_stats = bands_only.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min(id_col).alias("_rep"),
+        )
+        sized = bands_only.join(bucket_stats, ["band_idx", "band_val"])
+        small = sized.filter(F.col("_bsz") <= max_bucket).select(
+            id_col, "band_idx", "band_val"
+        )
+        star = (
+            sized.filter(
+                (F.col("_bsz") > max_bucket)
+                & (F.col(id_col) != F.col("_rep"))
+            )
+            .select(
+                F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+    else:
+        small = bands_only
+        star = None
     pair_ids = (
-        bands_only.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+        small.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
         .join(
-            bands_only.select(F.col(id_col).alias("id_b"), "band_idx", "band_val"),
+            small.select(F.col(id_col).alias("id_b"), "band_idx", "band_val"),
             ["band_idx", "band_val"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        pair_ids = pair_ids.unionByName(star)
+    pair_ids = pair_ids.dropDuplicates(["id_a", "id_b"])
     vecs = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     cand = pair_ids.join(
         vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")), "id_a"

@@ -169,6 +169,47 @@ def test_simhash_bucket_cap_matches_minhash_semantics(spark, planted_docs):
     assert surv == [0, 99]
 
 
+def test_embedding_near_dup_bucket_cap(spark):
+    """embedding_near_dup_pairs' max_bucket: identity under the cap,
+    star over it, identical CC survivors for an identical-vector
+    cluster (cosine 1.0 against the representative)."""
+    from solana_etl_pipeline_spark.llm.cluster import near_dup_dedup
+    from solana_etl_pipeline_spark.llm.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    clone = [1.0, 0.5, -0.25, 0.125] * 4
+    rows = [Row(vec_id=i, embedding=clone) for i in range(20)] + [
+        Row(
+            vec_id=100 + i,
+            embedding=[
+                ((i * 7 + j * 13) % 11) - 5.0 for j in range(16)
+            ],
+        )
+        for i in range(4)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    base = embedding_near_dup_pairs(emb, threshold=0.99)
+    capped_hi = embedding_near_dup_pairs(emb, threshold=0.99, max_bucket=50)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, capped_hi.collect())
+    )
+
+    star = embedding_near_dup_pairs(emb, threshold=0.99, max_bucket=5)
+    got = star.collect()
+    clone_star = [r for r in got if r.id_b < 100]
+    assert len(clone_star) == 19  # star, not C(20,2)=190
+    assert all(r.id_a == 0 and r.cosine == 1.0 for r in clone_star)
+    surv_star = sorted(
+        r.vec_id for r in near_dup_dedup(emb, star, "vec_id").collect()
+    )
+    surv_base = sorted(
+        r.vec_id for r in near_dup_dedup(emb, base, "vec_id").collect()
+    )
+    assert surv_star == surv_base
+
+
 def test_lsh_finds_planted_high_sim_neighbors(spark, sf_dir):
     """SRP-LSH's actual guarantee: high-cosine pairs collide with high
     probability. Plant an exact-duplicate neighbor (cosine 1.0, id+1000)
