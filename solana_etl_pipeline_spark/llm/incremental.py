@@ -161,6 +161,7 @@ def incremental_near_dup_batch(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_probe_per_bucket: int | None = None,
 ) -> DataFrame:
     """Process one arrival batch against the signature store.
 
@@ -169,6 +170,22 @@ def incremental_near_dup_batch(
     batches, ``'batch'`` for matches inside this batch (lower id
     wins) — to ``store_dir/verdicts/batch_id=N``, indexes the batch's
     signatures, and returns this batch's verdicts.
+
+    ``max_probe_per_bucket`` bounds the hot-bucket accumulation
+    pathology: every arrival is indexed — duplicates included — so a
+    boilerplate band bucket GROWS with each batch, and an arrival
+    hitting it fans out to the bucket's full population (probe cost
+    for that bucket ∝ everything ever indexed, breaking the
+    "probe ∝ batch" contract over time). With the cap set, only the
+    k smallest store ids per probed bucket serve as candidates —
+    computed with the repo's salted two-phase top-k (a per-bucket
+    window would funnel the hot bucket through one task). Detection
+    of mass-duplicated arrivals is preserved (clones share identical
+    signatures, so the bucket's minimum ids verify at est 1.0);
+    near-dup links to NON-minimal bucket members are the documented
+    trade, the same star discipline as
+    ``minhash_near_dup_pairs(max_bucket=...)``. ``None`` (default)
+    keeps exhaustive probe semantics.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -243,6 +260,33 @@ def incremental_near_dup_batch(
             .filter(F.col("batch_id") < batch_id)
             .select(F.col(id_col).alias("dup_of"), "band_idx", "band_hash")
         )
+        if max_probe_per_bucket is not None:
+            k = max_probe_per_bucket
+            # salted two-phase min-k per bucket: partials keep <= k
+            # candidates per (bucket, salt) — map-side combinable, the
+            # hot bucket never converges on one task — then the merge
+            # sorts <= 64k structs per bucket
+            partial = old_bands.groupBy(
+                "band_idx",
+                "band_hash",
+                F.pmod(F.xxhash64("dup_of"), F.lit(64)).alias("_salt"),
+            ).agg(
+                F.slice(
+                    F.array_sort(F.collect_list("dup_of")), 1, k
+                ).alias("_c")
+            )
+            old_bands = (
+                partial.groupBy("band_idx", "band_hash")
+                .agg(
+                    F.slice(
+                        F.array_sort(F.flatten(F.collect_list("_c"))), 1, k
+                    ).alias("_c")
+                )
+                .select(
+                    "band_idx", "band_hash",
+                    F.explode("_c").alias("dup_of"),
+                )
+            )
         old_sigs = spark.read.parquet(sig_path).filter(
             F.col("batch_id") < batch_id
         )

@@ -52,6 +52,47 @@ def test_incremental_detects_cross_batch_and_within_batch(spark, tmp_path):
     assert {(r.new_id, r.dup_of, r.scope) for r in v3} == {(20, 1, "index")}
 
 
+def test_incremental_probe_cap_identity_and_hot_bucket(spark, tmp_path):
+    """max_probe_per_bucket: identity when buckets are small, bounded
+    fan-out with detection preserved when an arrival hits a
+    mass-duplicated store bucket."""
+    # identity: same corpus as the cross-batch test, cap far above
+    # any bucket size
+    store_a = str(tmp_path / "store_a")
+    b1 = spark.createDataFrame(
+        [Row(doc_id=0, text=BASE), Row(doc_id=1, text=OTHER)]
+    )
+    incremental_near_dup_batch(b1, store_a, batch_id=0)
+    b2 = spark.createDataFrame(
+        [Row(doc_id=10, text=BASE.replace("lazy", "sleepy"))]
+    )
+    capped = incremental_near_dup_batch(
+        b2, store_a, batch_id=1, max_probe_per_bucket=100
+    ).collect()
+    assert {(r.new_id, r.dup_of, r.scope) for r in capped} == {
+        (10, 0, "index")
+    }
+
+    # hot bucket: 30 indexed clones, then one clone arrival with k=2 —
+    # candidates are bounded to the bucket's smallest store ids, and
+    # the duplicate is still detected at est 1.0
+    store_b = str(tmp_path / "store_b")
+    clones = spark.createDataFrame(
+        [Row(doc_id=i, text=BASE) for i in range(30)]
+    )
+    incremental_near_dup_batch(clones, store_b, batch_id=0)
+    arrival = spark.createDataFrame([Row(doc_id=100, text=BASE)])
+    verdicts = incremental_near_dup_batch(
+        arrival, store_b, batch_id=1, max_probe_per_bucket=2
+    ).collect()
+    assert 0 < len(verdicts) <= 2  # bounded, never the 30-row fan-out
+    assert all(
+        r.new_id == 100 and r.est_jaccard == 1.0 and r.scope == "index"
+        and r.dup_of in (0, 1)
+        for r in verdicts
+    )
+
+
 def test_incremental_batch_replay_is_idempotent(spark, tmp_path):
     """Re-running a batch with the same batch_id (foreachBatch retry)
     overwrites its own partitions: no duplicate signatures, identical
