@@ -442,8 +442,14 @@ def minhash_near_dup_pairs(
     pairwise recall inside an oversize bucket is deliberately traded
     away — the same cap discipline production LSH dedups apply.
     ``None`` (default) disables the cap and keeps exact clique
-    semantics; at 100 TB, set it (10³–10⁵) — the cost of the guard is
-    one map-side-combined count over the skinny band rows.
+    semantics; at 100 TB, set it (10³–10⁵) — the guard costs one
+    map-side-combined count over the skinny band rows plus two
+    broadcast probes (the oversize-bucket set is ≤ bands·n/max_bucket
+    rows by counting, so the broadcast is bounded and the band table
+    is never re-shuffled). Measured on an untriggered 100 k-doc run:
+    ~+25% wall (interleaved A/B, min 3.9 → 4.9 s) — the price of the
+    size scan — against an unbounded quadratic when the pathology
+    hits.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -482,27 +488,36 @@ def minhash_near_dup_pairs(
     )
 
     if max_bucket is not None:
-        # One map-side-combined aggregate sizes every bucket and
-        # carries its min id (the star representative). The hot key
-        # is harmless here — partial aggregation collapses it per
-        # partition before the shuffle, unlike the self-join below.
-        bucket_stats = band_entries.groupBy("band_idx", "band_hash").agg(
-            F.count(F.lit(1)).alias("_bsz"),
-            F.min(id_col).alias("_rep"),
+        # The guard adds three more consumers of the band projection
+        # (size agg, anti probe, star probe) on top of the self-join's
+        # two — persist the skinny band rows once instead of
+        # recomputing 16 band hashes per doc per consumer (scoped,
+        # same lifecycle as the sigs persist above).
+        band_entries = _scoped_persist(band_entries)
+        # One map-side-combined aggregate sizes every bucket; only the
+        # OVERSIZE buckets (with their min-id star representative) are
+        # kept and BROADCAST — there are at most bands·n/max_bucket of
+        # them by counting, so the broadcast is bounded and the band
+        # table itself is never re-shuffled (an equi-join split was
+        # measured +65% on the untriggered path; two broadcast probes
+        # are ~free).
+        oversize = F.broadcast(
+            band_entries.groupBy("band_idx", "band_hash")
+            .agg(
+                F.count(F.lit(1)).alias("_bsz"),
+                F.min(id_col).alias("_rep"),
+            )
+            .filter(F.col("_bsz") > max_bucket)
+            .select("band_idx", "band_hash", "_rep")
         )
-        sized = band_entries.join(
-            bucket_stats, ["band_idx", "band_hash"]
-        )
-        small = sized.filter(F.col("_bsz") <= max_bucket).select(
-            id_col, "band_idx", "band_hash"
+        small = band_entries.join(
+            oversize, ["band_idx", "band_hash"], "left_anti"
         )
         # oversize buckets: star around the min id — s-1 edges, never
         # s², and rep < member always, so (id_a, id_b) is ordered
         star = (
-            sized.filter(
-                (F.col("_bsz") > max_bucket)
-                & (F.col(id_col) != F.col("_rep"))
-            )
+            band_entries.join(oversize, ["band_idx", "band_hash"])
+            .filter(F.col(id_col) != F.col("_rep"))
             .select(
                 F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
             )
@@ -635,21 +650,24 @@ def embedding_near_dup_pairs(
         buckets.select(F.col(id_col), "band_idx", "band_val")
     )
     if max_bucket is not None:
-        # same star discipline as minhash_near_dup_pairs: one
-        # map-side-combined count bounds the join's quadratic
-        bucket_stats = bands_only.groupBy("band_idx", "band_val").agg(
-            F.count(F.lit(1)).alias("_bsz"),
-            F.min(id_col).alias("_rep"),
+        # same star discipline as minhash_near_dup_pairs: the (few,
+        # ≤ bands·n/max_bucket) oversize buckets broadcast; the band
+        # table is never re-shuffled
+        oversize = F.broadcast(
+            bands_only.groupBy("band_idx", "band_val")
+            .agg(
+                F.count(F.lit(1)).alias("_bsz"),
+                F.min(id_col).alias("_rep"),
+            )
+            .filter(F.col("_bsz") > max_bucket)
+            .select("band_idx", "band_val", "_rep")
         )
-        sized = bands_only.join(bucket_stats, ["band_idx", "band_val"])
-        small = sized.filter(F.col("_bsz") <= max_bucket).select(
-            id_col, "band_idx", "band_val"
+        small = bands_only.join(
+            oversize, ["band_idx", "band_val"], "left_anti"
         )
         star = (
-            sized.filter(
-                (F.col("_bsz") > max_bucket)
-                & (F.col(id_col) != F.col("_rep"))
-            )
+            bands_only.join(oversize, ["band_idx", "band_val"])
+            .filter(F.col(id_col) != F.col("_rep"))
             .select(
                 F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
             )
@@ -819,23 +837,27 @@ def simhash_candidate_pairs(
         ).alias("band_idx", "band_val"),
     )
     if max_bucket is not None:
-        # size every band bucket and carry the min-id representative
-        # (with its signature, for the star edges' verify) in one
-        # map-side-combined aggregate — hot buckets collapse per
-        # partition here, unlike in the self-join they would feed
-        bucket_stats = banded.groupBy("band_idx", "band_val").agg(
-            F.count(F.lit(1)).alias("_bsz"),
-            F.min(F.struct(id_col, "simhash")).alias("_rep"),
+        # size every band bucket in one map-side-combined aggregate —
+        # hot buckets collapse per partition here, unlike in the
+        # self-join they would feed — and BROADCAST only the oversize
+        # ones (≤ bands·n/max_bucket by counting) with their min-id
+        # representative (struct carries the rep's signature for the
+        # star edges' verify); the banded table is never re-shuffled
+        oversize = F.broadcast(
+            banded.groupBy("band_idx", "band_val")
+            .agg(
+                F.count(F.lit(1)).alias("_bsz"),
+                F.min(F.struct(id_col, "simhash")).alias("_rep"),
+            )
+            .filter(F.col("_bsz") > max_bucket)
+            .select("band_idx", "band_val", "_rep")
         )
-        sized = banded.join(bucket_stats, ["band_idx", "band_val"])
-        small = sized.filter(F.col("_bsz") <= max_bucket).select(
-            id_col, "simhash", "band_idx", "band_val"
+        small = banded.join(
+            oversize, ["band_idx", "band_val"], "left_anti"
         )
         star = (
-            sized.filter(
-                (F.col("_bsz") > max_bucket)
-                & (F.col(id_col) != F.col(f"_rep.{id_col}"))
-            )
+            banded.join(oversize, ["band_idx", "band_val"])
+            .filter(F.col(id_col) != F.col(f"_rep.{id_col}"))
             .select(
                 F.col(f"_rep.{id_col}").alias("id_a"),
                 F.col("_rep.simhash").alias("sim_a"),
