@@ -78,63 +78,14 @@ for _mod in (
 #     python tools/staleness.py --budget 170
 # Tiers: (1) witnessed queries that would breach the bound next round,
 # (2) never-witnessed queries (first-witness priority), (3) remaining
-# witnessed queries stalest-first. The round-10 ordering below is that
-# tool's full-registry output at r9 HEAD: every query has now been
-# driver-green at least once, so tier 2 is empty; the 20 r5-witnessed
-# queries at staleness 4 (= the bound) lead, then the r6-green block
-# (staleness 3), then r8 (staleness 1), then the r9-green block
-# (freshest rows last).
+# witnessed queries stalest-first. The round-11 ordering below is that
+# tool's full-registry output at r10 HEAD: every query has been
+# driver-green at least once, so tier 2 is empty; the 20 r6-witnessed
+# queries at staleness 4 (= the bound, 19 TPC-H q4-q22 +
+# events_hourly_rollup) lead, then the r8-green block (staleness 2),
+# then r9 (staleness 1), then the r10-green block (freshest rows
+# last).
 _PRIORITY = (
-    "timestamp_parse_roundtrip",
-    "string_functions_zoo",
-    "regexp_extract_sources",
-    "join_broadcast_lookup",
-    "join_left_anti",
-    "join_theta_range",
-    "nullsafe_join_counts",
-    "asof_prior_purchase",
-    "skew_salted_join_priority_revenue",
-    "window_topk_per_hour",
-    "window_sessionize_batch",
-    "setop_union_harmonize",
-    "setop_except_all",
-    "sort_topk_recent",
-    "agg_first_latest_per_group",
-    "agg_active_users_threshold",
-    "events_dedup_by_key",
-    "agg_grouping_sets",
-    "agg_percentiles_stddev",
-    "streaming_hourly_rollup",
-    "llm_paragraph_dedup",
-    "llm_pq_cosine_topk",
-    "sketch_cms_user_counts",
-    "llm_dsir_select",
-    "llm_domain_rollup",
-    "llm_ivfpq_cosine_topk",
-    "llm_nb_source_classifier",
-    "llm_semantic_dedup",
-    "agg_histogram_quantiles",
-    "funnel_conversion_steps",
-    "streaming_sliding_windows",
-    "sink_parquet_partitioned",
-    "sink_csv_roundtrip",
-    "sink_json_roundtrip",
-    "enrich_risk_grouped_map",
-    "enrich_http_lookup",
-    "udtf_word_chunks",
-    "pivot_event_values",
-    "llm_exact_dedup",
-    "llm_text_stats",
-    "llm_token_count",
-    "llm_quality_banding",
-    "llm_lang_id",
-    "llm_fingerprint",
-    "llm_ngram_jaccard",
-    "llm_cosine_topk",
-    "llm_multimodal_featurize",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
@@ -255,6 +206,56 @@ _PRIORITY = (
     "events_not_in_filter",
     "negative_substring_filter",
     "epoch_rendering_pst",
+    "timestamp_parse_roundtrip",
+    "string_functions_zoo",
+    "regexp_extract_sources",
+    "join_broadcast_lookup",
+    "join_left_anti",
+    "join_theta_range",
+    "nullsafe_join_counts",
+    "asof_prior_purchase",
+    "skew_salted_join_priority_revenue",
+    "window_topk_per_hour",
+    "window_sessionize_batch",
+    "setop_union_harmonize",
+    "setop_except_all",
+    "sort_topk_recent",
+    "agg_first_latest_per_group",
+    "agg_active_users_threshold",
+    "events_dedup_by_key",
+    "agg_grouping_sets",
+    "agg_percentiles_stddev",
+    "streaming_hourly_rollup",
+    "llm_paragraph_dedup",
+    "llm_pq_cosine_topk",
+    "sketch_cms_user_counts",
+    "llm_dsir_select",
+    "llm_domain_rollup",
+    "llm_ivfpq_cosine_topk",
+    "llm_nb_source_classifier",
+    "llm_semantic_dedup",
+    "agg_histogram_quantiles",
+    "funnel_conversion_steps",
+    "streaming_sliding_windows",
+    "sink_parquet_partitioned",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "enrich_risk_grouped_map",
+    "enrich_http_lookup",
+    "udtf_word_chunks",
+    "pivot_event_values",
+    "llm_exact_dedup",
+    "llm_text_stats",
+    "llm_token_count",
+    "llm_quality_banding",
+    "llm_lang_id",
+    "llm_fingerprint",
+    "llm_ngram_jaccard",
+    "llm_cosine_topk",
+    "llm_multimodal_featurize",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
 )
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
