@@ -500,15 +500,19 @@ def minhash_near_dup_pairs(
         # them by counting, so the broadcast is bounded and the band
         # table itself is never re-shuffled (an equi-join split was
         # measured +65% on the untriggered path; two broadcast probes
-        # are ~free).
+        # are ~free). The tiny aggregate is persisted so the anti and
+        # star probes' broadcast builds don't each re-run the count
+        # shuffle when exchange reuse doesn't kick in.
         oversize = F.broadcast(
-            band_entries.groupBy("band_idx", "band_hash")
-            .agg(
-                F.count(F.lit(1)).alias("_bsz"),
-                F.min(id_col).alias("_rep"),
+            _scoped_persist(
+                band_entries.groupBy("band_idx", "band_hash")
+                .agg(
+                    F.count(F.lit(1)).alias("_bsz"),
+                    F.min(id_col).alias("_rep"),
+                )
+                .filter(F.col("_bsz") > max_bucket)
+                .select("band_idx", "band_hash", "_rep")
             )
-            .filter(F.col("_bsz") > max_bucket)
-            .select("band_idx", "band_hash", "_rep")
         )
         small = band_entries.join(
             oversize, ["band_idx", "band_hash"], "left_anti"
@@ -651,16 +655,19 @@ def embedding_near_dup_pairs(
     )
     if max_bucket is not None:
         # same star discipline as minhash_near_dup_pairs: the (few,
-        # ≤ bands·n/max_bucket) oversize buckets broadcast; the band
-        # table is never re-shuffled
+        # ≤ bands·n/max_bucket) oversize buckets broadcast (persisted —
+        # tiny — so the anti and star probes share one count shuffle);
+        # the band table is never re-shuffled
         oversize = F.broadcast(
-            bands_only.groupBy("band_idx", "band_val")
-            .agg(
-                F.count(F.lit(1)).alias("_bsz"),
-                F.min(id_col).alias("_rep"),
+            _scoped_persist(
+                bands_only.groupBy("band_idx", "band_val")
+                .agg(
+                    F.count(F.lit(1)).alias("_bsz"),
+                    F.min(id_col).alias("_rep"),
+                )
+                .filter(F.col("_bsz") > max_bucket)
+                .select("band_idx", "band_val", "_rep")
             )
-            .filter(F.col("_bsz") > max_bucket)
-            .select("band_idx", "band_val", "_rep")
         )
         small = bands_only.join(
             oversize, ["band_idx", "band_val"], "left_anti"
@@ -842,15 +849,19 @@ def simhash_candidate_pairs(
         # self-join they would feed — and BROADCAST only the oversize
         # ones (≤ bands·n/max_bucket by counting) with their min-id
         # representative (struct carries the rep's signature for the
-        # star edges' verify); the banded table is never re-shuffled
+        # star edges' verify); the banded table is never re-shuffled,
+        # and the tiny aggregate is persisted so the anti and star
+        # probes share one count shuffle
         oversize = F.broadcast(
-            banded.groupBy("band_idx", "band_val")
-            .agg(
-                F.count(F.lit(1)).alias("_bsz"),
-                F.min(F.struct(id_col, "simhash")).alias("_rep"),
+            _scoped_persist(
+                banded.groupBy("band_idx", "band_val")
+                .agg(
+                    F.count(F.lit(1)).alias("_bsz"),
+                    F.min(F.struct(id_col, "simhash")).alias("_rep"),
+                )
+                .filter(F.col("_bsz") > max_bucket)
+                .select("band_idx", "band_val", "_rep")
             )
-            .filter(F.col("_bsz") > max_bucket)
-            .select("band_idx", "band_val", "_rep")
         )
         small = banded.join(
             oversize, ["band_idx", "band_val"], "left_anti"
