@@ -41,6 +41,10 @@ from solana_etl_pipeline_spark.llm.dedup import (
     simhash_candidate_pairs,
 )
 from solana_etl_pipeline_spark.llm.cluster import near_dup_dedup
+from solana_etl_pipeline_spark.llm.scale import (
+    MAX_BUCKET,
+    MAX_PROBE_PER_BUCKET,
+)
 from solana_etl_pipeline_spark.llm.multimodal import (
     documents_as_assets,
     featurize_assets,
@@ -210,14 +214,21 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 at the threshold — which the fixture's similarity gap
     guarantees: every true pair sits at J ≥ 0.89 where the 16×4
     banding misses with probability < 2e-7, and the nearest
-    non-duplicate pair is below J = 0.4."""
+    non-duplicate pair is below J = 0.4.
+
+    Runs with the 100 TB scale profile (``llm/scale.py``):
+    ``max_bucket=MAX_BUCKET`` stars mega-buckets so one
+    mass-duplicated boilerplate cluster can't go quadratic. The cap is
+    ~6× the largest organic fixture bucket, so the guarded plan is
+    bit-identical to the exact one here and the oracle still pins the
+    full ground truth."""
     docs = load_table(spark, sf_dir, "documents")
     # one corpus text parse: the persisted shingle sets feed BOTH the
     # signature stage and the exact-Jaccard verify
     sh = _scoped_persist(shingle_sets(docs, "doc_id", "text", 3))
     cand = minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
-        shingles=sh,
+        shingles=sh, max_bucket=MAX_BUCKET,
     )
     verified = ngram_jaccard_for_pairs(
         docs, cand.select("id_a", "id_b"), "doc_id", "text", shingles=sh
@@ -232,12 +243,15 @@ def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the verified pair graph in SQL and resolves components
     with a recursive CTE — the full pipeline (candidate generation,
     verification, transitive clustering, canonical keep) is
-    driver-checked, not just the pair stage."""
+    driver-checked, not just the pair stage. Runs with the 100 TB
+    scale profile (``llm/scale.py`` — star caps leave the fixture
+    output bit-identical; the star/CC-equivalence argument is exactly
+    what this query's survivor oracle then re-checks end-to-end)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _scoped_persist(shingle_sets(docs, "doc_id", "text", 3))
     cand = minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
-        shingles=sh,
+        shingles=sh, max_bucket=MAX_BUCKET,
     )
     pairs = ngram_jaccard_for_pairs(
         docs, cand.select("id_a", "id_b"), "doc_id", "text", shingles=sh
@@ -273,7 +287,8 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pairs = simhash_candidate_pairs(
-        docs.unionByName(probes), "doc_id", "text", max_hamming=3
+        docs.unionByName(probes), "doc_id", "text", max_hamming=3,
+        max_bucket=MAX_BUCKET,
     )
     return pairs.filter(F.col("id_b") == F.col("id_a") + off)
 
@@ -312,7 +327,7 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + off).alias("vec_id"), "embedding"
     )
     return embedding_near_dup_pairs(
-        emb.unionByName(planted), threshold=0.9
+        emb.unionByName(planted), threshold=0.9, max_bucket=MAX_BUCKET
     )
 
 
@@ -502,7 +517,8 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + off).alias("doc_id"), "text"
     )
     verdicts = incremental_near_dup_batch(
-        arrivals, store, batch_id=1, num_hashes=32, bands=8
+        arrivals, store, batch_id=1, num_hashes=32, bands=8,
+        max_probe_per_bucket=MAX_PROBE_PER_BUCKET,
     )
     return verdicts.filter(
         F.col("new_id") == F.col("dup_of") + off
