@@ -1143,17 +1143,20 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_embedding_near_dup": QuerySpec(
         spark=llm_embedding_near_dup,
         oracle="""
-            -- null vectors are excluded UP FRONT: the engine's SRP
-            -- stage drops them (NULL signature), and DuckDB's
-            -- list_inner_product raises outright on a NULL list
-            -- rather than returning NULL
+            -- null/EMPTY vectors are excluded UP FRONT: the engine's
+            -- SRP stage drops them (NULL signature for null/ragged
+            -- inputs), and DuckDB's list_inner_product raises
+            -- outright on a NULL list or a length mismatch rather
+            -- than returning NULL
             WITH aug AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-              WHERE embedding IS NOT NULL
+              WHERE embedding IS NOT NULL AND len(embedding) > 0
               UNION ALL
               SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
                      embedding::DOUBLE[]
-              FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL)
+              FROM embeddings
+              WHERE vec_id < 20 AND embedding IS NOT NULL
+                AND len(embedding) > 0)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_inner_product(a.v, b.v)
                          / (sqrt(list_inner_product(a.v, a.v))
@@ -1181,6 +1184,11 @@ QUERIES: dict[str, QuerySpec] = {
                               embedding::DOUBLE[] AS qvec
                        FROM embeddings WHERE vec_id < 5),
             pairs AS (
+              -- dim-mismatched (e.g. zero-length) corpus vectors get
+              -- a NULL cosine in the engine (zip_with null-padding)
+              -- and rank last, so they can never reach the top-k;
+              -- DuckDB's list_inner_product instead RAISES on a
+              -- length mismatch, so exclude them up front
               SELECT q.query_id, e.vec_id AS neighbor_id,
                      round(
                        list_inner_product(q.qvec, e.embedding::DOUBLE[])
@@ -1188,7 +1196,10 @@ QUERIES: dict[str, QuerySpec] = {
                           * sqrt(list_inner_product(e.embedding::DOUBLE[],
                                                     e.embedding::DOUBLE[]))),
                        6) AS cosine
-              FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+              FROM q, embeddings e
+              WHERE e.vec_id <> q.query_id
+                AND e.embedding IS NOT NULL
+                AND len(e.embedding) = len(q.qvec)),
             ranked AS (
               SELECT *, row_number() OVER (
                        PARTITION BY query_id

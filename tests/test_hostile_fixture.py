@@ -3,7 +3,7 @@ its DuckDB oracle on a fixture stuffed with the adversarial shapes the
 round-5 reviews identified as latent divergences — null text, empty
 text, space-only text, exact-dup clusters, short docs, full-row
 redelivery duplicates, sub-millisecond interval-boundary timestamps,
-and null/zero embedding vectors.
+and null/zero/zero-length embedding vectors.
 
 The driver's fixtures contain none of these, so the ordinary parity
 gate cannot witness the fixture-proofing fixes; this module generates
@@ -97,6 +97,12 @@ def _hostile_embeddings() -> pa.Table:
         {"vec_id": 20_000, "embedding": None, "label": 0},
         {"vec_id": 20_001, "embedding": [0.0] * dim, "label": 0},
         {"vec_id": 20_002, "embedding": keep.column("embedding")[7].as_py(), "label": 0},
+        # degenerate-input section (r11, VERDICT r10 "what's wrong" #4):
+        # a zero-LENGTH vector — dim-mismatched against every real one
+        # (cosine NULL via zip_with null-padding / the Arrow kernel's
+        # length check) and zero-norm against itself; must be harmless
+        # as a corpus member in every similarity/near-dup family
+        {"vec_id": 20_003, "embedding": [], "label": 0},
     ]
     return pa.concat_tables(
         [keep, pa.Table.from_pylist(rows, schema=base.schema)]
@@ -165,3 +171,68 @@ def test_query_matches_oracle_on_hostile_fixture(
     spec = QUERIES[name]
     df = spec.spark(spark, hostile_dir)
     assert_matches_oracle(df, hostile_con, spec.oracle, name=name)
+
+
+# --- degenerate-input end-to-end pins (r11, VERDICT r10 #4): the
+# zero-norm NaN-ranking bug lived 9 rounds because no GATE ran the
+# similarity kernels over degenerate corpus members — the registry
+# query pins the expr kernel only, and the kernel unit test isn't
+# end-to-end. These drive BOTH cosine kernels and the capped near-dup
+# path over the hostile corpus (null + zero-norm + zero-length +
+# duplicated vectors) through the real top-k/verify plans.
+
+_DEGENERATE_VEC_IDS = {20_000, 20_001, 20_003}  # null, zero-norm, empty
+
+
+def test_cosine_topk_kernels_agree_on_degenerate_corpus(
+    spark, hostile_dir
+):
+    from pyspark.sql import functions as F
+
+    from solana_etl_pipeline_spark.llm.similarity import cosine_topk
+    from solana_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, hostile_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    rows = {}
+    for kernel in ("arrow", "expr"):
+        out = cosine_topk(
+            emb, queries, k=5, max_queries=None, kernel=kernel
+        ).collect()
+        rows[kernel] = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in out
+        )
+        # 5 query vectors × full top-5 (the corpus has >5 valid rows)
+        assert len(rows[kernel]) == 25
+        # a degenerate corpus member must never out-rank a real one:
+        # NaN would sort FIRST in desc order (the r10 bug); NULL
+        # sorts last and can't reach the top-5 here
+        assert not {r[2] for r in rows[kernel]} & _DEGENERATE_VEC_IDS
+    assert rows["arrow"] == rows["expr"]
+
+
+def test_capped_near_dup_handles_degenerate_corpus(spark, hostile_dir):
+    from pyspark.sql import functions as F
+
+    from solana_etl_pipeline_spark.llm.dedup import (
+        dedup_cache_scope,
+        embedding_near_dup_pairs,
+    )
+    from solana_etl_pipeline_spark.llm.scale import MAX_BUCKET
+    from solana_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, hostile_dir, "embeddings")
+    with dedup_cache_scope():
+        pairs = embedding_near_dup_pairs(
+            emb, threshold=0.9, max_bucket=MAX_BUCKET
+        ).collect()
+    ids_in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    # null/zero-norm/zero-length vectors never pair with anything...
+    assert not ids_in_pairs & _DEGENERATE_VEC_IDS
+    # ...while the planted exact copy (vec 7 duplicated as 20_002)
+    # must be found at cosine 1.0 — degenerate-proofing can't come
+    # from dropping rows the operator should match
+    assert any(
+        (r.id_a, r.id_b) == (7, 20_002) and r.cosine == 1.0
+        for r in pairs
+    )
