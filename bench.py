@@ -159,6 +159,37 @@ def main() -> None:
     # numbers carry extra votes (ADVICE r9: don't silently mix
     # estimators).
     burst_cap = float(os.environ.get("SPARK_GRAFT_BENCH_BURST", "1.5"))
+
+    # Calm retries (ADVICE r10): min-substitution keeps the headline
+    # honest but makes it a DIFFERENT estimator for congested queries.
+    # Before committing to that, re-run each still-congested query in
+    # the quietest window this process will see — the end of the
+    # sweep, when no other bench query is running — so a second clean
+    # sample can restore the homogeneous second-smallest stat. Bounded
+    # (default 2 per query) and recorded per query in the sidecar.
+    calm_retries = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_CALM_RETRIES", "2"))
+    )
+    calm_counts: dict[str, int] = {}
+    for _ in range(calm_retries):
+        still = [
+            name
+            for name, runs in all_runs.items()
+            if reported_stat(runs, burst_cap)[1]
+        ]
+        if not still:
+            break
+        for name in still:
+            t0 = time.perf_counter()
+            execute(QUERIES[name].spark(spark, sf_dir))
+            all_runs[name].append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            calm_counts[name] = calm_counts.get(name, 0) + 1
+        print(
+            f"# calm retry over {len(still)} congested "
+            f"quer{'y' if len(still) == 1 else 'ies'} done",
+            file=sys.stderr,
+        )
     timings: dict[str, float] = {}
     detail: dict[str, dict[str, float]] = {}
     congested: list[str] = []
@@ -178,6 +209,8 @@ def main() -> None:
             detail[name]["topped_up"] = True
         if is_congested:
             detail[name]["congested"] = True
+        if name in calm_counts:
+            detail[name]["calm_retries"] = calm_counts[name]
         print(
             f"# {name}: stat {stat:.3f}s median {median(runs):.3f}s "
             f"min {s[0]:.3f}s n={len(runs)}"

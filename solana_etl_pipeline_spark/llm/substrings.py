@@ -107,12 +107,21 @@ def duplicate_span_report(
     # never pass it.
     py_tokenize = _tokenizer if _tokenizer is not None else tokenize.py_words
 
-    @F.pandas_udf("struct<nt:int, wins:array<string>>")
+    # The guard hash (ADVICE r10): the count check alone misses a
+    # drift that PRESERVES token count but moves a boundary (one token
+    # splits while two merge). Both engines crc32 the \x1f-joined
+    # token array — zlib.crc32 here, F.crc32 in step 5 — so equal
+    # (count, hash) certifies the two tokenizers saw the same array
+    # up to a 2^-32 collision, not just arrays of the same length.
+    @F.pandas_udf("struct<nt:int, th:long, wins:array<string>>")
     def _windows(texts: pd.Series) -> pd.DataFrame:
-        nts, winss = [], []
+        import zlib
+
+        nts, ths, winss = [], [], []
         for t in texts:
             words = py_tokenize(t)
             nts.append(len(words))
+            ths.append(zlib.crc32("\x1f".join(words).encode("utf-8")))
             winss.append(
                 []
                 if len(words) < window
@@ -121,7 +130,7 @@ def duplicate_span_report(
                     for i in range(len(words) - window + 1)
                 ]
             )
-        return pd.DataFrame({"nt": nts, "wins": winss})
+        return pd.DataFrame({"nt": nts, "th": ths, "wins": winss})
 
     wins = (
         docs.select(
@@ -131,11 +140,13 @@ def duplicate_span_report(
         .select(
             "_id",
             F.col("_pw.nt").alias("_py_nt"),
+            F.col("_pw.th").alias("_py_th"),
             F.posexplode("_pw.wins").alias("pos", "_win"),
         )
         .select(
             "_id",
             "_py_nt",
+            "_py_th",
             "pos",
             F.struct(
                 F.xxhash64("_win").alias("h1"),
@@ -172,7 +183,7 @@ def duplicate_span_report(
     dups = (
         wins.join(keepers, "digest")
         .filter(F.struct("_id", "pos") != F.col("keeper"))
-        .select("_id", "_py_nt", "pos")
+        .select("_id", "_py_nt", "_py_th", "pos")
     )
 
     # 4. merge overlapping/adjacent windows into spans per doc. With
@@ -196,6 +207,7 @@ def duplicate_span_report(
         F.min("pos").alias("s"),
         (F.max("pos") + window).alias("e"),
         F.first("_py_nt").alias("_py_nt"),
+        F.first("_py_th").alias("_py_th"),
     )
     # One doc-keyed aggregate carries the stats AND the span list;
     # merged islands are disjoint, so the list is small (≤ spans per
@@ -205,6 +217,7 @@ def duplicate_span_report(
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
         F.collect_list(F.struct("s", "e")).alias("_spans"),
         F.first("_py_nt").alias("_py_nt"),
+        F.first("_py_th").alias("_py_th"),
     )
     dup_counts = dups.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_dup_windows")
@@ -230,9 +243,18 @@ def duplicate_span_report(
     # fuzz-pinned equal, but if they ever diverge on a doc the counts
     # differ and the spans would cut the WRONG tokens — degrade that
     # doc to no-op dedup (full text survives, stats still reported)
-    # instead of silently corrupting clean_text.
-    spans_applicable = F.col("_spans").isNotNull() & (
-        F.col("_py_nt") == F.size("_ws")
+    # instead of silently corrupting clean_text. The crc32 of the
+    # \x1f-joined token array (ADVICE r10) additionally catches
+    # count-PRESERVING boundary drift (one token splits while two
+    # merge): the cut applies only when both engines certify the same
+    # token array, count AND content.
+    spans_applicable = (
+        F.col("_spans").isNotNull()
+        & (F.col("_py_nt") == F.size("_ws"))
+        & (
+            F.col("_py_th")
+            == F.crc32(F.encode(F.concat_ws("\x1f", "_ws"), "UTF-8"))
+        )
     )
     return (
         toks.join(dup_counts, "_id", "left")

@@ -54,7 +54,17 @@ _PRE_CHECKPOINT: contextvars.ContextVar[list[dict[str, str]] | None] = (
 def capture_pre_checkpoint_plans():
     """Collect ``{"stage": ..., "plan": ...}`` for every checkpointed
     intermediate built inside the scope. Reentrant-safe (inner scopes
-    shadow, then restore) and thread/context-isolated."""
+    shadow, then restore) and thread/context-isolated.
+
+    LIMITATION (ADVICE r10): contextvars do not propagate to threads
+    spawned INSIDE the scope — a query builder that constructs its
+    checkpointed DataFrames in worker threads would record nothing
+    here (the thread sees the default ``None`` buffer and
+    :func:`record_pre_checkpoint` no-ops). Every current caller
+    (plan_report, cluster.py, graph.py) records in the constructing
+    thread; if threaded construction inside a capture scope is ever
+    added, run the worker body via
+    ``contextvars.copy_context().run(...)`` so the buffer follows."""
     captured: list[dict[str, str]] = []
     token = _PRE_CHECKPOINT.set(captured)
     try:

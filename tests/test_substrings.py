@@ -109,6 +109,44 @@ def test_tokenizer_drift_degrades_to_noop_not_corruption(spark):
     assert got[1].clean_text == "one lead a b c d e f one tail"
 
 
+def test_count_preserving_boundary_drift_degrades_to_noop(spark):
+    """The count check alone can't see a drift that moves a token
+    boundary while preserving the token count (one token splits while
+    two merge) — the spans would still cut, at positions indexing the
+    WRONG array. The crc32 token-array hash (ADVICE r10) closes that:
+    simulated by a twin that re-splits the final two tokens
+    ('one tail' -> 'onet ail'), count unchanged, content drifted."""
+    from solana_etl_pipeline_spark.llm import tokenize
+    from solana_etl_pipeline_spark.llm.substrings import (
+        duplicate_span_report,
+    )
+
+    def drifted(t):
+        ws = tokenize.py_words(t)
+        if len(ws) >= 2 and ws[-1]:
+            return ws[:-2] + [ws[-2] + ws[-1][0], ws[-1][1:]]
+        return ws
+
+    run = "a b c d e f"
+    rows = [
+        Row(doc_id=0, text=run + " unique zero tail"),
+        Row(doc_id=1, text="one lead " + run + " one tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in duplicate_span_report(
+            df, window=W, _tokenizer=drifted
+        ).collect()
+    }
+    # the drift is away from the shared run, so dup stats still land...
+    assert got[1].n_dup_windows == 3
+    # ...and the count-only guard WOULD have cut (py count == JVM
+    # count for every doc here) — the hash guard must refuse instead
+    assert got[1].clean_text == "one lead a b c d e f one tail"
+    assert got[0].clean_text == "a b c d e f unique zero tail"
+
+
 def test_fully_duplicated_doc_cleans_to_empty(spark):
     """An exact copy of an entire earlier doc loses everything."""
     body = "t1 t2 t3 t4 t5 t6 t7 t8"
