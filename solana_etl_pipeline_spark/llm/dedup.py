@@ -499,10 +499,14 @@ def minhash_near_dup_pairs(
         # kept and BROADCAST — there are at most bands·n/max_bucket of
         # them by counting, so the broadcast is bounded and the band
         # table itself is never re-shuffled (an equi-join split was
-        # measured +65% on the untriggered path; two broadcast probes
-        # are ~free). The tiny aggregate is persisted so the anti and
-        # star probes' broadcast builds don't each re-run the count
-        # shuffle when exchange reuse doesn't kick in.
+        # measured +65% on the untriggered path). The tiny aggregate
+        # is persisted so its broadcast build never re-runs the count
+        # shuffle, and ONE left-outer broadcast probe tags every band
+        # row with its bucket's representative (NULL = within cap);
+        # the persisted tagged table then splits into small/star by
+        # filter — one join execution + cache reads instead of three
+        # (anti×2 + star), which is fixed-stage overhead at fixture
+        # scale and one fewer pass at any scale.
         oversize = F.broadcast(
             _scoped_persist(
                 band_entries.groupBy("band_idx", "band_hash")
@@ -514,14 +518,16 @@ def minhash_near_dup_pairs(
                 .select("band_idx", "band_hash", "_rep")
             )
         )
-        small = band_entries.join(
-            oversize, ["band_idx", "band_hash"], "left_anti"
+        flagged = _scoped_persist(
+            band_entries.join(oversize, ["band_idx", "band_hash"], "left")
         )
+        small = flagged.filter(F.col("_rep").isNull()).drop("_rep")
         # oversize buckets: star around the min id — s-1 edges, never
         # s², and rep < member always, so (id_a, id_b) is ordered
         star = (
-            band_entries.join(oversize, ["band_idx", "band_hash"])
-            .filter(F.col(id_col) != F.col("_rep"))
+            flagged.filter(
+                F.col("_rep").isNotNull() & (F.col(id_col) != F.col("_rep"))
+            )
             .select(
                 F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
             )
@@ -656,8 +662,14 @@ def embedding_near_dup_pairs(
     if max_bucket is not None:
         # same star discipline as minhash_near_dup_pairs: the (few,
         # ≤ bands·n/max_bucket) oversize buckets broadcast (persisted —
-        # tiny — so the anti and star probes share one count shuffle);
-        # the band table is never re-shuffled
+        # tiny — so the probes share one count shuffle); the band
+        # table is never re-shuffled. ONE left-outer broadcast probe
+        # tags every band row with its bucket's representative (NULL =
+        # bucket within cap), and the persisted tagged table splits
+        # into small/star by filter — one join execution + cache reads
+        # instead of three join executions (anti×2 + star), which is
+        # fixed-stage overhead at fixture scale and one fewer pass at
+        # any scale.
         oversize = F.broadcast(
             _scoped_persist(
                 bands_only.groupBy("band_idx", "band_val")
@@ -669,12 +681,14 @@ def embedding_near_dup_pairs(
                 .select("band_idx", "band_val", "_rep")
             )
         )
-        small = bands_only.join(
-            oversize, ["band_idx", "band_val"], "left_anti"
+        flagged = _scoped_persist(
+            bands_only.join(oversize, ["band_idx", "band_val"], "left")
         )
+        small = flagged.filter(F.col("_rep").isNull()).drop("_rep")
         star = (
-            bands_only.join(oversize, ["band_idx", "band_val"])
-            .filter(F.col(id_col) != F.col("_rep"))
+            flagged.filter(
+                F.col("_rep").isNotNull() & (F.col(id_col) != F.col("_rep"))
+            )
             .select(
                 F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
             )
@@ -850,8 +864,11 @@ def simhash_candidate_pairs(
         # ones (≤ bands·n/max_bucket by counting) with their min-id
         # representative (struct carries the rep's signature for the
         # star edges' verify); the banded table is never re-shuffled,
-        # and the tiny aggregate is persisted so the anti and star
-        # probes share one count shuffle
+        # the tiny aggregate is persisted so its broadcast build runs
+        # the count shuffle once, and ONE left-outer probe tags every
+        # band row (NULL _rep = within cap) — the persisted tagged
+        # table splits into small/star by filter, one join execution
+        # instead of three
         oversize = F.broadcast(
             _scoped_persist(
                 banded.groupBy("band_idx", "band_val")
@@ -863,12 +880,15 @@ def simhash_candidate_pairs(
                 .select("band_idx", "band_val", "_rep")
             )
         )
-        small = banded.join(
-            oversize, ["band_idx", "band_val"], "left_anti"
+        flagged = _scoped_persist(
+            banded.join(oversize, ["band_idx", "band_val"], "left")
         )
+        small = flagged.filter(F.col("_rep").isNull()).drop("_rep")
         star = (
-            banded.join(oversize, ["band_idx", "band_val"])
-            .filter(F.col(id_col) != F.col(f"_rep.{id_col}"))
+            flagged.filter(
+                F.col("_rep").isNotNull()
+                & (F.col(id_col) != F.col(f"_rep.{id_col}"))
+            )
             .select(
                 F.col(f"_rep.{id_col}").alias("id_a"),
                 F.col("_rep.simhash").alias("sim_a"),
