@@ -64,15 +64,32 @@ def _scope_stack() -> "list[list[DataFrame]]":
     return stack
 
 
-def _scoped_persist(df: DataFrame) -> DataFrame:
+def _scoped_persist(df: DataFrame, eager: bool = False) -> DataFrame:
     """``persist()`` that registers with the innermost active
     :func:`dedup_cache_scope` ON THIS THREAD (no-op registration
     outside a scope — session-scoped cache, see the module
-    docstring)."""
+    docstring).
+
+    ``eager=True`` materializes the cache (one ``count()``) before
+    returning. Use it when the persisted frame fans out into
+    CONCURRENTLY-SCHEDULED stages of the same job — e.g. both sides
+    of a self-join, or the ``sig_a``/``sig_b`` legs of a pair
+    re-join. ``persist()`` alone is lazy, and Spark schedules
+    independent stages in parallel, so every cold-cache consumer
+    stage races to compute the same partitions and an expensive
+    upstream (the Arrow signature UDF) runs once PER RACING STAGE
+    instead of once: the r11 third-decade decomposition measured the
+    integrated survivors pipeline at ~2× the sum of its
+    barrier-separated stages (680 s vs ~350 s at 10 M docs) from
+    exactly this. The eager count costs one extra scan when there is
+    a single consumer — only set it at known fan-out sites.
+    """
     df = df.persist()
     stack = _scope_stack()
     if stack:
         stack[-1].append(df)
+    if eager:
+        df.count()
     return df
 
 
@@ -462,7 +479,7 @@ def minhash_near_dup_pairs(
     # branch — the dominant cost. Persist is the single-job form; at
     # cluster scale you'd write signatures to a table once and reuse
     # them across dedup runs.
-    sigs = _scoped_persist(sigs)
+    sigs = _scoped_persist(sigs, eager=True)
 
     # Band rows carry ONLY (id, band_idx, band_hash) — never the full
     # signature: the bucket join shuffles bands*|docs| skinny rows, and
@@ -493,7 +510,7 @@ def minhash_near_dup_pairs(
         # two — persist the skinny band rows once instead of
         # recomputing 16 band hashes per doc per consumer (scoped,
         # same lifecycle as the sigs persist above).
-        band_entries = _scoped_persist(band_entries)
+        band_entries = _scoped_persist(band_entries, eager=True)
         # One map-side-combined aggregate sizes every bucket; only the
         # OVERSIZE buckets (with their min-id star representative) are
         # kept and BROADCAST — there are at most bands·n/max_bucket of
@@ -519,7 +536,8 @@ def minhash_near_dup_pairs(
             )
         )
         flagged = _scoped_persist(
-            band_entries.join(oversize, ["band_idx", "band_hash"], "left")
+            band_entries.join(oversize, ["band_idx", "band_hash"], "left"),
+            eager=True,
         )
         small = flagged.filter(F.col("_rep").isNull()).drop("_rep")
         # oversize buckets: star around the min id — s-1 edges, never
@@ -601,7 +619,9 @@ def ngram_jaccard_for_pairs(
     sets_df = (
         shingles
         if shingles is not None
-        else _scoped_persist(shingle_sets(df, id_col, text_col, shingle_len))
+        else _scoped_persist(
+            shingle_sets(df, id_col, text_col, shingle_len), eager=True
+        )
     )  # feeds both sides of the pair join — compute shingles once
     out = pairs.join(
         sets_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
@@ -657,7 +677,7 @@ def embedding_near_dup_pairs(
     # persist: the 32 sign-projections per vector are interpreted
     # higher-order expressions — compute once, not once per join side
     bands_only = _scoped_persist(
-        buckets.select(F.col(id_col), "band_idx", "band_val")
+        buckets.select(F.col(id_col), "band_idx", "band_val"), eager=True
     )
     if max_bucket is not None:
         # same star discipline as minhash_near_dup_pairs: the (few,
@@ -682,7 +702,8 @@ def embedding_near_dup_pairs(
             )
         )
         flagged = _scoped_persist(
-            bands_only.join(oversize, ["band_idx", "band_val"], "left")
+            bands_only.join(oversize, ["band_idx", "band_val"], "left"),
+            eager=True,
         )
         small = flagged.filter(F.col("_rep").isNull()).drop("_rep")
         star = (
@@ -844,7 +865,7 @@ def simhash_candidate_pairs(
     semantics."""
     # persist: the 64-way conditional-sum aggregate feeds both sides of
     # the band self-join below
-    sigs = _scoped_persist(simhash(df, id_col, text_col))
+    sigs = _scoped_persist(simhash(df, id_col, text_col), eager=True)
     banded = sigs.select(
         id_col,
         "simhash",
@@ -881,7 +902,8 @@ def simhash_candidate_pairs(
             )
         )
         flagged = _scoped_persist(
-            banded.join(oversize, ["band_idx", "band_val"], "left")
+            banded.join(oversize, ["band_idx", "band_val"], "left"),
+            eager=True,
         )
         small = flagged.filter(F.col("_rep").isNull()).drop("_rep")
         star = (

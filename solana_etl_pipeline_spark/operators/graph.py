@@ -59,13 +59,23 @@ def pagerank(
     dimension tables); leave False for graphs whose node set scales
     with the fact data.
     """
+    # Both directions from ONE pass over ``edges`` (explode of a
+    # 2-element array) — a union of two selects executes the upstream
+    # edge plan twice before the checkpoint below can help (same
+    # double-execution class as llm/cluster.py::connected_components,
+    # measured there at 2× the whole candidate pipeline).
     und = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(
-        edges.select(
-            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     if dedup_edges:
         und = und.distinct()
     # Degree rides the edge rows: one window-free join now, zero

@@ -225,7 +225,9 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # one corpus text parse: the persisted shingle sets feed BOTH the
     # signature stage and the exact-Jaccard verify
-    sh = _scoped_persist(shingle_sets(docs, "doc_id", "text", 3))
+    sh = _scoped_persist(
+        shingle_sets(docs, "doc_id", "text", 3), eager=True
+    )
     cand = minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
         shingles=sh, max_bucket=MAX_BUCKET,
@@ -248,7 +250,9 @@ def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     output bit-identical; the star/CC-equivalence argument is exactly
     what this query's survivor oracle then re-checks end-to-end)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _scoped_persist(shingle_sets(docs, "doc_id", "text", 3))
+    sh = _scoped_persist(
+        shingle_sets(docs, "doc_id", "text", 3), eager=True
+    )
     cand = minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
         shingles=sh, max_bucket=MAX_BUCKET,

@@ -77,6 +77,28 @@ def build_session(
         # Local-mode niceties; harmless on a cluster.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # G1 + JNI-critical (Arrow) interplay: under heavy concurrent
+        # Arrow traffic the GCLocker can starve multi-MB allocations
+        # into retry failure, and at the default 4 MB G1 region size
+        # the observed ~4.5 MB task buffers are "humongous"
+        # allocations that G1 satisfies least gracefully. Both showed
+        # up as the r11 third-decade rehearsal's executor OOM (8
+        # simultaneous "Retried waiting for GCLocker too often
+        # allocating ~560k words" warnings, then heap-space OOM —
+        # COVERAGE.md convention 7). Retry budget up from the JDK-17
+        # default of 2; 32 MB regions make ~4 MB buffers regular
+        # allocations. The retry knob is diagnostic-class in JDK 17,
+        # hence the unlock flag. No semantic effect; override via
+        # SPARK_DRIVER_JAVA_OPTS.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-XX:+UnlockDiagnosticVMOptions "
+                "-XX:GCLockerRetryAllocationCount=8 "
+                "-XX:G1HeapRegionSize=32m",
+            ),
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
     for key, value in RUNTIME_CONFS.items():

@@ -29,6 +29,7 @@ timed jobs scan files, not a range-lineage.
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import tempfile
@@ -39,6 +40,36 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 from solana_etl_pipeline_spark.session import build_session  # noqa: E402
+
+
+def size_rehearsal_heap(min_gb: int = 8, cap_gb: int = 64) -> None:
+    """Default SPARK_DRIVER_MEMORY to half the machine's available RAM.
+
+    The engine's 8 g default deliberately models a SMALL production
+    executor (local[32] at 8 g is ~0.25 g per task slot — tighter than
+    any real cluster, where 2-4 g/core is typical). That posture is
+    right for tests and the bench, but the multi-decade rehearsals run
+    corpora two decades past fixture scale through the same 32 slots,
+    and at 10 M docs the concurrent Arrow batches alone exceed it: the
+    r11 re-pin reproduced r10's "transient worker loss" as 8
+    simultaneous executor heap-space OOMs (GCLocker allocation-retry
+    warnings, then OOM → local-mode JVM death; COVERAGE.md convention
+    7). Rehearsal entry points therefore size the heap to the machine
+    — callers' explicit SPARK_DRIVER_MEMORY always wins.
+    """
+    if os.environ.get("SPARK_DRIVER_MEMORY"):
+        return
+    gb = min_gb
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable"):
+                    avail_kb = int(line.split()[1])
+                    gb = max(min_gb, min(cap_gb, avail_kb // (2 * 1024 * 1024)))
+                    break
+    except OSError:
+        pass
+    os.environ["SPARK_DRIVER_MEMORY"] = f"{gb}g"
 
 VOCAB = (
     "the of and to in data table row scan value fast merge batch "
@@ -109,6 +140,7 @@ def main() -> None:
     workdir = (
         sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="rehearse_")
     )
+    size_rehearsal_heap()
     spark = build_session(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
