@@ -83,6 +83,17 @@ def _scoped_persist(df: DataFrame, eager: bool = False) -> DataFrame:
     barrier-separated stages (680 s vs ~350 s at 10 M docs) from
     exactly this. The eager count costs one extra scan when there is
     a single consumer — only set it at known fan-out sites.
+
+    Each eager count is also a serial JOB BARRIER, and at fixture
+    scale the barriers cost more than the races they prevent: an
+    interleaved sf0.1 A/B on `llm_minhash_near_dup` measured eager on
+    ALL four of its persists at min 2.80 s vs 2.45 s lazy (+14%).
+    Set eager only where the cached plan is itself expensive (the
+    Arrow shingle/signature UDFs, the embedding sign projections) —
+    cheap tables derived from an already-warm cache (band
+    projections, the broadcast-tagged split) stay lazy: a racing
+    stage recomputing them re-reads the warm upstream cache, which
+    is a map, not a second UDF pass.
     """
     df = df.persist()
     stack = _scope_stack()
@@ -510,7 +521,7 @@ def minhash_near_dup_pairs(
         # two — persist the skinny band rows once instead of
         # recomputing 16 band hashes per doc per consumer (scoped,
         # same lifecycle as the sigs persist above).
-        band_entries = _scoped_persist(band_entries, eager=True)
+        band_entries = _scoped_persist(band_entries)
         # One map-side-combined aggregate sizes every bucket; only the
         # OVERSIZE buckets (with their min-id star representative) are
         # kept and BROADCAST — there are at most bands·n/max_bucket of
@@ -536,8 +547,7 @@ def minhash_near_dup_pairs(
             )
         )
         flagged = _scoped_persist(
-            band_entries.join(oversize, ["band_idx", "band_hash"], "left"),
-            eager=True,
+            band_entries.join(oversize, ["band_idx", "band_hash"], "left")
         )
         small = flagged.filter(F.col("_rep").isNull()).drop("_rep")
         # oversize buckets: star around the min id — s-1 edges, never
@@ -702,8 +712,7 @@ def embedding_near_dup_pairs(
             )
         )
         flagged = _scoped_persist(
-            bands_only.join(oversize, ["band_idx", "band_val"], "left"),
-            eager=True,
+            bands_only.join(oversize, ["band_idx", "band_val"], "left")
         )
         small = flagged.filter(F.col("_rep").isNull()).drop("_rep")
         star = (
@@ -902,8 +911,7 @@ def simhash_candidate_pairs(
             )
         )
         flagged = _scoped_persist(
-            banded.join(oversize, ["band_idx", "band_val"], "left"),
-            eager=True,
+            banded.join(oversize, ["band_idx", "band_val"], "left")
         )
         small = flagged.filter(F.col("_rep").isNull()).drop("_rep")
         star = (
