@@ -16,7 +16,10 @@ settings:
 
 from __future__ import annotations
 
+import functools
 import os
+import re
+import subprocess
 
 from pyspark.sql import SparkSession
 
@@ -50,6 +53,48 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # Non-runtime conf on this build — leave builder-time value.
             pass
     return spark
+
+
+@functools.lru_cache(maxsize=1)
+def _java_major_version() -> int | None:
+    """Major version of the JVM Spark will launch, or None if the
+    probe fails (no java on PATH/JAVA_HOME, unparseable banner)."""
+    java_home = os.environ.get("JAVA_HOME", "")
+    java = os.path.join(java_home, "bin", "java") if java_home else "java"
+    try:
+        out = subprocess.run(
+            [java, "-version"], capture_output=True, text=True, timeout=15
+        )
+    except Exception:
+        return None
+    m = re.search(r'version "(\d+)', (out.stderr or "") + (out.stdout or ""))
+    return int(m.group(1)) if m else None
+
+
+def gc_java_opts() -> str:
+    """JVM options mitigating the r11 rehearsal's executor-OOM class
+    (G1 + JNI-critical Arrow buffers — see the comment at the
+    ``build_session`` driver-opts site).
+
+    The GCLocker retry knob is a JDK-17-era *diagnostic* flag tied to
+    the GCLocker itself, which JDK 22's G1 region pinning (JEP 423)
+    removes — on later JDKs the unrecognized ``-XX`` option would
+    abort JVM startup. So it is gated on a ``java -version`` probe
+    (included only for major ≤ 21; omitted when the probe fails —
+    failing open on a flag the JVM may reject would brick every entry
+    point). ``-XX:G1HeapRegionSize`` is a stable product flag and is
+    always included: 32 MB regions keep the observed ~4.5 MB Arrow
+    task buffers below G1's humongous-allocation threshold.
+    """
+    opts = []
+    major = _java_major_version()
+    if major is not None and major <= 21:
+        opts += [
+            "-XX:+UnlockDiagnosticVMOptions",
+            "-XX:GCLockerRetryAllocationCount=8",
+        ]
+    opts.append("-XX:G1HeapRegionSize=32m")
+    return " ".join(opts)
 
 
 def build_session(
@@ -87,17 +132,24 @@ def build_session(
         # allocating ~560k words" warnings, then heap-space OOM —
         # COVERAGE.md convention 7). Retry budget up from the JDK-17
         # default of 2; 32 MB regions make ~4 MB buffers regular
-        # allocations. The retry knob is diagnostic-class in JDK 17,
-        # hence the unlock flag. No semantic effect; override via
-        # SPARK_DRIVER_JAVA_OPTS.
+        # allocations. See gc_java_opts() for the JDK-version gate on
+        # the diagnostic GCLocker knob. No semantic effect. The env
+        # vars REPLACE (not append to) these defaults, as does a
+        # later extra_confs entry for the same key — callers carrying
+        # their own spark-defaults extraJavaOptions must merge by
+        # hand.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_DRIVER_JAVA_OPTS",
-                "-XX:+UnlockDiagnosticVMOptions "
-                "-XX:GCLockerRetryAllocationCount=8 "
-                "-XX:G1HeapRegionSize=32m",
-            ),
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", gc_java_opts()),
+        )
+        # Mirror into executor JVMs: in local mode executors live in
+        # the driver JVM and this is inert, but on a real cluster the
+        # Arrow/GCLocker allocation pressure happens in EXECUTOR JVMs
+        # — without the mirror the OOM-class fix would silently not
+        # apply where it matters (ADVICE r11).
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_EXECUTOR_JAVA_OPTS", gc_java_opts()),
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )

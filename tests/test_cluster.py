@@ -131,7 +131,13 @@ def test_connected_components_single_pass_over_pairs(spark):
     pairs = base.mapInPandas(counting, schema="id_a long, id_b long")
     labels = connected_components(pairs)
     assert labels.count() == 200
-    assert acc.value == 100, (
+    # Spark accumulators in transformations are at-least-once (task
+    # retry / speculation / cache-block recompute can inflate the
+    # count), so don't pin exactly 100 (ADVICE r11). The regression
+    # signature is 200 (every pair produced twice by the
+    # union-of-selects form); anything strictly below that still
+    # proves the one-pass explode, with headroom for a stray retry.
+    assert 100 <= acc.value < 200, (
         f"pair plan produced {acc.value} rows for 100 pairs — "
         "the edge symmetrization is executing the upstream plan "
         "more than once"
