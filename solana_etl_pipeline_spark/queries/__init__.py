@@ -78,64 +78,25 @@ for _mod in (
 #     python tools/staleness.py --budget 170
 # Tiers: (1) witnessed queries that would breach the bound next round,
 # (2) never-witnessed queries (first-witness priority), (3) remaining
-# witnessed queries stalest-first. The round-11 ordering below is that
-# tool's full-registry output at r10 HEAD: every query has been
-# driver-green at least once, so tier 2 is empty; the 20 r6-witnessed
-# queries at staleness 4 (= the bound, 19 TPC-H q4-q22 +
-# events_hourly_rollup) lead, then the r8-green block (staleness 2),
-# then r9 (staleness 1), then the r10-green block (freshest rows
-# last).
+# witnessed queries stalest-first. The round-12 ordering below is that
+# tool's full-registry output at r11 HEAD with two hand adjustments
+# (VERDICT r11 task 1): the never-witnessed
+# llm_megabucket_star_survivors leads, and the six queries whose
+# PLANS changed in r11/r12 (the near-dup family's cap-on defaults +
+# eager-persist surgery, graph's one-pass edge symmetrization) are
+# promoted to positions 2-7 — changed plans outrank stale witnesses,
+# and the tool's natural order would have dropped
+# llm_incremental_near_dup just outside the 50-query driver slice.
+# Then the 20 r8-witnessed queries at staleness 3 (which hit the
+# bound of 4 next round), then staleness-2/1/0 blocks stalest-first.
 _PRIORITY = (
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "events_hourly_rollup",
-    "events_value_banding",
-    "events_pst_rendering",
-    "token_detail_view",
-    "join_left_semi",
-    "join_fact_revenue",
-    "window_lag_delta",
-    "window_running_sum",
-    "window_rank_customers",
-    "setop_intersect",
-    "distinct_event_types",
-    "agg_rollup_returnflag",
-    "agg_cube_orders",
-    "agg_collect_set_sorted",
-    "nested_dispatch_agg",
-    "unpivot_lineitem_metrics",
-    "skew_salted_user_rollup",
-    "data_quality_report",
-    "data_quality_split",
-    "normalized_exact_dedup",
-    "risk_scores_topk_approx",
-    "sketch_rollup_distinct_users",
-    "sample_stratified",
-    "llm_tfidf_top_terms",
-    "llm_bm25_search",
-    "llm_pii_redact",
-    "llm_pack_sequences",
-    "llm_corpus_filter",
-    "data_skew_report",
-    "attribution_last_touch",
-    "orders_mom_revenue",
+    "llm_megabucket_star_survivors",
+    "llm_minhash_near_dup",
+    "llm_simhash_near_dup",
+    "llm_embedding_near_dup",
+    "llm_near_dup_survivors",
+    "llm_incremental_near_dup",
+    "graph_pagerank_parts",
     "order_fulfillment_latency",
     "events_seasonal_anomalies",
     "sketch_hll_overlap",
@@ -145,7 +106,6 @@ _PRIORITY = (
     "profile_events_columns",
     "llm_label_centroids",
     "events_interval_coverage",
-    "graph_pagerank_parts",
     "basket_part_pairs",
     "user_rfm_segments",
     "data_benford_digits",
@@ -179,13 +139,8 @@ _PRIORITY = (
     "llm_export_shards",
     "llm_token_heavy_hitters",
     "sink_zorder_roundtrip",
-    "llm_minhash_near_dup",
-    "llm_simhash_near_dup",
-    "llm_near_dup_survivors",
-    "llm_embedding_near_dup",
     "llm_lsh_cosine_topk",
     "llm_ivf_cosine_topk",
-    "llm_incremental_near_dup",
     "streaming_session_windows",
     "llm_decontaminate",
     "llm_repetition_rules",
@@ -256,6 +211,56 @@ _PRIORITY = (
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "events_hourly_rollup",
+    "events_value_banding",
+    "events_pst_rendering",
+    "token_detail_view",
+    "join_left_semi",
+    "join_fact_revenue",
+    "window_lag_delta",
+    "window_running_sum",
+    "window_rank_customers",
+    "setop_intersect",
+    "distinct_event_types",
+    "agg_rollup_returnflag",
+    "agg_cube_orders",
+    "agg_collect_set_sorted",
+    "nested_dispatch_agg",
+    "unpivot_lineitem_metrics",
+    "skew_salted_user_rollup",
+    "data_quality_report",
+    "data_quality_split",
+    "normalized_exact_dedup",
+    "risk_scores_topk_approx",
+    "sketch_rollup_distinct_users",
+    "sample_stratified",
+    "llm_tfidf_top_terms",
+    "llm_bm25_search",
+    "llm_pii_redact",
+    "llm_pack_sequences",
+    "llm_corpus_filter",
+    "data_skew_report",
+    "attribution_last_touch",
+    "orders_mom_revenue",
 )
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -267,6 +267,98 @@ def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted mega-bucket (llm_megabucket_star_survivors): enough exact
+# clones of one document that every band bucket holding the clone
+# cluster exceeds llm/scale.MAX_BUCKET and the star-cap branch MUST
+# fire. Clone ids sit far above any fixture doc_id so the min-id
+# canonical keep can never select a clone.
+N_CLONE_ROWS = 1200
+CLONE_ID_BASE = 1 << 40
+CLONE_MIN_CHARS = 100
+
+
+def _plant_clone_cluster(docs: DataFrame) -> DataFrame:
+    """``documents`` plus ``N_CLONE_ROWS`` exact copies of the min-id
+    document with ``n_chars >= CLONE_MIN_CHARS`` (doc_id 0 on every
+    fixture — being the GLOBAL min id matters: the star
+    representative of a bucket is its min id, so the target document
+    itself is always the representative and every clone verifies
+    against it at jaccard 1.0). Clones get fresh ids above
+    ``CLONE_ID_BASE`` and source ``_planted``."""
+    target = (
+        docs.filter(
+            F.col("text").isNotNull()
+            & (F.col("n_chars") >= CLONE_MIN_CHARS)
+        )
+        .orderBy("doc_id")
+        .limit(1)
+    )
+    clones = target.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(N_CLONE_ROWS))
+        ).alias("_k"),
+        "text",
+        "lang",
+        "n_chars",
+    ).select(
+        (F.lit(CLONE_ID_BASE) + F.col("_k")).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("_planted").alias("source"),
+        "n_chars",
+    )
+    return docs.unionByName(clones.select(*docs.columns))
+
+
+def llm_megabucket_star_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver witness for the TRIGGERED star-cap path (the 100 TB
+    mega-bucket guard actually firing, not just being armed).
+
+    The corpus is augmented with :func:`_plant_clone_cluster`: 1200
+    exact copies of doc 0 — mass-duplicated boilerplate, the exact
+    web-corpus pathology ``max_bucket`` exists for. The clone cluster
+    shares doc 0's minhash signature, so all 16 band buckets holding
+    it have size ≥ 1201 > ``MAX_BUCKET`` = 1000 and
+    ``minhash_near_dup_pairs`` MUST take the star branch (s-1 edges
+    around the min-id representative instead of the s·(s-1)/2 ≈ 720 k
+    clique; tests/test_llm.py pins zero clone–clone candidate pairs,
+    which is impossible under clique semantics).
+
+    The oracle is survivor-set equivalence, the same recursive-CTE
+    survivors SQL as ``llm_near_dup_survivors`` over the RAW corpus:
+    doc 0 is the global min id, so it is every triggered bucket's
+    star representative; each clone verifies against it at exact
+    jaccard 1.0; connected components absorbs the whole cluster into
+    doc 0's component; and the min-id canonical keep discards every
+    clone (ids above ``CLONE_ID_BASE``). Star edges between doc 0 and
+    organic bucket members pass through the same est/exact-jaccard
+    verify as uncapped candidates, and band-bucket membership of the
+    original documents is unchanged by the clones — so the survivor
+    summary over the augmented corpus provably equals the raw-corpus
+    one, and no ``_planted`` row may appear. Any cap-machinery defect
+    (lost star edges, orphaned clones, a surviving clone) breaks the
+    match."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _plant_clone_cluster(docs)
+    sh = _scoped_persist(
+        shingle_sets(corpus, "doc_id", "text", 3), eager=True
+    )
+    cand = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        shingles=sh, max_bucket=MAX_BUCKET,
+    )
+    pairs = ngram_jaccard_for_pairs(
+        corpus, cand.select("id_a", "id_b"), "doc_id", "text", shingles=sh
+    ).filter(F.col("jaccard") >= 0.5)
+    survivors = near_dup_dedup(corpus, pairs, "doc_id")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_chars").alias("surviving_chars"),
+    )
+
+
 def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash planted-probe: banded candidates must rediscover
     order-permuted twins.
@@ -1070,6 +1162,39 @@ QUERIES: dict[str, QuerySpec] = {
             FROM survivors GROUP BY source
         """,
         doc="Fuzzy dedup end-to-end: pairs → components → canonical keep",
+        tags=("§2.11",),
+    ),
+    "llm_megabucket_star_survivors": QuerySpec(
+        spark=llm_megabucket_star_survivors,
+        # Identical SQL to llm_near_dup_survivors over the RAW corpus
+        # — deliberately: the planted clone cluster provably cancels
+        # out of the survivor summary (doc 0 is every triggered
+        # bucket's min-id star representative, clones verify at
+        # jaccard 1.0 and lose the min-id keep), so equivalence to
+        # the raw-corpus ground truth IS the check that the
+        # cap-triggered star path preserved component structure.
+        oracle=f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM jacc_pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM jacc_pairs),
+            reach(id, comp) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.comp
+              FROM reach r JOIN edges e ON e.src = r.id),
+            comp AS (
+              SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+            survivors AS (
+              SELECT d.source, d.n_chars
+              FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+              WHERE c.id IS NULL OR c.comp = d.doc_id)
+            SELECT source, count(*) AS n_survivors,
+                   CAST(sum(n_chars) AS BIGINT) AS surviving_chars
+            FROM survivors GROUP BY source
+        """,
+        doc="Star-cap TRIGGERED on a planted mega-bucket; survivor-set equivalence",
         tags=("§2.11",),
     ),
     "llm_simhash_near_dup": QuerySpec(

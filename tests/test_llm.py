@@ -129,6 +129,57 @@ def test_minhash_bucket_cap_stars_mega_bucket_preserving_dedup(spark):
     assert surv_capped == surv_uncapped == [0, 100, 101, 102, 103, 104]
 
 
+def test_megabucket_registry_query_triggers_star_path(spark, sf_dir):
+    """The registry's planted-mega-bucket query must actually FIRE the
+    cap (not just arm it): with 1201 exact copies of doc 0 sharing
+    every band bucket and MAX_BUCKET=1000, the star branch emits only
+    rep→member edges, so clone–clone candidate pairs are IMPOSSIBLE
+    (clique semantics would emit C(1200,2) = 719 400 of them) and doc
+    0 carries exactly one edge per clone. The survivor summary must
+    equal the raw-corpus llm_near_dup_survivors output with no
+    _planted row — the same equivalence the driver oracle re-checks."""
+    from solana_etl_pipeline_spark.llm.dedup import shingle_sets
+    from solana_etl_pipeline_spark.llm.scale import MAX_BUCKET
+    from solana_etl_pipeline_spark.queries.llm import (
+        CLONE_ID_BASE,
+        N_CLONE_ROWS,
+        _plant_clone_cluster,
+        llm_megabucket_star_survivors,
+        llm_near_dup_survivors,
+    )
+
+    assert N_CLONE_ROWS + 1 > MAX_BUCKET  # the trigger precondition
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _plant_clone_cluster(docs)
+    sh = shingle_sets(corpus, "doc_id", "text", 3)
+    cand = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        shingles=sh, max_bucket=MAX_BUCKET,
+    )
+    clone_edges = cand.filter(F.col("id_b") >= CLONE_ID_BASE)
+    n_clone_clone = clone_edges.filter(
+        F.col("id_a") >= CLONE_ID_BASE
+    ).count()
+    n_star = clone_edges.filter(F.col("id_a") == 0).count()
+    assert n_clone_clone == 0, (
+        f"{n_clone_clone} clone-clone candidate pairs — the oversize "
+        "bucket took the clique path, the star cap did not fire"
+    )
+    assert n_star == N_CLONE_ROWS
+
+    got = {
+        r.source: (r.n_survivors, r.surviving_chars)
+        for r in llm_megabucket_star_survivors(spark, sf_dir).collect()
+    }
+    want = {
+        r.source: (r.n_survivors, r.surviving_chars)
+        for r in llm_near_dup_survivors(spark, sf_dir).collect()
+    }
+    assert "_planted" not in got
+    assert got == want
+
+
 def test_simhash_candidates(spark, planted_docs):
     pairs = simhash_candidate_pairs(planted_docs, "doc_id", "text", max_hamming=3)
     found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
