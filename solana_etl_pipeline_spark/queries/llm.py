@@ -225,9 +225,12 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # one corpus text parse: the persisted shingle sets feed BOTH the
     # signature stage and the exact-Jaccard verify
-    sh = _scoped_persist(
-        shingle_sets(docs, "doc_id", "text", 3), eager=True
-    )
+    # Lazy persist: the sigs eager-count inside
+    # minhash_near_dup_pairs computes this lineage and fills BOTH
+    # caches in one job (sh is its only pre-count consumer, so there
+    # is no race), replacing the separate sh.count() barrier the r11
+    # plan paid (~0.4 s/query at sf0.1, see COVERAGE.md).
+    sh = _scoped_persist(shingle_sets(docs, "doc_id", "text", 3))
     cand = minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
         shingles=sh, max_bucket=MAX_BUCKET,
@@ -250,9 +253,12 @@ def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     output bit-identical; the star/CC-equivalence argument is exactly
     what this query's survivor oracle then re-checks end-to-end)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _scoped_persist(
-        shingle_sets(docs, "doc_id", "text", 3), eager=True
-    )
+    # Lazy persist: the sigs eager-count inside
+    # minhash_near_dup_pairs computes this lineage and fills BOTH
+    # caches in one job (sh is its only pre-count consumer, so there
+    # is no race), replacing the separate sh.count() barrier the r11
+    # plan paid (~0.4 s/query at sf0.1, see COVERAGE.md).
+    sh = _scoped_persist(shingle_sets(docs, "doc_id", "text", 3))
     cand = minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
         shingles=sh, max_bucket=MAX_BUCKET,
@@ -342,9 +348,12 @@ def llm_megabucket_star_survivors(
     match."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = _plant_clone_cluster(docs)
-    sh = _scoped_persist(
-        shingle_sets(corpus, "doc_id", "text", 3), eager=True
-    )
+    # Lazy persist: the sigs eager-count inside
+    # minhash_near_dup_pairs computes this lineage and fills BOTH
+    # caches in one job (sh is its only pre-count consumer, so there
+    # is no race), replacing the separate sh.count() barrier the r11
+    # plan paid (~0.4 s/query at sf0.1, see COVERAGE.md).
+    sh = _scoped_persist(shingle_sets(corpus, "doc_id", "text", 3))
     cand = minhash_near_dup_pairs(
         corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
         shingles=sh, max_bucket=MAX_BUCKET,
