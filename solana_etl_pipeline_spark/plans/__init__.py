@@ -3,6 +3,7 @@
 from solana_etl_pipeline_spark.plans.audit import (
     assert_plan,
     capture_pre_checkpoint_plans,
+    context_thread,
     executed_plan,
     formatted_explain,
     plan_report,
@@ -13,6 +14,7 @@ from solana_etl_pipeline_spark.plans.audit import (
 __all__ = [
     "assert_plan",
     "capture_pre_checkpoint_plans",
+    "context_thread",
     "executed_plan",
     "formatted_explain",
     "plan_report",

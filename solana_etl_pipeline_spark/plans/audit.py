@@ -14,6 +14,7 @@ from __future__ import annotations
 import contextlib
 import contextvars
 import re
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -56,21 +57,40 @@ def capture_pre_checkpoint_plans():
     intermediate built inside the scope. Reentrant-safe (inner scopes
     shadow, then restore) and thread/context-isolated.
 
-    LIMITATION (ADVICE r10): contextvars do not propagate to threads
-    spawned INSIDE the scope — a query builder that constructs its
-    checkpointed DataFrames in worker threads would record nothing
-    here (the thread sees the default ``None`` buffer and
-    :func:`record_pre_checkpoint` no-ops). Every current caller
-    (plan_report, cluster.py, graph.py) records in the constructing
-    thread; if threaded construction inside a capture scope is ever
-    added, run the worker body via
-    ``contextvars.copy_context().run(...)`` so the buffer follows."""
+    THREADING (ADVICE r10/r11): contextvars do not propagate to raw
+    threads spawned INSIDE the scope — a query builder that
+    constructs its checkpointed DataFrames in a bare
+    ``threading.Thread`` would record nothing here (the thread sees
+    the default ``None`` buffer and :func:`record_pre_checkpoint`
+    no-ops — silent-data-loss shaped). Spawn workers with
+    :func:`context_thread` instead: it runs the body inside a COPY of
+    the spawning context, so the capture buffer follows
+    (tests/test_scale_features.py pins both behaviors). Every current
+    caller (plan_report, cluster.py, graph.py) records in the
+    constructing thread."""
     captured: list[dict[str, str]] = []
     token = _PRE_CHECKPOINT.set(captured)
     try:
         yield captured
     finally:
         _PRE_CHECKPOINT.reset(token)
+
+
+def context_thread(target, *args, **kwargs) -> threading.Thread:
+    """An unstarted ``Thread`` whose body runs inside a COPY of the
+    spawning thread's contextvars context.
+
+    This is the supported way to build queries on worker threads
+    inside a :func:`capture_pre_checkpoint_plans` scope: the capture
+    buffer is a ContextVar, and Python does not propagate context to
+    raw ``threading.Thread`` bodies, so a bare thread would silently
+    record nothing. The copied context means the worker appends to
+    the SAME captured list object the scope yielded (list mutation is
+    shared; only the variable binding is copied)."""
+    ctx = contextvars.copy_context()
+    return threading.Thread(
+        target=lambda: ctx.run(target, *args, **kwargs)
+    )
 
 
 def record_pre_checkpoint(stage: str, df: DataFrame) -> None:

@@ -219,6 +219,38 @@ def test_pre_checkpoint_capture_is_thread_isolated(monkeypatch):
     audit.record_pre_checkpoint("outside", "x")
 
 
+def test_context_thread_carries_capture_scope(monkeypatch):
+    """Threaded query construction inside a capture scope must still
+    record when spawned via context_thread (VERDICT r11 task 4):
+    contextvars don't follow raw threads, so the helper runs the
+    worker body in a copy of the spawning context — the worker
+    appends to the same captured list the scope yielded. A bare
+    Thread, by contrast, records nothing (the documented and pinned
+    limitation, kept visible so a regression in either direction
+    trips)."""
+    import threading
+
+    from solana_etl_pipeline_spark.plans import audit
+
+    monkeypatch.setattr(audit, "executed_plan", lambda df: f"plan<{df}>")
+
+    with audit.capture_pre_checkpoint_plans() as captured:
+        t = audit.context_thread(
+            audit.record_pre_checkpoint, "in-worker", "w"
+        )
+        bare = threading.Thread(
+            target=audit.record_pre_checkpoint, args=("bare-worker", "b")
+        )
+        t.start(), bare.start()
+        t.join(), bare.join()
+        audit.record_pre_checkpoint("in-main", "m")
+
+    stages = [r["stage"] for r in captured]
+    assert "in-worker" in stages  # context_thread: buffer followed
+    assert "in-main" in stages
+    assert "bare-worker" not in stages  # raw threads stay blind
+
+
 def test_deep_tpch_topk_compiles_to_take_ordered(spark, sf_dir):
     """Q3/Q10/Q18 end in limit-after-sort: must be a per-partition heap
     merge (TakeOrderedAndProject), never a global Sort."""
