@@ -14,9 +14,11 @@ the span edges) with nothing but hash aggregations and joins.
 
 Pipeline (all DataFrame ops, shuffle keys bounded):
 
-1. tokenize (shared ``llm/tokenize.py`` convention) and explode each
-   document's W-token windows — map-side, ~n_tokens rows per doc;
-2. keep-first: ONE hash aggregation on the 32-byte window digest
+1. tokenize ONCE with the JVM ``tokenize.words`` convention and
+   explode each document's W-token window slices — map-side,
+   ~n_tokens rows per doc, entirely inside whole-stage codegen (no
+   Python, no Arrow — see the step-1 comment);
+2. keep-first: ONE hash aggregation on the 16-byte window digest
    computing ``min(struct(doc_id, pos))`` (map-side partial — the
    same shape as paragraph dedup's digest groupBy);
 3. re-join windows to their keeper on the digest; every occurrence
@@ -37,7 +39,6 @@ no suffix array, no driver-side state.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -54,34 +55,38 @@ def duplicate_span_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = DEFAULT_WINDOW,
-    _tokenizer=None,
 ) -> DataFrame:
     """Per-document duplicated-span report + deduplicated text.
 
     Output columns: ``(id, n_tokens, n_dup_windows, n_spans,
     dup_tokens, clean_text)`` where ``clean_text`` is the space-join
     of tokens NOT covered by any duplicated span (the keep-first
-    survivor text; the whitespace-normalized join is the same
-    canonical form both tokenizer twins produce). Documents shorter
-    than ``window`` tokens have no windows and pass through intact.
+    survivor text; the whitespace-normalized join is the canonical
+    form ``tokenize.words`` produces). Documents shorter than
+    ``window`` tokens have no windows and pass through intact.
     """
     toks = docs.select(
         F.col(id_col).alias("_id"),
         tokenize.words(F.col(text_col)).alias("_ws"),
     )
 
-    # 1. W-token windows, map-side. Window STRINGS are built in an
-    # Arrow-batched pandas_udf and hashed AFTER the explode on a flat
-    # string column: the higher-order ``transform``+``slice``+
-    # ``concat_ws`` twin evaluates interpreted closures per window
-    # position (the same shape ``llm/dedup.py::shingle_sets`` measured
-    # 4× slower than its Arrow twin), while xxhash64 over an exploded
-    # column runs inside whole-stage codegen. Tokenization uses the
-    # pinned Python twin of the ``tokenize.words`` convention
-    # (``tokenize.py_words`` — twin equality enforced by the
-    # whitespace-hostile fixtures), so the window grams are identical
-    # to the old expression's. Docs shorter than the window produce no
-    # window rows, exactly like the old ``sequence`` guard.
+    # 1. W-token windows, map-side and JVM-only. Window SLICES of the
+    # token array are built with a higher-order transform and hashed
+    # post-explode with xxhash64 directly over the array<string>
+    # value — no per-window string building, no Python UDF, no Arrow
+    # batch transfer. Through r11 this stage was an Arrow pandas_udf
+    # emitting the joined window strings (a ~20x blow-up of the
+    # corpus through Arrow buffers — the very allocation class behind
+    # the r11 10 M-doc executor OOM), which also forced a SECOND,
+    # Python-side tokenization and a count+crc32 drift guard so the
+    # Python window positions could be trusted against the JVM token
+    # array the spans are cut from (steps below). Building the slices
+    # from ``_ws`` itself makes that hazard class impossible by
+    # design: positions index the SAME array step 5 cuts, there is
+    # exactly one tokenizer, and the guard plus its degrade path are
+    # gone. Measured at the 500 k-doc rehearsal the JVM form is also
+    # modestly faster (12.1 s vs 13.0 s warm for the wins stage) and
+    # removes Python worker memory from the 100 TB risk budget.
     #
     # The window key is a PAIR of xxhash64s (16 bytes) rather than a
     # sha256 hex string (64 bytes): the digest is this pipeline's one
@@ -93,66 +98,29 @@ def duplicate_span_report(
     # width at 128 bits: corpus-scale window counts (>> 2^32) would
     # collide a single 64-bit key at birthday rates, while the pair
     # needs 2^64. Keep-first ties stay on (doc_id, pos), never on
-    # the hash.
-    # The UDF also returns the PYTHON token count (_py_nt): window
-    # positions are indices into py_words, but step 5 cuts spans out
-    # of the JVM ``tokenize.words`` array — the twins are fuzz-pinned
-    # equal (tests/test_properties.py), but a silent drift (a Unicode
-    # lower-casing or whitespace-class edge) would shift every span
-    # and corrupt clean_text rather than fail (ADVICE r9). Carrying
-    # the py count lets step 5 verify both tokenizers saw the same
-    # token array and degrade to NO-OP dedup (full text) on mismatch.
-    # ``_tokenizer`` exists ONLY so tests can inject a deliberately
-    # drifted twin and observe the degrade path — production callers
-    # never pass it.
-    py_tokenize = _tokenizer if _tokenizer is not None else tokenize.py_words
-
-    # The guard hash (ADVICE r10): the count check alone misses a
-    # drift that PRESERVES token count but moves a boundary (one token
-    # splits while two merge). Both engines crc32 the \x1f-joined
-    # token array — zlib.crc32 here, F.crc32 in step 5 — so equal
-    # (count, hash) certifies the two tokenizers saw the same array
-    # up to a 2^-32 collision, not just arrays of the same length.
-    @F.pandas_udf("struct<nt:int, th:long, wins:array<string>>")
-    def _windows(texts: pd.Series) -> pd.DataFrame:
-        import zlib
-
-        nts, ths, winss = [], [], []
-        for t in texts:
-            words = py_tokenize(t)
-            nts.append(len(words))
-            ths.append(zlib.crc32("\x1f".join(words).encode("utf-8")))
-            winss.append(
-                []
-                if len(words) < window
-                else [
-                    " ".join(words[i : i + window])
-                    for i in range(len(words) - window + 1)
-                ]
-            )
-        return pd.DataFrame({"nt": nts, "th": ths, "wins": winss})
-
-    wins = (
-        docs.select(
-            F.col(id_col).alias("_id"),
-            _windows(F.col(text_col)).alias("_pw"),
-        )
-        .select(
-            "_id",
-            F.col("_pw.nt").alias("_py_nt"),
-            F.col("_pw.th").alias("_py_th"),
-            F.posexplode("_pw.wins").alias("pos", "_win"),
-        )
-        .select(
-            "_id",
-            "_py_nt",
-            "_py_th",
-            "pos",
-            F.struct(
-                F.xxhash64("_win").alias("h1"),
-                F.xxhash64(F.lit(1), F.col("_win")).alias("h2"),
-            ).alias("digest"),
-        )
+    # the hash. Hashing the token ARRAY yields the same equivalence
+    # classes as hashing the space-joined string (tokens are
+    # whitespace-split, so they cannot contain the joiner).
+    #
+    # ``sequence`` guard: sequence(0, n-W) DESCENDS when n < W, so
+    # short docs must short-circuit to an empty slice list (they have
+    # no windows, matching the pass-through contract).
+    slices = F.when(
+        F.size("_ws") >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ws") - window),
+            lambda i: F.slice("_ws", i + 1, window),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    wins = toks.select(
+        "_id", F.posexplode(slices).alias("pos", "_win")
+    ).select(
+        "_id",
+        "pos",
+        F.struct(
+            F.xxhash64("_win").alias("h1"),
+            F.xxhash64(F.lit(1), F.col("_win")).alias("h2"),
+        ).alias("digest"),
     )
 
     # 2-3. keep-first on the digest; non-keeper occurrences are dups.
@@ -176,14 +144,10 @@ def duplicate_span_report(
         .filter(F.col("_n") > 1)
         .drop("_n")
     )
-    # _py_nt rides only the DUP rows (a small fraction); the heavy
-    # digest groupBy above prunes it (its aggregate touches only
-    # digest + struct(_id, pos)), so the pipeline's one corpus-wide
-    # shuffle key stays 16 bytes.
     dups = (
         wins.join(keepers, "digest")
         .filter(F.struct("_id", "pos") != F.col("keeper"))
-        .select("_id", "_py_nt", "_py_th", "pos")
+        .select("_id", "pos")
     )
 
     # 4. merge overlapping/adjacent windows into spans per doc. With
@@ -206,8 +170,6 @@ def duplicate_span_report(
     spans = marked.groupBy("_id", "_isl").agg(
         F.min("pos").alias("s"),
         (F.max("pos") + window).alias("e"),
-        F.first("_py_nt").alias("_py_nt"),
-        F.first("_py_th").alias("_py_th"),
     )
     # One doc-keyed aggregate carries the stats AND the span list;
     # merged islands are disjoint, so the list is small (≤ spans per
@@ -216,8 +178,6 @@ def duplicate_span_report(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
         F.collect_list(F.struct("s", "e")).alias("_spans"),
-        F.first("_py_nt").alias("_py_nt"),
-        F.first("_py_th").alias("_py_th"),
     )
     dup_counts = dups.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_dup_windows")
@@ -231,30 +191,14 @@ def duplicate_span_report(
     # shuffles of the widest rows in the pipeline just to drop a few
     # slices. The span test is per-token × per-span (spans per doc
     # are few after island-merge), runs inside whole-stage codegen,
-    # and everything after the keep-first join stays doc-keyed.
+    # and everything after the keep-first join stays doc-keyed. Span
+    # positions index ``_ws`` itself (the windows were sliced from
+    # it), so the cut needs no cross-tokenizer guard.
     kept_tokens = F.filter(
         "_ws",
         lambda tok, i: ~F.exists(
             "_spans", lambda sp: (i >= sp["s"]) & (i < sp["e"])
         ),
-    )
-    # Tokenizer-drift guard (ADVICE r9): span positions index the
-    # PYTHON token array; the cut indexes the JVM one. The twins are
-    # fuzz-pinned equal, but if they ever diverge on a doc the counts
-    # differ and the spans would cut the WRONG tokens — degrade that
-    # doc to no-op dedup (full text survives, stats still reported)
-    # instead of silently corrupting clean_text. The crc32 of the
-    # \x1f-joined token array (ADVICE r10) additionally catches
-    # count-PRESERVING boundary drift (one token splits while two
-    # merge): the cut applies only when both engines certify the same
-    # token array, count AND content.
-    spans_applicable = (
-        F.col("_spans").isNotNull()
-        & (F.col("_py_nt") == F.size("_ws"))
-        & (
-            F.col("_py_th")
-            == F.crc32(F.encode(F.concat_ws("\x1f", "_ws"), "UTF-8"))
-        )
     )
     return (
         toks.join(dup_counts, "_id", "left")
@@ -265,7 +209,10 @@ def duplicate_span_report(
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-            F.when(spans_applicable, F.concat_ws(" ", kept_tokens))
+            F.when(
+                F.col("_spans").isNotNull(),
+                F.concat_ws(" ", kept_tokens),
+            )
             .otherwise(F.concat_ws(" ", "_ws"))
             .alias("clean_text"),
         )

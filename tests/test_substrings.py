@@ -76,75 +76,24 @@ def test_short_and_null_docs_pass_through(spark):
     assert got[1].n_tokens == 1 and got[1].clean_text == ""
 
 
-def test_tokenizer_drift_degrades_to_noop_not_corruption(spark):
-    """If the Python tokenizer ever drifts from the JVM words() twin
-    (window positions index py tokens, the cut indexes JVM tokens),
-    the guard must degrade the affected docs to NO-OP dedup — full
-    original text survives — never shift spans and corrupt clean_text
-    (ADVICE r9). Simulated by injecting a twin that drops the last
-    token, so every doc's py count != size(_ws)."""
-    from solana_etl_pipeline_spark.llm import tokenize
-    from solana_etl_pipeline_spark.llm.substrings import (
-        duplicate_span_report,
+def test_substring_pipeline_is_jvm_only(spark):
+    """The r12 redesign builds window slices from the SAME JVM token
+    array the spans are cut from — one tokenizer, so the old
+    cross-tokenizer drift hazard (ADVICE r9/r10, guarded through r11
+    by a count+crc32 degrade path) is impossible by design. Pin the
+    property that makes that true: no Python evaluation node
+    (ArrowEvalPython / MapInPandas / BatchEvalPython) anywhere in the
+    pipeline's physical plan — reintroducing a Python-side tokenizer
+    would need the guard back."""
+    from solana_etl_pipeline_spark.plans import executed_plan
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c d e f g h")],
+        "doc_id long, text string",
     )
-
-    def drifted(t):
-        return tokenize.py_words(t)[:-1]
-
-    rows = [
-        Row(doc_id=0, text="a b c d e f unique zero tail"),
-        Row(doc_id=1, text="one lead a b c d e f one tail"),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {
-        r.doc_id: r
-        for r in duplicate_span_report(
-            df, window=W, _tokenizer=drifted
-        ).collect()
-    }
-    # duplicate stats are still detected and reported...
-    assert got[1].n_dup_windows > 0
-    # ...but no span is applied to a drifted doc: text passes through
-    assert got[0].clean_text == "a b c d e f unique zero tail"
-    assert got[1].clean_text == "one lead a b c d e f one tail"
-
-
-def test_count_preserving_boundary_drift_degrades_to_noop(spark):
-    """The count check alone can't see a drift that moves a token
-    boundary while preserving the token count (one token splits while
-    two merge) — the spans would still cut, at positions indexing the
-    WRONG array. The crc32 token-array hash (ADVICE r10) closes that:
-    simulated by a twin that re-splits the final two tokens
-    ('one tail' -> 'onet ail'), count unchanged, content drifted."""
-    from solana_etl_pipeline_spark.llm import tokenize
-    from solana_etl_pipeline_spark.llm.substrings import (
-        duplicate_span_report,
-    )
-
-    def drifted(t):
-        ws = tokenize.py_words(t)
-        if len(ws) >= 2 and ws[-1]:
-            return ws[:-2] + [ws[-2] + ws[-1][0], ws[-1][1:]]
-        return ws
-
-    run = "a b c d e f"
-    rows = [
-        Row(doc_id=0, text=run + " unique zero tail"),
-        Row(doc_id=1, text="one lead " + run + " one tail"),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {
-        r.doc_id: r
-        for r in duplicate_span_report(
-            df, window=W, _tokenizer=drifted
-        ).collect()
-    }
-    # the drift is away from the shared run, so dup stats still land...
-    assert got[1].n_dup_windows == 3
-    # ...and the count-only guard WOULD have cut (py count == JVM
-    # count for every doc here) — the hash guard must refuse instead
-    assert got[1].clean_text == "one lead a b c d e f one tail"
-    assert got[0].clean_text == "a b c d e f unique zero tail"
+    plan = executed_plan(duplicate_span_report(df, window=W))
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan
 
 
 def test_fully_duplicated_doc_cleans_to_empty(spark):
