@@ -281,6 +281,14 @@ def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CLONE_ROWS = 1200
 CLONE_ID_BASE = 1 << 40
 CLONE_MIN_CHARS = 100
+# The witness corpus is the doc_id < MEGABUCKET_SLICE fixture slice:
+# the star trigger comes entirely from the 1201-clone cluster, so the
+# surrounding corpus only needs to be realistic, not complete — the
+# slice keeps the registry's most expensive query at roughly half the
+# full-survivors cost at sf0.1 (at sf0.001/0.01 the fixtures have
+# exactly 500 docs and the slice is a no-op). doc 0 stays the slice's
+# global min id, preserving the representative argument below.
+MEGABUCKET_SLICE = 500
 
 
 def _plant_clone_cluster(docs: DataFrame) -> DataFrame:
@@ -345,8 +353,11 @@ def llm_megabucket_star_survivors(
     summary over the augmented corpus provably equals the raw-corpus
     one, and no ``_planted`` row may appear. Any cap-machinery defect
     (lost star edges, orphaned clones, a surviving clone) breaks the
-    match."""
-    docs = load_table(spark, sf_dir, "documents")
+    match. Corpus is the ``doc_id < MEGABUCKET_SLICE`` slice (see the
+    constant's comment); the oracle applies the same slice."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MEGABUCKET_SLICE
+    )
     corpus = _plant_clone_cluster(docs)
     # Lazy persist: the sigs eager-count inside
     # minhash_near_dup_pairs computes this lineage and fills BOTH
@@ -765,6 +776,14 @@ _JACCARD_PAIRS_CTES = """
 """
 
 
+def _jaccard_pairs_ctes(doc_src: str) -> str:
+    """The shared ground-truth CTE block over a different document
+    source (e.g. a sliced CTE) — exactly the two ``FROM documents``
+    table references are rewritten; everything else is source-
+    agnostic."""
+    return _JACCARD_PAIRS_CTES.replace("FROM documents", f"FROM {doc_src}")
+
+
 _SUBSTR_BOILER = (
     "shared boilerplate run alpha beta gamma delta epsilon zeta eta "
     "theta iota kappa lambda mu nu xi omicron pi rho sigma tau "
@@ -1175,15 +1194,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "llm_megabucket_star_survivors": QuerySpec(
         spark=llm_megabucket_star_survivors,
-        # Identical SQL to llm_near_dup_survivors over the RAW corpus
-        # — deliberately: the planted clone cluster provably cancels
-        # out of the survivor summary (doc 0 is every triggered
-        # bucket's min-id star representative, clones verify at
-        # jaccard 1.0 and lose the min-id keep), so equivalence to
-        # the raw-corpus ground truth IS the check that the
-        # cap-triggered star path preserved component structure.
+        # The same survivors SQL as llm_near_dup_survivors over the
+        # RAW (sliced) corpus — deliberately: the planted clone
+        # cluster provably cancels out of the survivor summary (doc 0
+        # is every triggered bucket's min-id star representative,
+        # clones verify at jaccard 1.0 and lose the min-id keep), so
+        # equivalence to the raw-corpus ground truth IS the check
+        # that the cap-triggered star path preserved component
+        # structure.
         oracle=f"""
-            WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+            WITH RECURSIVE docs_lim AS (
+              SELECT * FROM documents WHERE doc_id < {MEGABUCKET_SLICE}),
+            {_jaccard_pairs_ctes("docs_lim")},
             edges AS (
               SELECT id_a AS src, id_b AS dst FROM jacc_pairs
               UNION
@@ -1197,7 +1219,7 @@ QUERIES: dict[str, QuerySpec] = {
               SELECT id, min(comp) AS comp FROM reach GROUP BY id),
             survivors AS (
               SELECT d.source, d.n_chars
-              FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+              FROM docs_lim d LEFT JOIN comp c ON c.id = d.doc_id
               WHERE c.id IS NULL OR c.comp = d.doc_id)
             SELECT source, count(*) AS n_survivors,
                    CAST(sum(n_chars) AS BIGINT) AS surviving_chars

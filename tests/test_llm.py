@@ -138,19 +138,25 @@ def test_megabucket_registry_query_triggers_star_path(spark, sf_dir):
     0 carries exactly one edge per clone. The survivor summary must
     equal the raw-corpus llm_near_dup_survivors output with no
     _planted row — the same equivalence the driver oracle re-checks."""
-    from solana_etl_pipeline_spark.llm.dedup import shingle_sets
+    from solana_etl_pipeline_spark.llm.cluster import near_dup_dedup
+    from solana_etl_pipeline_spark.llm.dedup import (
+        ngram_jaccard_for_pairs,
+        shingle_sets,
+    )
     from solana_etl_pipeline_spark.llm.scale import MAX_BUCKET
     from solana_etl_pipeline_spark.queries.llm import (
         CLONE_ID_BASE,
+        MEGABUCKET_SLICE,
         N_CLONE_ROWS,
         _plant_clone_cluster,
         llm_megabucket_star_survivors,
-        llm_near_dup_survivors,
     )
 
     assert N_CLONE_ROWS + 1 > MAX_BUCKET  # the trigger precondition
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MEGABUCKET_SLICE
+    )
     corpus = _plant_clone_cluster(docs)
     sh = shingle_sets(corpus, "doc_id", "text", 3)
     cand = minhash_near_dup_pairs(
@@ -172,9 +178,27 @@ def test_megabucket_registry_query_triggers_star_path(spark, sf_dir):
         r.source: (r.n_survivors, r.surviving_chars)
         for r in llm_megabucket_star_survivors(spark, sf_dir).collect()
     }
+    # The stronger equivalence: capped star pipeline over the
+    # clone-augmented corpus ≡ the EXACT-clique pipeline over the
+    # raw slice with no clones at all.
+    sh_raw = shingle_sets(docs, "doc_id", "text", 3)
+    cand_raw = minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        shingles=sh_raw, max_bucket=None,
+    )
+    pairs_raw = ngram_jaccard_for_pairs(
+        docs, cand_raw.select("id_a", "id_b"), "doc_id", "text",
+        shingles=sh_raw,
+    ).filter(F.col("jaccard") >= 0.5)
     want = {
         r.source: (r.n_survivors, r.surviving_chars)
-        for r in llm_near_dup_survivors(spark, sf_dir).collect()
+        for r in near_dup_dedup(docs, pairs_raw, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("n_chars").alias("surviving_chars"),
+        )
+        .collect()
     }
     assert "_planted" not in got
     assert got == want
