@@ -77,18 +77,21 @@ for _mod in (
 # Each round the prefix is regenerated mechanically with
 #     python tools/staleness.py --budget 170
 # Tiers: (1) witnessed queries that would breach the bound next round,
-# (2) never-witnessed queries (first-witness priority), (3) remaining
-# witnessed queries stalest-first. The round-12 ordering below is that
-# tool's full-registry output at r11 HEAD with two hand adjustments
-# (VERDICT r11 task 1): the never-witnessed
-# llm_megabucket_star_survivors leads, and the six queries whose
-# PLANS changed in r11/r12 (the near-dup family's cap-on defaults +
-# eager-persist surgery, graph's one-pass edge symmetrization) are
-# promoted to positions 2-7 — changed plans outrank stale witnesses,
-# and the tool's natural order would have dropped
-# llm_incremental_near_dup just outside the 50-query driver slice.
-# Then the 20 r8-witnessed queries at staleness 3 (which hit the
-# bound of 4 next round), then staleness-2/1/0 blocks stalest-first.
+# (2) never-witnessed queries (first-witness priority), (3) queries
+# promoted via --promote (plan-changed this round: a rewritten plan
+# needs a fresh witness regardless of staleness — VERDICT r11 task 1),
+# (4) remaining witnessed queries stalest-first. The round-12 ordering
+# below is the tool's output at r11 HEAD:
+#     python tools/staleness.py --budget 171 --promote \
+#       llm_minhash_near_dup,llm_simhash_near_dup,\
+#       llm_embedding_near_dup,llm_near_dup_survivors,\
+#       llm_incremental_near_dup,graph_pagerank_parts
+# The never-witnessed llm_megabucket_star_survivors leads, the six
+# r11/r12-plan-changed near-dup/graph queries follow (the unpromoted
+# order would have dropped llm_incremental_near_dup just outside the
+# 50-query driver slice), then the 20 r8-witnessed queries at
+# staleness 3 (which hit the bound of 4 next round), then the
+# staleness-2/1/0 blocks stalest-first.
 _PRIORITY = (
     "llm_megabucket_star_survivors",
     "llm_minhash_near_dup",

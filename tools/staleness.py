@@ -108,8 +108,19 @@ def registry_names() -> list[str]:
     return list(QUERIES)
 
 
-def plan_next_prefix(budget: int = PREFIX_BUDGET) -> dict:
-    """Compute staleness and the recommended next-round prefix."""
+def plan_next_prefix(
+    budget: int = PREFIX_BUDGET,
+    promote: "list[str] | None" = None,
+) -> dict:
+    """Compute staleness and the recommended next-round prefix.
+
+    ``promote`` lifts the named queries to the head of the ordering
+    (after tier-1 must-rotates and tier-2 first-witnesses, in the
+    given order) — the mechanical form of the r11/r12 convention that
+    PLAN-CHANGED queries outrank stale witnesses: a query whose
+    physical plan was rewritten this round needs a fresh driver
+    witness regardless of how recently the OLD plan was green. Names
+    must exist in the registry (typo guard)."""
     latest, last_green = load_witness_rounds()
     names = registry_names()
     # The invariant bound always uses the driver's real per-round row
@@ -137,7 +148,16 @@ def plan_next_prefix(budget: int = PREFIX_BUDGET) -> dict:
     )
     must_rotate = [n for n in witnessed if staleness[n] >= bound]
     rest = [n for n in witnessed if staleness[n] < bound]
-    prefix = must_rotate + unwitnessed + rest
+    promote = promote or []
+    unknown = [n for n in promote if n not in order]
+    if unknown:
+        raise ValueError(f"--promote names not in registry: {unknown}")
+    promoted = [
+        n for n in promote
+        if n in rest  # already urgent/unwitnessed names keep their tier
+    ]
+    rest = [n for n in rest if n not in promoted]
+    prefix = must_rotate + unwitnessed + promoted + rest
     return {
         "latest_round": latest,
         "bound": bound,
@@ -153,9 +173,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--fail-over", type=int, default=None, metavar="N",
                     help="exit 1 if any witnessed query is > N rounds "
                          "stale (default: invariant_bound())")
+    ap.add_argument("--promote", default="", metavar="Q1,Q2,...",
+                    help="comma-joined query names to lift ahead of "
+                         "the non-urgent tier (use for plan-changed "
+                         "queries: a rewritten plan needs a fresh "
+                         "witness regardless of staleness)")
     args = ap.parse_args(argv)
 
-    plan = plan_next_prefix(args.budget)
+    plan = plan_next_prefix(
+        args.budget,
+        promote=[n for n in args.promote.split(",") if n],
+    )
     if args.fail_over is None:
         args.fail_over = plan["bound"]
     stale = plan["staleness"]
