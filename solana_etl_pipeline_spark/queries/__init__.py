@@ -70,12 +70,16 @@ for _mod in (
 # Rotation invariant (see README.md "Prefix rotation" and
 # tools/staleness.py): every witnessed query's most recent
 # driver-green CORRECTNESS row must be at most invariant_bound() =
-# ceil(N_queries / 50) rounds old — 4 at the current 170 queries. The
-# bound is derived from rotation arithmetic (a full rotation takes
-# ceil(170/50) = 4 rounds), replacing the round<=7 hand-written
-# "two rounds" invariant that was unsatisfiable at this registry size.
-# Each round the prefix is regenerated mechanically with
-#     python tools/staleness.py --budget 170
+# ceil(len(QUERIES) / 50) rounds old — the bound is derived from
+# rotation arithmetic (a full rotation takes ceil(len(QUERIES)/50)
+# rounds), replacing the round<=7 hand-written "two rounds" invariant
+# that was unsatisfiable at this registry size. Each round the full
+# ordering is regenerated mechanically with
+#     python tools/staleness.py --budget "$(number of queries)"
+# (the bound itself always derives from the live len(QUERIES) and the
+# driver's 50-row prefix — no count is hand-maintained here; --budget
+# only controls how much of the ordering the tool emits, so pass the
+# registry size to regenerate the whole tuple below).
 # Tiers: (1) witnessed queries that would breach the bound next round,
 # (2) never-witnessed queries (first-witness priority), (3) queries
 # promoted via --promote (plan-changed this round: a rewritten plan

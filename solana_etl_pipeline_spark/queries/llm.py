@@ -350,8 +350,18 @@ def llm_megabucket_star_survivors(
     organic bucket members pass through the same est/exact-jaccard
     verify as uncapped candidates, and band-bucket membership of the
     original documents is unchanged by the clones — so the survivor
-    summary over the augmented corpus provably equals the raw-corpus
-    one, and no ``_planted`` row may appear. Any cap-machinery defect
+    summary over the augmented corpus equals the raw-corpus one, and
+    no ``_planted`` row may appear. One FIXTURE assumption underlies
+    that equivalence (it is not a theorem for arbitrary corpora):
+    planting clones makes every bucket containing doc 0 oversize, so
+    an organic verified pair whose only shared bucket holds doc 0 is
+    starred away, and the survivor sets match only if both endpoints
+    of any such lost edge themselves verify against doc 0 (recovery
+    via doc 0's component).
+    tests/test_llm.py::test_megabucket_registry_query_triggers_star_path
+    asserts that recovery explicitly, so a fixture change that breaks
+    the assumption fails by name rather than as a confusing driver
+    hash mismatch. Any cap-machinery defect
     (lost star edges, orphaned clones, a surviving clone) breaks the
     match. Corpus is the ``doc_id < MEGABUCKET_SLICE`` slice (see the
     constant's comment); the oracle applies the same slice."""

@@ -203,6 +203,43 @@ def test_megabucket_registry_query_triggers_star_path(spark, sf_dir):
     assert "_planted" not in got
     assert got == want
 
+    # Fixture assumption behind the oracle equivalence (ADVICE r12):
+    # planting clones makes every bucket containing doc 0 oversize, so
+    # an organic verified pair (a, b) whose ONLY shared bucket holds
+    # doc 0 is starred away. The survivor sets still match only if any
+    # such lost edge is recovered through doc 0's component — i.e.
+    # both endpoints themselves verify against doc 0 at jaccard >=
+    # 0.5. Assert that recovery explicitly so a fixture change that
+    # breaks the assumption fails HERE, by name, instead of as a
+    # confusing driver hash mismatch.
+    pairs_capped = ngram_jaccard_for_pairs(
+        corpus, cand.select("id_a", "id_b"), "doc_id", "text", shingles=sh
+    ).filter(F.col("jaccard") >= 0.5)
+    capped_organic = {
+        frozenset((r.id_a, r.id_b))
+        for r in pairs_capped.filter(
+            (F.col("id_a") < CLONE_ID_BASE)
+            & (F.col("id_b") < CLONE_ID_BASE)
+        ).collect()
+    }
+    raw_pairs = {
+        frozenset((r.id_a, r.id_b)) for r in pairs_raw.collect()
+    }
+    doc0_component = {0} | {
+        other
+        for pair in capped_organic if 0 in pair
+        for other in pair if other != 0
+    }
+    lost = raw_pairs - capped_organic
+    unrecovered = [
+        sorted(pair) for pair in lost if not pair <= doc0_component
+    ]
+    assert not unrecovered, (
+        f"organic verified pairs starred away and NOT recovered via "
+        f"doc-0 connectivity: {unrecovered} — the megabucket oracle "
+        "equivalence assumption no longer holds on this fixture"
+    )
+
 
 def test_simhash_candidates(spark, planted_docs):
     pairs = simhash_candidate_pairs(planted_docs, "doc_id", "text", max_hamming=3)
