@@ -17,6 +17,8 @@ plumbing are real and tested.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -131,16 +133,310 @@ def resize_assets(assets: DataFrame, max_bytes: int = 1024) -> DataFrame:
     return assets.mapInPandas(resize, schema=assets.schema)
 
 
+#: Output schema of :func:`decode_image` (header-level decode).
+IMAGE_HEADER_SCHEMA = (
+    "asset_id bigint, format string, width int, height int, "
+    "bit_depth int, channels int"
+)
+
+#: PNG color type -> sample channels (PNG spec, "Color types and
+#: values"): 0 greyscale, 2 truecolor, 3 palette (1 index channel),
+#: 4 greyscale+alpha, 6 truecolor+alpha.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: JPEG start-of-frame markers (ITU T.81 table B.1): every SOFn
+#: carries (precision, height, width, n_components) — EXCLUDING the
+#: same-range non-frame markers DHT (C4), JPG (C8), DAC (CC).
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+#: Standalone markers that carry no length word (RSTn, SOI, EOI, TEM).
+_JPEG_BARE_MARKERS = frozenset(range(0xD0, 0xDA)) | {0x01}
+
+
+def parse_png_header(payload: "bytes | None") -> "dict | None":
+    """Width/height/bit-depth/channels from a PNG IHDR, pure ``struct``.
+
+    The 8-byte signature is followed by the IHDR chunk, which the PNG
+    spec requires FIRST: 4-byte big-endian length (13), the ASCII type
+    ``IHDR``, then width(4BE) height(4BE) bit-depth(1) color-type(1).
+    No codec needed — this is the metadata a 100 TB curation filter
+    (drop tiny images, route by aspect ratio) reads without ever
+    decoding pixels. Returns ``None`` for anything that is not a
+    well-formed PNG prefix.
+    """
+    if payload is None or len(payload) < 26:
+        return None
+    if not payload.startswith(_PNG_SIGNATURE):
+        return None
+    length, chunk_type = struct.unpack_from(">I4s", payload, 8)
+    if chunk_type != b"IHDR" or length != 13:
+        return None
+    width, height, bit_depth, color_type = struct.unpack_from(
+        ">IIBB", payload, 16
+    )
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None or width == 0 or height == 0:
+        return None
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "channels": channels,
+    }
+
+
+def parse_jpeg_header(payload: "bytes | None") -> "dict | None":
+    """Dimensions from the first JPEG SOFn segment, pure ``struct``.
+
+    Walks the marker-segment stream (ITU T.81 B.2): SOI, then
+    length-prefixed segments (length includes its own two bytes),
+    0xFF fill bytes permitted before any marker, until a
+    start-of-frame marker whose payload is precision(1) height(2BE)
+    width(2BE) n_components(1). Stops at SOS/EOI (entropy-coded data
+    — no frame header seen means no dimensions). Returns ``None`` for
+    non-JPEG or truncated-before-SOF payloads.
+    """
+    if payload is None or len(payload) < 4:
+        return None
+    if payload[0] != 0xFF or payload[1] != 0xD8:  # SOI
+        return None
+    i, n = 2, len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            return None  # desynchronized: not a marker where one is due
+        while i < n and payload[i] == 0xFF:  # fill bytes
+            i += 1
+        if i >= n:
+            return None
+        marker = payload[i]
+        i += 1
+        if marker in _JPEG_BARE_MARKERS:
+            continue
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 2 + 6 > n or seg_len < 8:
+                return None
+            precision, height, width, n_comp = struct.unpack_from(
+                ">BHHB", payload, i + 2
+            )
+            if width == 0 or height == 0 or n_comp == 0:
+                return None
+            return {
+                "format": "jpeg",
+                "width": width,
+                "height": height,
+                "bit_depth": precision,
+                "channels": n_comp,
+            }
+        if marker == 0xDA:  # SOS: entropy-coded data, no SOF seen
+            return None
+        i += seg_len
+    return None
+
+
+def parse_image_header(payload: "bytes | None") -> "dict | None":
+    """Dispatch on magic bytes: PNG, then JPEG, else ``None``."""
+    return parse_png_header(payload) or parse_jpeg_header(payload)
+
+
 def decode_image(assets: DataFrame) -> DataFrame:
-    """Decode image payloads to (height, width, channels) + pixels.
+    """Header-level image decode: (format, width, height, bit_depth,
+    channels) parsed from PNG IHDR / JPEG SOFn magic bytes — pure
+    ``struct``, no codec, real on this environment.
+
+    Arrow-batched ``mapInPandas``: payload bytes cross into Python
+    once per batch; the stage is map-only (no shuffle), so at 100 TB
+    it scales with input splits like any scan-side projection. Rows
+    whose payload is not a recognizable image decode to NULL columns
+    (the row survives for routing/quarantine, mirroring the
+    malformed-input convention elsewhere in the package).
+
+    Full PIXEL decode stays environment-blocked — see
+    :func:`decode_image_pixels`.
+    """
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            parsed = [parse_image_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "format": [h["format"] if h else None for h in parsed],
+                    "width": pd.array(
+                        [h["width"] if h else None for h in parsed],
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        [h["height"] if h else None for h in parsed],
+                        dtype="Int32",
+                    ),
+                    "bit_depth": pd.array(
+                        [h["bit_depth"] if h else None for h in parsed],
+                        dtype="Int32",
+                    ),
+                    "channels": pd.array(
+                        [h["channels"] if h else None for h in parsed],
+                        dtype="Int32",
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(decode, schema=IMAGE_HEADER_SCHEMA)
+
+
+def decode_image_pixels(assets: DataFrame) -> DataFrame:
+    """Decode image payloads to pixel arrays.
 
     STUB: requires an image codec (PIL/opencv), not present in this
-    environment. The signature and schema are the contract; swap the
-    body for a real decoder in a codec-equipped image.
+    environment (re-probed per round — see COVERAGE). The
+    header-level metadata path is REAL (:func:`decode_image`); only
+    the pixel plane needs a codec. Swap the body for a real decoder
+    in a codec-equipped image.
     """
     raise NotImplementedError(
-        "image decode requires a codec library (e.g. PIL); "
+        "image pixel decode requires a codec library (e.g. PIL); "
         "not available in this environment"
+    )
+
+
+#: Output schema of :func:`synthesize_image_assets`.
+IMAGE_ASSET_SCHEMA = "asset_id bigint, media_type string, payload binary"
+
+#: The five PNG color types, cycled by the synthesizer via
+#: ``doc_id % 5`` (and mirrored arithmetically by the DuckDB oracle).
+_PNG_COLOR_TYPE_CYCLE = (0, 2, 3, 4, 6)
+
+
+def png_bytes(
+    width: int, height: int, bit_depth: int, color_type: int
+) -> bytes:
+    """A structurally valid PNG prefix: signature + IHDR (real CRC) +
+    IEND. Pixel data is irrelevant to header parsing and omitted."""
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+    )
+    out = [_PNG_SIGNATURE]
+    for chunk_type, data in ((b"IHDR", ihdr), (b"IEND", b"")):
+        out.append(struct.pack(">I", len(data)))
+        out.append(chunk_type)
+        out.append(data)
+        out.append(struct.pack(">I", zlib.crc32(chunk_type + data)))
+    return b"".join(out)
+
+
+def jpeg_bytes(
+    width: int,
+    height: int,
+    precision: int = 8,
+    n_components: int = 3,
+    progressive: bool = False,
+    comment: bytes = b"",
+) -> bytes:
+    """A structurally valid JPEG header stream: SOI, APP0 (JFIF), COM
+    (variable length — the segment walk must skip it by its length
+    word), a dummy DQT, then SOF0/SOF2, EOI. Entropy-coded data is
+    irrelevant to header parsing and omitted."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    app0 = seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 2, 0, 72, 72, 0, 0)
+    )
+    com = seg(0xFE, comment)
+    dqt = seg(0xDB, b"\x00" + bytes(8))  # truncated table: skip-by-length
+    sof_payload = struct.pack(
+        ">BHHB", precision, height, width, n_components
+    ) + b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_components)
+    )
+    sof = seg(0xC2 if progressive else 0xC0, sof_payload)
+    return b"\xff\xd8" + app0 + com + dqt + sof + b"\xff\xd9"
+
+
+def synthesize_image_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG / JPEG / non-image payloads from ``doc_id``.
+
+    The fixtures carry no real image bytes (codec-free container), so
+    the binary column is PLANTED with structurally valid headers whose
+    dimensions are pure functions of ``doc_id`` — the
+    "planted-metadata twin" pattern: the Spark path goes
+    doc_id → bytes → :func:`decode_image` → dimensions, while the
+    DuckDB oracle computes the same dimensions arithmetically; any
+    parser or synthesizer defect breaks the match (and the byte-level
+    spec conformance is pinned separately by golden-byte tests).
+
+    Branching (all mirrored in the oracle SQL):
+
+    - ``doc_id % 3 == 0`` → PNG, width ``16 + doc_id % 317``, height
+      ``16 + doc_id % 211``, color type cycled through all five legal
+      values via ``doc_id % 5``, bit depth 16 on even ids except
+      palette images (spec caps palette at 8).
+    - ``doc_id % 3 == 1`` → JPEG, width ``16 + doc_id % 489``, height
+      ``16 + doc_id % 367``, grayscale (1 component) when
+      ``doc_id % 4 == 1`` else 3 components, progressive SOF2 when
+      ``doc_id % 8 == 5`` (same header layout — the parser accepts
+      the whole SOFn family), COM comment of varying length.
+    - ``doc_id % 3 == 2`` → the document's utf-8 text bytes: not an
+      image, must decode to NULLs (null text → null payload rides the
+      same path).
+    """
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, media, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                ids.append(doc_id)
+                if doc_id % 3 == 0:
+                    color_type = _PNG_COLOR_TYPE_CYCLE[doc_id % 5]
+                    bit_depth = (
+                        8
+                        if color_type == 3
+                        else (16 if doc_id % 2 == 0 else 8)
+                    )
+                    media.append("image/png")
+                    payloads.append(
+                        png_bytes(
+                            16 + doc_id % 317,
+                            16 + doc_id % 211,
+                            bit_depth,
+                            color_type,
+                        )
+                    )
+                elif doc_id % 3 == 1:
+                    media.append("image/jpeg")
+                    payloads.append(
+                        jpeg_bytes(
+                            16 + doc_id % 489,
+                            16 + doc_id % 367,
+                            precision=8,
+                            n_components=1 if doc_id % 4 == 1 else 3,
+                            progressive=doc_id % 8 == 5,
+                            comment=b"asset %d" % doc_id,
+                        )
+                    )
+                else:
+                    media.append("text/plain;charset=utf-8")
+                    payloads.append(
+                        text.encode("utf-8") if text is not None else None
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": media, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema=IMAGE_ASSET_SCHEMA
     )
 
 

@@ -46,8 +46,10 @@ from solana_etl_pipeline_spark.llm.scale import (
     MAX_PROBE_PER_BUCKET,
 )
 from solana_etl_pipeline_spark.llm.multimodal import (
+    decode_image,
     documents_as_assets,
     featurize_assets,
+    synthesize_image_assets,
 )
 from solana_etl_pipeline_spark.llm.similarity import (
     cosine_topk,
@@ -729,6 +731,32 @@ def llm_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "digest",
         F.round(F.element_at("feat", 1), 6).alias("feat0"),
+    )
+
+
+def llm_image_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free image metadata extraction: PNG IHDR / JPEG SOFn
+    header parsing (pure ``struct``, no image library) over planted
+    binary payloads whose dimensions are deterministic functions of
+    ``doc_id`` — see ``llm/multimodal.py::synthesize_image_assets``
+    for the planted-metadata-twin oracle pattern and the branch
+    arithmetic the SQL mirrors. Non-image payloads (every third doc's
+    raw text bytes, including null text) must decode to the NULL
+    group. Map-only both stages: at 100 TB this scales with input
+    splits, no shuffle until the final small aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    hdrs = decode_image(synthesize_image_assets(docs))
+    return hdrs.groupBy("format", "channels", "bit_depth").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias(
+            "sum_pixels"
+        ),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+        F.min("height").alias("min_height"),
+        F.max("height").alias("max_height"),
     )
 
 
@@ -1509,5 +1537,59 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Binary multimodal column + Arrow mapInPandas featurizer",
         tags=("§2.11", "D4", "D2"),
+    ),
+    "llm_image_header_stats": QuerySpec(
+        spark=llm_image_header_stats,
+        # Planted-metadata twin: the Spark path synthesizes real
+        # PNG/JPEG header bytes from doc_id and PARSES them back; the
+        # oracle computes the same dimensions arithmetically. Byte-level
+        # spec conformance is pinned by tests/test_multimodal.py golden
+        # fixtures.
+        oracle="""
+            WITH hdr AS (
+              SELECT
+                CASE WHEN doc_id % 3 = 0 THEN 'png'
+                     WHEN doc_id % 3 = 1 THEN 'jpeg' END AS format,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 317
+                          WHEN doc_id % 3 = 1 THEN 16 + doc_id % 489
+                     END AS INTEGER) AS width,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 211
+                          WHEN doc_id % 3 = 1 THEN 16 + doc_id % 367
+                     END AS INTEGER) AS height,
+                CAST(CASE
+                     WHEN doc_id % 3 = 0 THEN
+                       CASE WHEN list_extract([0, 2, 3, 4, 6],
+                                 CAST(doc_id % 5 AS INTEGER) + 1) = 3
+                              THEN 8
+                            WHEN doc_id % 2 = 0 THEN 16
+                            ELSE 8 END
+                     WHEN doc_id % 3 = 1 THEN 8
+                     END AS INTEGER) AS bit_depth,
+                CAST(CASE
+                     WHEN doc_id % 3 = 0 THEN
+                       CASE list_extract([0, 2, 3, 4, 6],
+                                         CAST(doc_id % 5 AS INTEGER) + 1)
+                            WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+                            WHEN 4 THEN 2 WHEN 6 THEN 4 END
+                     WHEN doc_id % 3 = 1 THEN
+                       CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END
+                     END AS INTEGER) AS channels
+              FROM documents)
+            SELECT format, channels, bit_depth,
+                   count(*) AS n,
+                   CAST(sum(width) AS BIGINT) AS sum_width,
+                   CAST(sum(height) AS BIGINT) AS sum_height,
+                   CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT)
+                     AS sum_pixels,
+                   min(width) AS min_width,
+                   max(width) AS max_width,
+                   min(height) AS min_height,
+                   max(height) AS max_height
+            FROM hdr
+            GROUP BY format, channels, bit_depth
+        """,
+        doc="Codec-free PNG IHDR / JPEG SOFn header parse over planted "
+            "binary payloads (planted-metadata-twin oracle)",
+        tags=("§2.11", "D4"),
     ),
 }

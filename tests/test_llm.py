@@ -446,14 +446,21 @@ def test_multimodal_featurize_roundtrip(spark, planted_docs):
     assert rows[0].feat[0] == int(expected[:2], 16) / 255.0
 
 
-def test_multimodal_decode_stubs_raise(spark, planted_docs):
-    from solana_etl_pipeline_spark.llm.multimodal import decode_image
+def test_multimodal_codec_stubs_raise(spark, planted_docs):
+    """The two genuinely codec-requiring stages stay env-blocked
+    (header-level decode_image is REAL — tests/test_multimodal.py)."""
+    from solana_etl_pipeline_spark.llm.multimodal import (
+        decode_image_pixels,
+        frame_sample,
+    )
 
     docs = planted_docs.withColumn("lang", F.lit("en")).withColumn(
         "source", F.lit("test")
     )
     with pytest.raises(NotImplementedError):
-        decode_image(documents_as_assets(docs))
+        decode_image_pixels(documents_as_assets(docs))
+    with pytest.raises(NotImplementedError):
+        frame_sample(documents_as_assets(docs))
 
 
 def test_multimodal_resize_plumbing(spark, planted_docs):
