@@ -1,0 +1,178 @@
+"""Multi-executor smoke: the executor-side config path, actually exercised.
+
+``build_session`` mirrors the GC/Arrow JVM options into
+``spark.executor.extraJavaOptions`` (ADVICE r11) — but in ``local[N]``
+executors live in the driver JVM and the mirror is inert, so nothing in
+the regular suite proves the options LAND in a real executor JVM.
+``local-cluster[2,4,4096]`` launches two genuine Worker/Executor
+processes on this box (no network, no cluster manager needed) and lets
+us assert, from ``/proc``:
+
+  * two CoarseGrainedExecutorBackend JVMs exist (multi-executor, not
+    driver-embedded),
+  * their command lines carry every flag ``gc_java_opts()`` emits
+    (the r11 executor-OOM fix applies where the Arrow allocation
+    pressure actually happens),
+
+and that a near-dup query and a shuffle-heavy TPC-H query produce
+RESULTS IDENTICAL to plain local mode — shuffles now cross process
+boundaries through real block transfers, Python workers hang off
+executor JVMs rather than the driver, and broadcast joins ship over the
+wire, so semantic drift between the modes would surface here.
+
+Run directly (exit 0 = pass)::
+
+    python tools/local_cluster_smoke.py [--sf-dir /root/testdata/sf0.001]
+
+or via ``tests/test_local_cluster.py``, which subprocess-runs this file
+(a second SparkContext cannot coexist with the suite's session fixture
+in one process).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from solana_etl_pipeline_spark.session import build_session, gc_java_opts
+
+#: One banded near-dup (Arrow signature stage + band-bucket shuffle +
+#: verify join) and one multi-join TPC-H aggregate (wide shuffles,
+#: broadcast dims) — the two plan families the executor boundary
+#: stresses most.
+SMOKE_QUERIES = ("llm_minhash_near_dup", "tpch_q9_product_profit")
+
+
+def _canonical(df) -> list[tuple]:
+    """Order-insensitive, column-name-sorted, float-rounded rows —
+    the same normalization the oracle diff uses."""
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    rows = [tuple(norm(r[i]) for i in order) for r in df.collect()]
+    rows.sort()
+    return rows
+
+
+def _executor_cmdlines() -> list[str]:
+    """Command lines of live executor-backend JVM processes.
+
+    A Worker's own cmdline also mentions the backend class it is about
+    to launch, so require the java main-class position, not a substring
+    hit anywhere.
+    """
+    out = []
+    for path in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            argv = open(path, "rb").read().decode(errors="replace").split("\x00")
+        except OSError:
+            continue
+        if any(
+            a == "org.apache.spark.executor.CoarseGrainedExecutorBackend"
+            for a in argv
+        ):
+            out.append(" ".join(a for a in argv if a))
+    return out
+
+
+def _run_queries(spark, sf_dir: str) -> dict[str, list[tuple]]:
+    from solana_etl_pipeline_spark.queries import QUERIES
+
+    return {
+        name: _canonical(QUERIES[name].spark(spark, sf_dir))
+        for name in SMOKE_QUERIES
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    args = ap.parse_args(argv)
+
+    expected_flags = gc_java_opts().split()
+
+    spark = build_session(
+        app_name="local-cluster-smoke",
+        master="local-cluster[2,4,4096]",
+        shuffle_partitions=8,
+        # Executor Python workers are spawned by the executor JVMs and
+        # do NOT inherit the driver's sys.path (first genuine
+        # multi-process finding of this smoke): the package must be
+        # shipped. Same box ⇒ the repo path suffices; a real cluster
+        # ships a wheel via --py-files / spark.submit.pyFiles instead.
+        extra_confs={"spark.executorEnv.PYTHONPATH": str(REPO)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # Force executor registration before scanning /proc.
+        assert spark.range(1000).selectExpr("sum(id)").first()[0] == 499500
+        deadline = time.time() + 60
+        execs: list[str] = []
+        while time.time() < deadline and len(execs) < 2:
+            execs = _executor_cmdlines()
+            if len(execs) < 2:
+                time.sleep(1)
+        if len(execs) < 2:
+            print(f"FAIL: expected 2 executor JVMs, found {len(execs)}")
+            return 1
+        print(f"executor JVMs: {len(execs)}")
+        for cmd in execs:
+            missing = [f for f in expected_flags if f not in cmd]
+            if missing:
+                print(f"FAIL: executor JVM missing JVM opts {missing}")
+                print(f"  cmdline: {cmd[:400]}")
+                return 1
+        print(f"executor JVM opts landed: {expected_flags}")
+
+        cluster_results = _run_queries(spark, args.sf_dir)
+        for name, rows in cluster_results.items():
+            print(f"{name}: {len(rows)} rows on local-cluster")
+    finally:
+        spark.stop()
+
+    # Same queries, plain local mode, same process (sequential contexts).
+    spark = build_session(
+        app_name="local-cluster-smoke-baseline",
+        master="local[8]",
+        shuffle_partitions=8,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        local_results = _run_queries(spark, args.sf_dir)
+    finally:
+        spark.stop()
+
+    rc = 0
+    for name in SMOKE_QUERIES:
+        if cluster_results[name] == local_results[name]:
+            print(f"{name}: local-cluster == local  OK")
+        else:
+            a, b = cluster_results[name], local_results[name]
+            diff = [(x, y) for x, y in zip(a, b) if x != y]
+            print(
+                f"FAIL: {name} diverges across modes "
+                f"(rows {len(a)} vs {len(b)}; first diff: "
+                f"{diff[0] if diff else 'row count'})"
+            )
+            rc = 1
+    print("PASS" if rc == 0 else "FAIL")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
