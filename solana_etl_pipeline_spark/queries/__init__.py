@@ -84,69 +84,16 @@ for _mod in (
 # (2) never-witnessed queries (first-witness priority), (3) queries
 # promoted via --promote (plan-changed this round: a rewritten plan
 # needs a fresh witness regardless of staleness — VERDICT r11 task 1),
-# (4) remaining witnessed queries stalest-first. The round-12 ordering
-# below is the tool's output at r11 HEAD:
-#     python tools/staleness.py --budget 171 --promote \
-#       llm_minhash_near_dup,llm_simhash_near_dup,\
-#       llm_embedding_near_dup,llm_near_dup_survivors,\
-#       llm_incremental_near_dup,graph_pagerank_parts
-# The never-witnessed llm_megabucket_star_survivors leads, the six
-# r11/r12-plan-changed near-dup/graph queries follow (the unpromoted
-# order would have dropped llm_incremental_near_dup just outside the
-# 50-query driver slice), then the 20 r8-witnessed queries at
-# staleness 3 (which hit the bound of 4 next round), then the
+# (4) remaining witnessed queries stalest-first. The round-13 ordering
+# below is the tool's verbatim output at r12 HEAD:
+#     python tools/staleness.py --budget 172
+# No plan changed this round, so no --promote. The never-witnessed
+# llm_image_header_stats (new this round) leads, then the 21
+# r9-witnessed queries at staleness 3 (which would hit the bound of 4
+# next round — VERDICT r12 task 1 names all 21), then the
 # staleness-2/1/0 blocks stalest-first.
 _PRIORITY = (
-    "llm_megabucket_star_survivors",
-    "llm_minhash_near_dup",
-    "llm_simhash_near_dup",
-    "llm_embedding_near_dup",
-    "llm_near_dup_survivors",
-    "llm_incremental_near_dup",
-    "graph_pagerank_parts",
-    "order_fulfillment_latency",
-    "events_seasonal_anomalies",
-    "sketch_hll_overlap",
-    "llm_source_vocab_overlap",
-    "events_ewma_hourly",
-    "data_ref_integrity",
-    "profile_events_columns",
-    "llm_label_centroids",
-    "events_interval_coverage",
-    "basket_part_pairs",
-    "user_rfm_segments",
-    "data_benford_digits",
-    "session_paths_topk",
-    "events_gapfill_locf",
-    "events_time_weighted_avg",
-    "cdc_apply_documents",
-    "drift_psi_report",
-    "llm_pmi_bigrams",
-    "llm_weighted_sample",
-    "events_transition_matrix",
-    "pareto_top_parts",
-    "events_ohlc_bars",
-    "agg_corr_regression",
-    "scd2_state_intervals",
-    "llm_inverted_index",
-    "llm_edit_distance_near_dup",
-    "llm_quota_sample",
-    "events_cohort_retention",
-    "window_trailing_zscore",
-    "sketch_quantile_approx",
-    "snapshot_diff_documents",
-    "streaming_interval_join_outer",
-    "sink_orc_roundtrip",
-    "llm_gopher_rules",
-    "llm_c4_line_filter",
-    "llm_url_dedup",
-    "llm_substring_dedup",
-    "llm_ccnet_buckets",
-    "llm_bpe_top_pairs",
-    "llm_export_shards",
-    "llm_token_heavy_hitters",
-    "sink_zorder_roundtrip",
-    "llm_lsh_cosine_topk",
+    "llm_image_header_stats",
     "llm_ivf_cosine_topk",
     "streaming_session_windows",
     "llm_decontaminate",
@@ -268,6 +215,56 @@ _PRIORITY = (
     "data_skew_report",
     "attribution_last_touch",
     "orders_mom_revenue",
+    "llm_megabucket_star_survivors",
+    "llm_minhash_near_dup",
+    "llm_simhash_near_dup",
+    "llm_embedding_near_dup",
+    "llm_near_dup_survivors",
+    "llm_incremental_near_dup",
+    "graph_pagerank_parts",
+    "order_fulfillment_latency",
+    "events_seasonal_anomalies",
+    "sketch_hll_overlap",
+    "llm_source_vocab_overlap",
+    "events_ewma_hourly",
+    "data_ref_integrity",
+    "profile_events_columns",
+    "llm_label_centroids",
+    "events_interval_coverage",
+    "basket_part_pairs",
+    "user_rfm_segments",
+    "data_benford_digits",
+    "session_paths_topk",
+    "events_gapfill_locf",
+    "events_time_weighted_avg",
+    "cdc_apply_documents",
+    "drift_psi_report",
+    "llm_pmi_bigrams",
+    "llm_weighted_sample",
+    "events_transition_matrix",
+    "pareto_top_parts",
+    "events_ohlc_bars",
+    "agg_corr_regression",
+    "scd2_state_intervals",
+    "llm_inverted_index",
+    "llm_edit_distance_near_dup",
+    "llm_quota_sample",
+    "events_cohort_retention",
+    "window_trailing_zscore",
+    "sketch_quantile_approx",
+    "snapshot_diff_documents",
+    "streaming_interval_join_outer",
+    "sink_orc_roundtrip",
+    "llm_gopher_rules",
+    "llm_c4_line_filter",
+    "llm_url_dedup",
+    "llm_substring_dedup",
+    "llm_ccnet_buckets",
+    "llm_bpe_top_pairs",
+    "llm_export_shards",
+    "llm_token_heavy_hitters",
+    "sink_zorder_roundtrip",
+    "llm_lsh_cosine_topk",
 )
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
