@@ -144,6 +144,16 @@ IMAGE_HEADER_SCHEMA = (
 #: 4 greyscale+alpha, 6 truecolor+alpha.
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Legal bit depths per color type (same spec table): palette caps at
+#: 8, the multi-sample types require byte-aligned samples.
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 #: JPEG start-of-frame markers (ITU T.81 table B.1): every SOFn
@@ -177,6 +187,8 @@ def parse_png_header(payload: "bytes | None") -> "dict | None":
     )
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None or width == 0 or height == 0:
+        return None
+    if bit_depth not in _PNG_DEPTHS[color_type]:
         return None
     return {
         "format": "png",

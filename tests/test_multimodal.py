@@ -114,6 +114,15 @@ def test_parse_png_rejects_malformed():
         + struct.pack(">IIBBBBB", 640, 480, 8, 5, 0, 0, 0)
     )
     assert parse_png_header(bad_ct) is None
+    # illegal (bit depth, color type) combos: 16-bit palette, 4-bit RGB
+    for depth, ct in ((16, 3), (4, 2), (7, 0)):
+        bad_depth = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">IIBBBBB", 640, 480, depth, ct, 0, 0, 0)
+        )
+        assert parse_png_header(bad_depth) is None, (depth, ct)
 
 
 def test_parse_jpeg_golden_baseline():
