@@ -257,6 +257,127 @@ def parse_image_header(payload: "bytes | None") -> "dict | None":
     return parse_png_header(payload) or parse_jpeg_header(payload)
 
 
+def parse_wav_header(payload: "bytes | None") -> "dict | None":
+    """Channels / sample rate / bit depth / duration from a WAV RIFF
+    header, pure ``struct`` (RIFF spec: little-endian chunks).
+
+    Walks ``[id(4), size(4LE), data]`` chunks (padded to even) after
+    the ``RIFF....WAVE`` preamble, in any order, reading the ``fmt ``
+    chunk's (channels, sample_rate, byte_rate, bits) and the ``data``
+    chunk's size — duration_ms = data_bytes * 1000 // byte_rate, no
+    sample decoding. Returns ``None`` for non-WAV or a header
+    truncated before both chunks are seen.
+    """
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data_size = None
+    while i + 8 <= n:
+        chunk_id = payload[i : i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        body = i + 8
+        if chunk_id == b"fmt " and size >= 16 and body + 16 <= n:
+            _, channels, sample_rate, byte_rate, _, bits = (
+                struct.unpack_from("<HHIIHH", payload, body)
+            )
+            fmt = (channels, sample_rate, byte_rate, bits)
+        elif chunk_id == b"data":
+            # size alone suffices; the sample bytes themselves may be
+            # absent (header-only payloads) or huge (never read here)
+            data_size = size
+        i = body + size + (size & 1)  # chunks are padded to even
+        if fmt is not None and data_size is not None:
+            break
+    if fmt is None or data_size is None:
+        return None
+    channels, sample_rate, byte_rate, bits = fmt
+    if channels == 0 or sample_rate == 0 or byte_rate == 0:
+        return None
+    return {
+        "format": "wav",
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bit_depth": bits,
+        "duration_ms": data_size * 1000 // byte_rate,
+        "n_tracks": 1,
+    }
+
+
+def parse_mp4_header(payload: "bytes | None") -> "dict | None":
+    """Duration / track count from an MP4 (ISO BMFF) header, pure
+    ``struct``.
+
+    Boxes are ``[size(4BE), type(4)]`` (size==1 → 64-bit largesize
+    follows; size==0 → box runs to EOF). Requires a leading ``ftyp``,
+    then reads ``moov``: ``mvhd`` gives (timescale, duration) —
+    version 0 uses 32-bit times, version 1 64-bit — and each child
+    ``trak`` box counts one track. No sample tables, no codec.
+    Returns ``None`` for non-MP4 or truncated-before-mvhd payloads.
+    """
+    if payload is None or len(payload) < 12:
+        return None
+
+    def boxes(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack_from(">I", payload, i)
+            btype = payload[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                (size,) = struct.unpack_from(">Q", payload, i + 8)
+                body = i + 16
+            elif size == 0:
+                size = end - i
+            if size < body - i or i + size > end:
+                return  # corrupt/truncated box
+            yield btype, body, i + size
+            i += size
+
+    top = boxes(0, len(payload))
+    first = next(top, None)
+    if first is None or first[0] != b"ftyp":
+        return None
+    timescale = duration = None
+    n_tracks = 0
+    for btype, body, box_end in top:
+        if btype != b"moov":
+            continue
+        for ctype, cbody, _cend in boxes(body, box_end):
+            if ctype == b"mvhd":
+                version = payload[cbody]
+                if version == 1 and cbody + 32 <= box_end:
+                    timescale, duration = struct.unpack_from(
+                        ">IQ", payload, cbody + 20
+                    )
+                elif version == 0 and cbody + 20 <= box_end:
+                    timescale, duration = struct.unpack_from(
+                        ">II", payload, cbody + 12
+                    )
+            elif ctype == b"trak":
+                n_tracks += 1
+        break
+    if not timescale or duration is None:
+        return None
+    return {
+        "format": "mp4",
+        "channels": None,
+        "sample_rate": None,
+        "bit_depth": None,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+    }
+
+
+def parse_media_header(payload: "bytes | None") -> "dict | None":
+    """Dispatch on magic bytes: WAV, then MP4, else ``None``."""
+    return parse_wav_header(payload) or parse_mp4_header(payload)
+
+
 def decode_image(assets: DataFrame) -> DataFrame:
     """Header-level image decode: (format, width, height, bit_depth,
     channels) parsed from PNG IHDR / JPEG SOFn magic bytes — pure
@@ -319,7 +440,166 @@ def decode_image_pixels(assets: DataFrame) -> DataFrame:
     )
 
 
-#: Output schema of :func:`synthesize_image_assets`.
+#: Output schema of :func:`decode_media` (header-level decode).
+MEDIA_HEADER_SCHEMA = (
+    "asset_id bigint, format string, channels int, sample_rate int, "
+    "bit_depth int, duration_ms bigint, n_tracks int"
+)
+
+
+def decode_media(assets: DataFrame) -> DataFrame:
+    """Header-level audio/video decode: (format, channels,
+    sample_rate, bit_depth, duration_ms, n_tracks) from WAV RIFF /
+    MP4 box headers — pure ``struct``, no codec, same map-only Arrow
+    shape as :func:`decode_image`. Non-media payloads decode to NULL
+    columns; actual sample/frame decode stays environment-blocked
+    (:func:`frame_sample`)."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        int_cols = ("channels", "sample_rate", "bit_depth", "n_tracks")
+        for pdf in batches:
+            parsed = [parse_media_header(p) for p in pdf["payload"]]
+            out = {"asset_id": pdf["asset_id"]}
+            out["format"] = [h["format"] if h else None for h in parsed]
+            for c in int_cols:
+                out[c] = pd.array(
+                    [h[c] if h else None for h in parsed], dtype="Int32"
+                )
+            out["duration_ms"] = pd.array(
+                [h["duration_ms"] if h else None for h in parsed],
+                dtype="Int64",
+            )
+            yield pd.DataFrame(out)[
+                ["asset_id", "format", "channels", "sample_rate",
+                 "bit_depth", "duration_ms", "n_tracks"]
+            ]
+
+    return assets.mapInPandas(decode, schema=MEDIA_HEADER_SCHEMA)
+
+
+def wav_bytes(
+    channels: int,
+    sample_rate: int,
+    bits: int,
+    n_samples: int,
+) -> bytes:
+    """A structurally valid header-only WAV: RIFF/WAVE + fmt + a data
+    chunk whose SIZE is declared but whose sample bytes are omitted
+    (header parsing never reads them)."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    data_size = n_samples * block_align
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_size)
+    return b"RIFF" + struct.pack("<I", len(body) + data_size) + body
+
+
+def mp4_bytes(
+    timescale: int,
+    duration: int,
+    n_tracks: int,
+    version: int = 0,
+    brand: bytes = b"isom",
+) -> bytes:
+    """A structurally valid MP4 header: ftyp + moov(mvhd + empty trak
+    boxes). No media data (header parsing stops at mvhd/trak)."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    if version == 1:
+        mvhd_body = (
+            struct.pack(">B3x", 1)
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + bytes(80)  # rate/volume/matrix/next_track — unread here
+        )
+    else:
+        mvhd_body = (
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + bytes(80)
+        )
+    moov_body = box(b"mvhd", mvhd_body) + b"".join(
+        box(b"trak", b"") for _ in range(n_tracks)
+    )
+    return ftyp + box(b"moov", moov_body)
+
+
+def synthesize_media_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV / MP4 / non-media payloads from ``doc_id`` —
+    the audio/video counterpart of :func:`synthesize_image_assets`
+    (same planted-metadata-twin oracle pattern; branch arithmetic
+    mirrored in the ``llm_media_header_stats`` oracle SQL):
+
+    - ``doc_id % 3 == 0`` → WAV: sample rate cycled through five
+      common rates via ``doc_id % 5``, mono on even ids / stereo on
+      odd, 8-bit when ``doc_id % 4 == 0`` else 16-bit,
+      ``1000 + doc_id % 977`` declared samples (duration_ms =
+      n_samples * 1000 // sample_rate).
+    - ``doc_id % 3 == 1`` → MP4: timescale 1000 on odd ids / 90000 on
+      even, duration ``timescale * (1 + doc_id % 59) + doc_id % 7``
+      (non-integral seconds), ``1 + (doc_id // 3) % 3`` trak boxes, mvhd
+      version 1 when ``doc_id % 8 == 1`` (64-bit times — same parse
+      result).
+    - ``doc_id % 3 == 2`` → the document's utf-8 text bytes (null
+      text → null payload): must decode to NULLs.
+    """
+    rates = (8000, 16000, 22050, 44100, 48000)
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, media, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                ids.append(doc_id)
+                if doc_id % 3 == 0:
+                    media.append("audio/wav")
+                    payloads.append(
+                        wav_bytes(
+                            channels=1 if doc_id % 2 == 0 else 2,
+                            sample_rate=rates[doc_id % 5],
+                            bits=8 if doc_id % 4 == 0 else 16,
+                            n_samples=1000 + doc_id % 977,
+                        )
+                    )
+                elif doc_id % 3 == 1:
+                    timescale = 1000 if doc_id % 2 == 1 else 90000
+                    media.append("video/mp4")
+                    payloads.append(
+                        mp4_bytes(
+                            timescale=timescale,
+                            duration=timescale * (1 + doc_id % 59)
+                            + doc_id % 7,
+                            # doc_id % 3 is constant (1) on this
+                            # branch — vary tracks via doc_id // 3
+                            n_tracks=1 + (doc_id // 3) % 3,
+                            version=1 if doc_id % 8 == 1 else 0,
+                        )
+                    )
+                else:
+                    media.append("text/plain;charset=utf-8")
+                    payloads.append(
+                        text.encode("utf-8") if text is not None else None
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": media, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema=IMAGE_ASSET_SCHEMA
+    )
+
+
+#: Output schema of :func:`synthesize_image_assets` (and the media
+#: twin above — same opaque-payload layout).
 IMAGE_ASSET_SCHEMA = "asset_id bigint, media_type string, payload binary"
 
 #: The five PNG color types, cycled by the synthesizer via

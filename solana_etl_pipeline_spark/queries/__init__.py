@@ -86,14 +86,16 @@ for _mod in (
 # needs a fresh witness regardless of staleness — VERDICT r11 task 1),
 # (4) remaining witnessed queries stalest-first. The round-13 ordering
 # below is the tool's verbatim output at r12 HEAD:
-#     python tools/staleness.py --budget 172
-# No plan changed this round, so no --promote. The never-witnessed
-# llm_image_header_stats (new this round) leads, then the 21
+#     python tools/staleness.py --budget 173
+# No plan changed this round, so no --promote. The two
+# never-witnessed queries (llm_image_header_stats and
+# llm_media_header_stats, both new this round) lead, then the 21
 # r9-witnessed queries at staleness 3 (which would hit the bound of 4
 # next round — VERDICT r12 task 1 names all 21), then the
 # staleness-2/1/0 blocks stalest-first.
 _PRIORITY = (
     "llm_image_header_stats",
+    "llm_media_header_stats",
     "llm_ivf_cosine_topk",
     "streaming_session_windows",
     "llm_decontaminate",

@@ -47,9 +47,11 @@ from solana_etl_pipeline_spark.llm.scale import (
 )
 from solana_etl_pipeline_spark.llm.multimodal import (
     decode_image,
+    decode_media,
     documents_as_assets,
     featurize_assets,
     synthesize_image_assets,
+    synthesize_media_assets,
 )
 from solana_etl_pipeline_spark.llm.similarity import (
     cosine_topk,
@@ -757,6 +759,29 @@ def llm_image_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("width").alias("max_width"),
         F.min("height").alias("min_height"),
         F.max("height").alias("max_height"),
+    )
+
+
+def llm_media_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free audio/video metadata extraction: WAV RIFF-chunk and
+    MP4 box-walk header parsing (pure ``struct``) over planted binary
+    payloads — the audio/video counterpart of
+    ``llm_image_header_stats`` (see
+    ``llm/multimodal.py::synthesize_media_assets`` for the branch
+    arithmetic the oracle mirrors). Sample-rate/duration routing
+    without ever decoding a sample or frame is exactly what a 100 TB
+    multimodal curation filter needs; both stages are map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    hdrs = decode_media(synthesize_media_assets(docs))
+    return hdrs.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("channels").alias("sum_channels"),
+        F.sum("sample_rate").alias("sum_sample_rate"),
+        F.sum("bit_depth").alias("sum_bit_depth"),
+        F.sum("duration_ms").alias("sum_duration_ms"),
+        F.sum("n_tracks").alias("sum_tracks"),
+        F.min("duration_ms").alias("min_duration_ms"),
+        F.max("duration_ms").alias("max_duration_ms"),
     )
 
 
@@ -1590,6 +1615,62 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         doc="Codec-free PNG IHDR / JPEG SOFn header parse over planted "
             "binary payloads (planted-metadata-twin oracle)",
+        tags=("§2.11", "D4"),
+    ),
+    "llm_media_header_stats": QuerySpec(
+        spark=llm_media_header_stats,
+        # Planted-metadata twin (audio/video): Spark synthesizes real
+        # WAV/MP4 header bytes from doc_id and parses them back; the
+        # oracle recomputes the metadata arithmetically. Byte-level
+        # spec conformance pinned by tests/test_multimodal.py goldens.
+        oracle="""
+            WITH hdr AS (
+              SELECT
+                CASE WHEN doc_id % 3 = 0 THEN 'wav'
+                     WHEN doc_id % 3 = 1 THEN 'mp4' END AS format,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN
+                            CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+                     END AS INTEGER) AS channels,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN
+                            list_extract(
+                              [8000, 16000, 22050, 44100, 48000],
+                              CAST(doc_id % 5 AS INTEGER) + 1)
+                     END AS INTEGER) AS sample_rate,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN
+                            CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 16 END
+                     END AS INTEGER) AS bit_depth,
+                CAST(CASE
+                     WHEN doc_id % 3 = 0 THEN
+                       ((1000 + doc_id % 977) * 1000)
+                         // list_extract(
+                              [8000, 16000, 22050, 44100, 48000],
+                              CAST(doc_id % 5 AS INTEGER) + 1)
+                     WHEN doc_id % 3 = 1 THEN
+                       ((CASE WHEN doc_id % 2 = 1
+                              THEN 1000 ELSE 90000 END
+                         * (1 + doc_id % 59) + doc_id % 7) * 1000)
+                         // CASE WHEN doc_id % 2 = 1
+                                 THEN 1000 ELSE 90000 END
+                     END AS BIGINT) AS duration_ms,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                          WHEN doc_id % 3 = 1 THEN
+                            1 + CAST((doc_id // 3) % 3 AS INTEGER)
+                     END AS INTEGER) AS n_tracks
+              FROM documents)
+            SELECT format,
+                   count(*) AS n,
+                   CAST(sum(channels) AS BIGINT) AS sum_channels,
+                   CAST(sum(sample_rate) AS BIGINT) AS sum_sample_rate,
+                   CAST(sum(bit_depth) AS BIGINT) AS sum_bit_depth,
+                   CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms,
+                   CAST(sum(n_tracks) AS BIGINT) AS sum_tracks,
+                   min(duration_ms) AS min_duration_ms,
+                   max(duration_ms) AS max_duration_ms
+            FROM hdr
+            GROUP BY format
+        """,
+        doc="Codec-free WAV RIFF / MP4 box-walk header parse over "
+            "planted binary payloads (planted-metadata-twin oracle)",
         tags=("§2.11", "D4"),
     ),
 }

@@ -19,12 +19,19 @@ from pyspark.sql import Row
 
 from solana_etl_pipeline_spark.llm.multimodal import (
     decode_image,
+    decode_media,
     jpeg_bytes,
+    mp4_bytes,
     parse_image_header,
     parse_jpeg_header,
+    parse_media_header,
+    parse_mp4_header,
     parse_png_header,
+    parse_wav_header,
     png_bytes,
     synthesize_image_assets,
+    synthesize_media_assets,
+    wav_bytes,
 )
 
 # A real-world 1x1 RGBA PNG (the canonical transparent-pixel data URI
@@ -213,3 +220,183 @@ def test_decode_image_spark_roundtrip(spark):
     assert (out[13].width, out[13].height) == (29, 29)
     # 8 % 3 == 2 with null text: null payload rides the whole path
     assert out[8].format is None and out[8].channels is None
+
+
+# ---- audio/video header parsing (WAV RIFF / MP4 ISO BMFF) ----------
+
+
+def _golden_wav(
+    channels: int = 2,
+    rate: int = 44100,
+    bits: int = 16,
+    data_size: int = 88200,
+    chunk_order: str = "fmt_first",
+) -> bytes:
+    """Spec-literal RIFF assembly, independent of wav_bytes(): chunks
+    in either order, with an odd-size junk chunk exercising padding."""
+    block = channels * bits // 8
+    fmt = b"fmt " + struct.pack(
+        "<I", 16
+    ) + struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"  # padded to even
+    if chunk_order == "fmt_first":
+        # header-only form: the data chunk declares its size but the
+        # sample bytes are omitted (nothing after data needs reading)
+        body = fmt + junk + b"data" + struct.pack("<I", data_size)
+    else:
+        # data before fmt: the walk must SKIP the sample bytes by the
+        # declared size to reach fmt, so they must be present
+        body = (
+            junk
+            + b"data" + struct.pack("<I", data_size) + bytes(data_size)
+            + fmt
+        )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_parse_wav_golden():
+    h = parse_wav_header(_golden_wav())
+    assert h == {
+        "format": "wav",
+        "channels": 2,
+        "sample_rate": 44100,
+        "bit_depth": 16,
+        "duration_ms": 88200 * 1000 // (44100 * 4),  # 500 ms
+        "n_tracks": 1,
+    }
+    # chunk order must not matter, nor the odd-size chunk's padding
+    h2 = parse_wav_header(_golden_wav(chunk_order="data_first"))
+    assert h2 == h
+    # 8-bit mono
+    h3 = parse_wav_header(
+        _golden_wav(channels=1, rate=8000, bits=8, data_size=8000)
+    )
+    assert (h3["channels"], h3["bit_depth"], h3["duration_ms"]) == (1, 8, 1000)
+
+
+def test_parse_wav_rejects_malformed():
+    assert parse_wav_header(None) is None
+    assert parse_wav_header(b"RIFF") is None
+    assert parse_wav_header(b"RIFFxxxxWAVE") is None  # no chunks at all
+    assert parse_wav_header(b"OggS rather than riff data") is None
+    g = _golden_wav()
+    assert parse_wav_header(g[:20]) is None  # truncated mid-fmt
+    # fmt present but no data chunk
+    no_data = g[: 12 + 8 + 16]
+    assert parse_wav_header(no_data) is None
+    # zero sample rate is invalid
+    zero = _golden_wav(rate=0) if False else None
+    # (wav_bytes-style zero rate would divide by zero in the golden
+    # builder; assemble the fmt chunk directly instead)
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 2, 0, 0, 4, 16
+    )
+    data = b"data" + struct.pack("<I", 100)
+    raw = b"RIFF" + struct.pack("<I", 4 + len(fmt + data)) + b"WAVE" + fmt + data
+    assert parse_wav_header(raw) is None
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _golden_mp4(
+    timescale: int = 90000,
+    duration: int = 450000,
+    n_tracks: int = 2,
+    version: int = 0,
+) -> bytes:
+    """Spec-literal ISO BMFF assembly, independent of mp4_bytes()."""
+    ftyp = _box(b"ftyp", b"mp42" + struct.pack(">I", 1) + b"mp42isom")
+    if version:
+        mvhd = _box(
+            b"mvhd",
+            struct.pack(">B3x", 1)
+            + struct.pack(">QQIQ", 10, 20, timescale, duration)
+            + bytes(80),
+        )
+    else:
+        mvhd = _box(
+            b"mvhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 10, 20, timescale, duration)
+            + bytes(80),
+        )
+    free = _box(b"free", bytes(4))
+    traks = b"".join(_box(b"trak", bytes(16)) for _ in range(n_tracks))
+    return ftyp + free + _box(b"moov", free + mvhd + traks)
+
+
+def test_parse_mp4_golden():
+    h = parse_mp4_header(_golden_mp4())
+    assert h["format"] == "mp4"
+    assert h["duration_ms"] == 5000  # 450000 / 90000 s
+    assert h["n_tracks"] == 2
+    assert h["channels"] is None and h["sample_rate"] is None
+    # version-1 mvhd (64-bit times) parses identically
+    h1 = parse_mp4_header(_golden_mp4(version=1, n_tracks=3))
+    assert h1["duration_ms"] == 5000 and h1["n_tracks"] == 3
+
+
+def test_parse_mp4_rejects_malformed():
+    assert parse_mp4_header(None) is None
+    assert parse_mp4_header(b"\x00\x00\x00\x08ftyp"[:6]) is None
+    # first box must be ftyp
+    not_ftyp = _box(b"mdat", bytes(8)) + _golden_mp4()
+    assert parse_mp4_header(not_ftyp) is None
+    g = _golden_mp4()
+    assert parse_mp4_header(g[:24]) is None  # truncated before moov
+    # moov present but no mvhd inside
+    no_mvhd = _box(b"ftyp", b"isom" + bytes(4)) + _box(
+        b"moov", _box(b"trak", bytes(8))
+    )
+    assert parse_mp4_header(no_mvhd) is None
+    # corrupt box size (overruns the payload) must not loop or throw
+    bad = bytearray(_golden_mp4())
+    bad[0:4] = struct.pack(">I", 1 << 30)
+    assert parse_mp4_header(bytes(bad)) is None
+
+
+def test_parse_media_dispatch_and_synthesizers_agree():
+    w = parse_media_header(wav_bytes(2, 48000, 16, 24000))
+    assert (w["format"], w["duration_ms"]) == ("wav", 500)
+    m = parse_media_header(
+        mp4_bytes(timescale=1000, duration=2500, n_tracks=1, version=1)
+    )
+    assert (m["format"], m["duration_ms"], m["n_tracks"]) == ("mp4", 2500, 1)
+    assert parse_media_header(b"plain text bytes") is None
+    # media parsers must not claim image payloads and vice versa
+    assert parse_media_header(GOLDEN_PNG_1X1) is None
+    assert parse_image_header(wav_bytes(1, 8000, 8, 80)) is None
+
+
+def test_decode_media_spark_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="wav branch"),     # 0%3=0: mono 8-bit 8k
+            Row(doc_id=9, text="wav branch 2"),   # 9%3=0: stereo 16-bit 48k
+            Row(doc_id=4, text="mp4 branch"),     # 4%3=1: even -> ts 90000
+            Row(doc_id=13, text="mp4 v1 branch"), # 13%8=5 -> v0; odd -> ts 1000
+            Row(doc_id=2, text="not media"),
+            Row(doc_id=8, text=None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.asset_id: r
+        for r in decode_media(synthesize_media_assets(docs)).collect()
+    }
+    assert (out[0].format, out[0].channels, out[0].sample_rate,
+            out[0].bit_depth) == ("wav", 1, 8000, 8)
+    assert out[0].duration_ms == (1000 + 0) * 1000 // 8000
+    assert (out[9].channels, out[9].sample_rate, out[9].bit_depth) == (
+        2, 48000, 16,  # 9 % 5 == 4 -> rates[4]
+    )
+    assert out[9].duration_ms == (1000 + 9 % 977) * 1000 // 48000
+    assert out[4].format == "mp4"
+    assert out[4].n_tracks == 1 + (4 // 3) % 3  # 2
+    assert out[4].duration_ms == (90000 * (1 + 4 % 59) + 4 % 7) * 1000 // 90000
+    assert out[13].format == "mp4"
+    assert out[13].duration_ms == (1000 * (1 + 13 % 59) + 13 % 7) * 1000 // 1000
+    assert out[2].format is None and out[2].duration_ms is None
+    assert out[8].format is None
