@@ -45,10 +45,16 @@ if str(REPO) not in sys.path:
 from solana_etl_pipeline_spark.session import build_session, gc_java_opts
 
 #: One banded near-dup (Arrow signature stage + band-bucket shuffle +
-#: verify join) and one multi-join TPC-H aggregate (wide shuffles,
-#: broadcast dims) — the two plan families the executor boundary
-#: stresses most.
-SMOKE_QUERIES = ("llm_minhash_near_dup", "tpch_q9_product_profit")
+#: verify join), one multi-join TPC-H aggregate (wide shuffles,
+#: broadcast dims), and one pure-mapInPandas pipeline (binary
+#: payloads through Arrow: in local-cluster the Python workers hang
+#: off the EXECUTOR JVMs and the Arrow batches cross a real process
+#: boundary — the path most different from local[N]).
+SMOKE_QUERIES = (
+    "llm_minhash_near_dup",
+    "tpch_q9_product_profit",
+    "llm_media_header_stats",
+)
 
 
 def _canonical(df) -> list[tuple]:
