@@ -188,6 +188,11 @@ def parse_png_header(payload: "bytes | None") -> "dict | None":
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None or width == 0 or height == 0:
         return None
+    if width >= 2**31 or height >= 2**31:
+        # The PNG spec caps dimensions at 2**31 - 1, and the Int32
+        # output columns share that bound — a corrupt header must
+        # decode to NULL for quarantine, not overflow the Arrow batch.
+        return None
     if bit_depth not in _PNG_DEPTHS[color_type]:
         return None
     return {
@@ -296,6 +301,10 @@ def parse_wav_header(payload: "bytes | None") -> "dict | None":
     channels, sample_rate, byte_rate, bits = fmt
     if channels == 0 or sample_rate == 0 or byte_rate == 0:
         return None
+    if sample_rate >= 2**31:
+        # sample_rate is u32 on disk but Int32 in the output schema;
+        # a corrupt fmt chunk must quarantine as NULL, not overflow.
+        return None
     return {
         "format": "wav",
         "channels": channels,
@@ -347,14 +356,18 @@ def parse_mp4_header(payload: "bytes | None") -> "dict | None":
     for btype, body, box_end in top:
         if btype != b"moov":
             continue
-        for ctype, cbody, _cend in boxes(body, box_end):
-            if ctype == b"mvhd":
+        for ctype, cbody, cend in boxes(body, box_end):
+            # bounds-check against the mvhd child's OWN end, not the
+            # enclosing moov's: a truncated mvhd followed by a sibling
+            # box must quarantine as NULL, not read the sibling's
+            # bytes as timescale/duration.
+            if ctype == b"mvhd" and cbody < cend:
                 version = payload[cbody]
-                if version == 1 and cbody + 32 <= box_end:
+                if version == 1 and cbody + 32 <= cend:
                     timescale, duration = struct.unpack_from(
                         ">IQ", payload, cbody + 20
                     )
-                elif version == 0 and cbody + 20 <= box_end:
+                elif version == 0 and cbody + 20 <= cend:
                     timescale, duration = struct.unpack_from(
                         ">II", payload, cbody + 12
                     )
@@ -363,12 +376,17 @@ def parse_mp4_header(payload: "bytes | None") -> "dict | None":
         break
     if not timescale or duration is None:
         return None
+    duration_ms = duration * 1000 // timescale
+    if duration_ms >= 2**63:
+        # version-1 duration is u64; scaled to ms it can exceed the
+        # Int64 output column — corrupt payloads quarantine as NULL.
+        return None
     return {
         "format": "mp4",
         "channels": None,
         "sample_rate": None,
         "bit_depth": None,
-        "duration_ms": duration * 1000 // timescale,
+        "duration_ms": duration_ms,
         "n_tracks": n_tracks,
     }
 

@@ -55,6 +55,50 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: OSS Spark's RocksDB state-store provider (the rocksdbjni native
+#: bundle ships inside the Spark distribution — no extra install).
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_store_confs(
+    changelog_checkpointing: bool = True,
+) -> dict[str, str]:
+    """SQL confs selecting the RocksDB streaming state store.
+
+    The default HDFS-backed provider keeps EVERY live state key
+    (dedup keys within the watermark, open windows, join buffers) in
+    executor heap — at 100 TB-scale streaming state that is the same
+    executor-OOM class :func:`gc_java_opts` fences for Arrow, except
+    no GC tuning saves it: the fix is moving state off-heap.
+    RocksDB keeps the working set in native memory + local SST files
+    and spills to disk, bounding heap usage regardless of key count.
+
+    ``changelog_checkpointing=True`` uploads per-batch changelogs to
+    the checkpoint instead of full RocksDB snapshots — at large state
+    sizes the snapshot upload otherwise dominates micro-batch latency
+    (background snapshots still bound replay length).
+
+    Both confs are runtime-settable (``spark.conf.set``) and are read
+    at streaming-query start, so an existing session can opt in
+    per-query; keep the provider consistent across restarts of the
+    same checkpoint. Verified against a real executor-JVM boundary by
+    ``tools/local_cluster_smoke.py`` and locally by
+    ``tests/test_streaming_rocksdb.py``.
+    """
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass":
+            ROCKSDB_STATE_STORE_PROVIDER,
+    }
+    if changelog_checkpointing:
+        confs[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ] = "true"
+    return confs
+
+
 @functools.lru_cache(maxsize=1)
 def _java_major_version() -> int | None:
     """Major version of the JVM Spark will launch, or None if the

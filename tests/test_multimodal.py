@@ -130,6 +130,16 @@ def test_parse_png_rejects_malformed():
             + struct.pack(">IIBBBBB", 640, 480, depth, ct, 0, 0, 0)
         )
         assert parse_png_header(bad_depth) is None, (depth, ct)
+    # dimensions past the spec's 2**31 - 1 cap (which is also the
+    # Int32 output bound) quarantine as NULL instead of overflowing
+    for w, hgt in ((2**31, 480), (640, 2**32 - 1)):
+        too_big = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">IIBBBBB", w, hgt, 8, 2, 0, 0, 0)
+        )
+        assert parse_png_header(too_big) is None, (w, hgt)
 
 
 def test_parse_jpeg_golden_baseline():
@@ -284,16 +294,24 @@ def test_parse_wav_rejects_malformed():
     # fmt present but no data chunk
     no_data = g[: 12 + 8 + 16]
     assert parse_wav_header(no_data) is None
-    # zero sample rate is invalid
-    zero = _golden_wav(rate=0) if False else None
-    # (wav_bytes-style zero rate would divide by zero in the golden
-    # builder; assemble the fmt chunk directly instead)
+    # zero sample rate is invalid (a zero rate would divide by zero
+    # in the golden builder, so assemble the fmt chunk directly)
     fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
         "<HHIIHH", 1, 2, 0, 0, 4, 16
     )
     data = b"data" + struct.pack("<I", 100)
     raw = b"RIFF" + struct.pack("<I", 4 + len(fmt + data)) + b"WAVE" + fmt + data
     assert parse_wav_header(raw) is None
+    # sample_rate is u32 on disk but Int32 in the output schema: a
+    # corrupt rate past 2**31 - 1 must quarantine as NULL
+    big_fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 2, 2**31, 2**32 - 4, 4, 16
+    )
+    big = (
+        b"RIFF" + struct.pack("<I", 4 + len(big_fmt + data)) + b"WAVE"
+        + big_fmt + data
+    )
+    assert parse_wav_header(big) is None
 
 
 def _box(btype: bytes, body: bytes) -> bytes:
@@ -355,6 +373,21 @@ def test_parse_mp4_rejects_malformed():
     bad = bytearray(_golden_mp4())
     bad[0:4] = struct.pack(">I", 1 << 30)
     assert parse_mp4_header(bytes(bad)) is None
+    # a TRUNCATED mvhd (declares a size too short for its version's
+    # fields) followed by a sibling box must parse to None — the
+    # bounds check is against the mvhd child's own end, so the
+    # sibling's bytes are never misread as timescale/duration
+    ftyp = _box(b"ftyp", b"mp42" + struct.pack(">I", 1) + b"mp42isom")
+    short_mvhd = _box(b"mvhd", struct.pack(">B3x", 0) + struct.pack(">II", 10, 20))
+    sibling = _box(b"trak", struct.pack(">IIII", 90000, 450000, 7, 7))
+    assert parse_mp4_header(ftyp + _box(b"moov", short_mvhd + sibling)) is None
+    # ... including a zero-length mvhd body (no version byte at all)
+    empty_mvhd = _box(b"mvhd", b"")
+    assert parse_mp4_header(ftyp + _box(b"moov", empty_mvhd + sibling)) is None
+    # version-1 u64 duration that overflows the Int64 duration_ms
+    # output column quarantines as NULL
+    huge = _golden_mp4(version=1, timescale=1, duration=2**63 - 1)
+    assert parse_mp4_header(huge) is None
 
 
 def test_parse_media_dispatch_and_synthesizers_agree():
