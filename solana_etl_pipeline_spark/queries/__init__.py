@@ -84,66 +84,20 @@ for _mod in (
 # (2) never-witnessed queries (first-witness priority), (3) queries
 # promoted via --promote (plan-changed this round: a rewritten plan
 # needs a fresh witness regardless of staleness — VERDICT r11 task 1),
-# (4) remaining witnessed queries stalest-first. The round-13 ordering
-# below is the tool's verbatim output at r12 HEAD:
-#     python tools/staleness.py --budget 173
-# No plan changed this round, so no --promote. The two
-# never-witnessed queries (llm_image_header_stats and
-# llm_media_header_stats, both new this round) lead, then the 21
-# r9-witnessed queries at staleness 3 (which would hit the bound of 4
-# next round — VERDICT r12 task 1 names all 21), then the
-# staleness-2/1/0 blocks stalest-first.
+# (4) remaining witnessed queries stalest-first. The round-14 ordering
+# below is the tool's verbatim output at r13 HEAD:
+#     python tools/staleness.py --budget 173 \
+#         --promote llm_image_header_stats,llm_media_header_stats
+# The two header queries are promoted because their parsers changed
+# this round (output-type bounds + the mvhd own-end bounds fix —
+# UDF-internal, but the re-witness convention covers any
+# result-bearing code change); then the 23 r10-witnessed queries at
+# staleness 3 (which would hit the bound of 4 next round — VERDICT
+# r13 task 1 names all 23), then the staleness-2/1/0 blocks
+# stalest-first.
 _PRIORITY = (
     "llm_image_header_stats",
     "llm_media_header_stats",
-    "llm_ivf_cosine_topk",
-    "streaming_session_windows",
-    "llm_decontaminate",
-    "llm_repetition_rules",
-    "llm_mixture_sample",
-    "llm_chunk_documents",
-    "streaming_interval_join",
-    "llm_split_assign",
-    "llm_lm_quality_score",
-    "risk_scores_topk",
-    "risk_banding_report",
-    "events_json_extract_agg",
-    "nested_helius_flatten",
-    "nested_explode_padding",
-    "nested_tojson_roundtrip",
-    "nested_array_access",
-    "typed_props_parse",
-    "events_project_filter",
-    "events_not_in_filter",
-    "negative_substring_filter",
-    "epoch_rendering_pst",
-    "timestamp_parse_roundtrip",
-    "string_functions_zoo",
-    "regexp_extract_sources",
-    "join_broadcast_lookup",
-    "join_left_anti",
-    "join_theta_range",
-    "nullsafe_join_counts",
-    "asof_prior_purchase",
-    "skew_salted_join_priority_revenue",
-    "window_topk_per_hour",
-    "window_sessionize_batch",
-    "setop_union_harmonize",
-    "setop_except_all",
-    "sort_topk_recent",
-    "agg_first_latest_per_group",
-    "agg_active_users_threshold",
-    "events_dedup_by_key",
-    "agg_grouping_sets",
-    "agg_percentiles_stddev",
-    "streaming_hourly_rollup",
-    "llm_paragraph_dedup",
-    "llm_pq_cosine_topk",
-    "sketch_cms_user_counts",
-    "llm_dsir_select",
-    "llm_domain_rollup",
-    "llm_ivfpq_cosine_topk",
-    "llm_nb_source_classifier",
     "llm_semantic_dedup",
     "agg_histogram_quantiles",
     "funnel_conversion_steps",
@@ -267,6 +221,54 @@ _PRIORITY = (
     "llm_token_heavy_hitters",
     "sink_zorder_roundtrip",
     "llm_lsh_cosine_topk",
+    "llm_ivf_cosine_topk",
+    "streaming_session_windows",
+    "llm_decontaminate",
+    "llm_repetition_rules",
+    "llm_mixture_sample",
+    "llm_chunk_documents",
+    "streaming_interval_join",
+    "llm_split_assign",
+    "llm_lm_quality_score",
+    "risk_scores_topk",
+    "risk_banding_report",
+    "events_json_extract_agg",
+    "nested_helius_flatten",
+    "nested_explode_padding",
+    "nested_tojson_roundtrip",
+    "nested_array_access",
+    "typed_props_parse",
+    "events_project_filter",
+    "events_not_in_filter",
+    "negative_substring_filter",
+    "epoch_rendering_pst",
+    "timestamp_parse_roundtrip",
+    "string_functions_zoo",
+    "regexp_extract_sources",
+    "join_broadcast_lookup",
+    "join_left_anti",
+    "join_theta_range",
+    "nullsafe_join_counts",
+    "asof_prior_purchase",
+    "skew_salted_join_priority_revenue",
+    "window_topk_per_hour",
+    "window_sessionize_batch",
+    "setop_union_harmonize",
+    "setop_except_all",
+    "sort_topk_recent",
+    "agg_first_latest_per_group",
+    "agg_active_users_threshold",
+    "events_dedup_by_key",
+    "agg_grouping_sets",
+    "agg_percentiles_stddev",
+    "streaming_hourly_rollup",
+    "llm_paragraph_dedup",
+    "llm_pq_cosine_topk",
+    "sketch_cms_user_counts",
+    "llm_dsir_select",
+    "llm_domain_rollup",
+    "llm_ivfpq_cosine_topk",
+    "llm_nb_source_classifier",
 )
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -5,9 +5,12 @@ which cannot coexist with the suite's session fixture in one process —
 so it runs as a subprocess and this test asserts its exit status. What
 it proves: two real executor JVMs launch, both carry every
 ``gc_java_opts()`` flag (the r11 executor-OOM fix lands where Arrow
-allocation pressure actually happens — inert in local[N]), and a
-near-dup + a shuffle-heavy TPC-H query return byte-identical canonical
-rows across local-cluster and local modes.
+allocation pressure actually happens — inert in local[N]), a near-dup
++ a shuffle-heavy TPC-H query + the Arrow mapInPandas header pipeline
+return byte-identical canonical rows across local-cluster and local
+modes, and a checkpointed stateful streaming dedup survives a query
+RESTART with its state held by the RocksDB provider inside the real
+executor JVMs, matching the local default-provider run (r13 task 2+3).
 """
 
 from __future__ import annotations
@@ -34,3 +37,5 @@ def test_local_cluster_smoke_passes():
     )
     assert "PASS" in proc.stdout
     assert "executor JVM opts landed" in proc.stdout
+    assert "stateful dedup+restart: local-cluster/rocksdb == local/default  OK" \
+        in proc.stdout

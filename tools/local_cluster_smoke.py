@@ -20,6 +20,13 @@ boundaries through real block transfers, Python workers hang off
 executor JVMs rather than the driver, and broadcast joins ship over the
 wire, so semantic drift between the modes would surface here.
 
+It also runs a checkpointed STATEFUL streaming dedup (build state →
+stop → restart with a replayed duplicate) in local-cluster under the
+RocksDB state-store provider: streaming state stores are instantiated
+in executor processes, so this proves cross-batch/cross-restart state
+survives in real executor JVMs (and that rocksdbjni's native lib loads
+there), with output identical to local mode on the default provider.
+
 Run directly (exit 0 = pass)::
 
     python tools/local_cluster_smoke.py [--sf-dir /root/testdata/sf0.001]
@@ -33,8 +40,11 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import math
+import os
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -42,7 +52,11 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-from solana_etl_pipeline_spark.session import build_session, gc_java_opts
+from solana_etl_pipeline_spark.session import (
+    build_session,
+    gc_java_opts,
+    rocksdb_state_store_confs,
+)
 
 #: One banded near-dup (Arrow signature stage + band-bucket shuffle +
 #: verify join), one multi-join TPC-H aggregate (wide shuffles,
@@ -94,6 +108,71 @@ def _executor_cmdlines() -> list[str]:
         ):
             out.append(" ".join(a for a in argv if a))
     return out
+
+
+def _run_stateful(spark, work_dir: str, rocksdb: bool) -> list[tuple]:
+    """Checkpointed streaming dedup, run → restart-with-new-data → run.
+
+    State stores live in EXECUTOR processes: in local-cluster the
+    cross-batch dedup keys are maintained, checkpointed, and RESTORED
+    inside real executor JVMs (with ``rocksdb=True``, through the
+    rocksdbjni native lib loaded there) — the last executor-side code
+    path the suite otherwise only exercises driver-embedded. Returns
+    the canonical final sink rows; raises if the restart fails to
+    drop the replayed duplicate (state did not survive).
+    """
+    from solana_etl_pipeline_spark.schemas import EVENTS
+    from solana_etl_pipeline_spark.streaming.ingest import (
+        deduplicated,
+        landing_stream,
+        run_available_now_to_parquet,
+    )
+
+    landing = os.path.join(work_dir, "landing")
+    os.makedirs(landing)
+    ckpt = os.path.join(work_dir, "ckpt")
+    out = os.path.join(work_dir, "out")
+
+    def event(eid, uid, ts):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": "purchase", "value": 1.0, "props": "{}"}
+
+    def land(name, rows, age):
+        path = os.path.join(landing, name)
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(path, (time.time() - age,) * 2)
+
+    if rocksdb:
+        for k, v in rocksdb_state_store_confs().items():
+            spark.conf.set(k, v)
+
+    land("f1.json", [event(1, 10, "2024-01-01T00:05:00.000Z"),
+                     event(2, 10, "2024-01-01T00:10:00.000Z")], 20)
+    stream = landing_stream(spark, landing, EVENTS, max_files_per_trigger=1)
+    run_available_now_to_parquet(
+        deduplicated(stream, ["user_id", "event_id"], watermark="1 hour"),
+        out, ckpt,
+    )
+
+    # restart from the same checkpoint with a replayed duplicate plus
+    # one genuinely new key
+    land("f2.json", [event(1, 10, "2024-01-01T00:05:00.000Z"),
+                     event(3, 11, "2024-01-01T00:15:00.000Z")], 10)
+    stream2 = landing_stream(spark, landing, EVENTS, max_files_per_trigger=1)
+    run_available_now_to_parquet(
+        deduplicated(stream2, ["user_id", "event_id"], watermark="1 hour"),
+        out, ckpt,
+    )
+    sink = spark.read.parquet(out)
+    keys = sorted((r.user_id, r.event_id) for r in sink.collect())
+    if keys != [(10, 1), (10, 2), (11, 3)]:
+        raise AssertionError(
+            f"stateful restart produced {keys}: cross-batch dedup state "
+            "did not survive the executor-side checkpoint round-trip"
+        )
+    return _canonical(sink.select("event_id", "user_id", "ts", "value"))
 
 
 def _run_queries(spark, sf_dir: str) -> dict[str, list[tuple]]:
@@ -148,6 +227,16 @@ def main(argv: list[str] | None = None) -> int:
         cluster_results = _run_queries(spark, args.sf_dir)
         for name, rows in cluster_results.items():
             print(f"{name}: {len(rows)} rows on local-cluster")
+        # Stateful streaming with the RocksDB provider: dedup state is
+        # built, checkpointed, and restored across a query RESTART
+        # inside the two real executor JVMs (rocksdbjni loading there,
+        # not in the driver).
+        with tempfile.TemporaryDirectory() as wd:
+            cluster_stateful = _run_stateful(spark, wd, rocksdb=True)
+        print(
+            f"stateful dedup+restart (rocksdb): "
+            f"{len(cluster_stateful)} rows on local-cluster"
+        )
     finally:
         spark.stop()
 
@@ -160,10 +249,25 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         local_results = _run_queries(spark, args.sf_dir)
+        # Baseline stateful run stays on the DEFAULT (HDFS-backed)
+        # provider: output equality below then pins semantic
+        # transparency across BOTH dimensions at once — execution mode
+        # (driver-embedded vs real executor JVMs) and state-store
+        # provider (heap vs RocksDB).
+        with tempfile.TemporaryDirectory() as wd:
+            local_stateful = _run_stateful(spark, wd, rocksdb=False)
     finally:
         spark.stop()
 
     rc = 0
+    if cluster_stateful == local_stateful:
+        print("stateful dedup+restart: local-cluster/rocksdb == local/default  OK")
+    else:
+        print(
+            f"FAIL: stateful dedup diverges across modes "
+            f"({cluster_stateful} vs {local_stateful})"
+        )
+        rc = 1
     for name in SMOKE_QUERIES:
         if cluster_results[name] == local_results[name]:
             print(f"{name}: local-cluster == local  OK")
