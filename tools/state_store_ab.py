@@ -1,0 +1,186 @@
+"""Interleaved A/B: default (HDFS-backed) vs RocksDB streaming state store.
+
+``session.rocksdb_state_store_confs()`` is the engine's 100 TB posture
+for streaming state — the default provider keeps every live key in
+executor HEAP, so at large state the choice is forced regardless of
+fixture-scale speed. This harness measures what the choice COSTS at
+measurable scale, the same discipline as the substring JVM-vs-Arrow
+A/B (``tools/substring_ab.py``): a deliberately accepted trade still
+gets a number, not a guess.
+
+Shape: one landing corpus of JSON events (≈90 % distinct
+``(user_id, event_id)`` keys, all event times inside the watermark
+horizon so nothing evicts), drained by the engine's own
+``landing_stream → deduplicated`` path with ``maxFilesPerTrigger=1``
+— so each run is N_FILES micro-batches and the state store
+commits/restores per batch, which is the surface being compared. The
+sink is streaming-noop, so wall clock is parse + dedup + state
+maintenance, not sink I/O. Providers are INTERLEAVED (d,r,d,r,...)
+within one session so ambient drift (the box's documented ±40 %
+swing) hits both alike; per-provider best-of-n is reported, plus the
+on-disk checkpoint state size (changelog vs delta formats).
+
+Run:  python tools/state_store_ab.py [--sizes 250000,1000000]
+          [--files 8] [--repeat 3] [--workdir D]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from solana_etl_pipeline_spark.schemas import EVENTS  # noqa: E402
+from solana_etl_pipeline_spark.session import (  # noqa: E402
+    build_session,
+    rocksdb_state_store_confs,
+)
+from solana_etl_pipeline_spark.streaming.ingest import (  # noqa: E402
+    deduplicated,
+    landing_stream,
+)
+
+#: The default provider, for restoring the session conf between legs.
+_DEFAULT_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
+
+
+def build_landing(spark, n: int, landing_dir: str, n_files: int) -> None:
+    """Land ``n`` JSON events: ~90 % distinct keys (the rest replay an
+    earlier key), event times spread over one hour so a '2 hours'
+    watermark evicts nothing and state grows to the full key count."""
+    n_keys = int(n * 0.9)
+    (
+        spark.range(n)
+        .select(
+            (F.col("id") % n_keys).alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("id") % 3600)
+            ).alias("ts"),
+            ((F.col("id") % n_keys) % 9973).alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .json(landing_dir)
+    )
+    # the file source admits files in mtime order; make it stable
+    now = time.time()
+    parts = sorted(
+        f for f in os.listdir(landing_dir) if f.endswith(".json")
+    )
+    for i, f in enumerate(parts):
+        path = os.path.join(landing_dir, f)
+        os.utime(path, (now - len(parts) + i,) * 2)
+
+
+def drain_once(spark, landing_dir: str, ckpt: str, rocksdb: bool) -> float:
+    """One cold availableNow drain (fresh checkpoint): returns wall
+    seconds for all micro-batches, state built from empty."""
+    confs = (
+        rocksdb_state_store_confs()
+        if rocksdb
+        else {
+            "spark.sql.streaming.stateStore.providerClass":
+                _DEFAULT_PROVIDER,
+        }
+    )
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    stream = landing_stream(spark, landing_dir, EVENTS, max_files_per_trigger=1)
+    deduped = deduplicated(
+        stream, ["user_id", "event_id"], watermark="2 hours"
+    )
+    t0 = time.perf_counter()
+    query = (
+        deduped.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if query.exception():
+        raise query.exception()
+    return time.perf_counter() - t0
+
+
+def state_bytes(ckpt: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="250000,1000000")
+    ap.add_argument("--files", type=int, default=8)
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+    workdir = args.workdir or tempfile.mkdtemp(prefix="state_ab_")
+
+    spark = build_session(app_name="state-store-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[tuple[int, str], list[float]] = {}
+    sizes_on_disk: dict[tuple[int, str], int] = {}
+    for n in sizes:
+        landing = os.path.join(workdir, f"landing_{n}")
+        build_landing(spark, n, landing, args.files)
+        # untimed warm-up (JIT, file-source listing, codegen caches)
+        warm_ckpt = os.path.join(workdir, f"warm_{n}")
+        drain_once(spark, landing, warm_ckpt, rocksdb=False)
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
+        for i in range(args.repeat):
+            for label, rocksdb in (("default", False), ("rocksdb", True)):
+                ckpt = os.path.join(workdir, f"ckpt_{n}_{label}_{i}")
+                wall = drain_once(spark, landing, ckpt, rocksdb)
+                results.setdefault((n, label), []).append(wall)
+                sizes_on_disk[(n, label)] = state_bytes(ckpt)
+                print(
+                    f"{label} ({n}) run {i + 1}/{args.repeat}: "
+                    f"{wall:.1f}s  state={state_bytes(ckpt) / 1e6:.1f}MB",
+                    flush=True,
+                )
+                shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(landing, ignore_errors=True)
+
+    for n in sizes:
+        d = results[(n, "default")]
+        r = results[(n, "rocksdb")]
+        print(
+            f"n={n}: default min {min(d):.1f}s (all {[f'{x:.1f}' for x in d]})"
+            f"  rocksdb min {min(r):.1f}s (all {[f'{x:.1f}' for x in r]})"
+            f"  ratio {min(r) / min(d):.3f}",
+            flush=True,
+        )
+    if len(sizes) >= 2:
+        a, b = sizes[0], sizes[-1]
+        for label in ("default", "rocksdb"):
+            print(
+                f"{label}: x{min(results[(b, label)]) / min(results[(a, label)]):.2f} "
+                f"wall for x{b / a:.0f} data",
+                flush=True,
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
