@@ -64,6 +64,7 @@ ROCKSDB_STATE_STORE_PROVIDER = (
 
 def rocksdb_state_store_confs(
     changelog_checkpointing: bool = True,
+    max_memory_mb: int | None = None,
 ) -> dict[str, str]:
     """SQL confs selecting the RocksDB streaming state store.
 
@@ -79,6 +80,16 @@ def rocksdb_state_store_confs(
     the checkpoint instead of full RocksDB snapshots — at large state
     sizes the snapshot upload otherwise dominates micro-batch latency
     (background snapshots still bound replay length).
+
+    ``max_memory_mb`` additionally CAPS RocksDB's native usage
+    (block cache + memtables, shared across all state-store
+    instances on an executor) via the bounded-memory-usage knobs:
+    without it RocksDB's working set, while off-heap, can still grow
+    with hot state and evict the OS page cache. Size it alongside
+    ``spark.executor.memoryOverhead`` — the cap must fit inside the
+    overhead allowance or the container OOM-kills instead of the
+    JVM. Left off by default: the right number is a deployment
+    decision (state size × executor density), not an engine one.
 
     Both confs are runtime-settable (``spark.conf.set``) and are read
     at streaming-query start, so an existing session can opt in
@@ -96,6 +107,13 @@ def rocksdb_state_store_confs(
             "spark.sql.streaming.stateStore.rocksdb."
             "changelogCheckpointing.enabled"
         ] = "true"
+    if max_memory_mb is not None:
+        confs[
+            "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"
+        ] = "true"
+        confs[
+            "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"
+        ] = str(max_memory_mb)
     return confs
 
 

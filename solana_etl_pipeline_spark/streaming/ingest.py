@@ -84,6 +84,39 @@ def deduplicated(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(key_set)
 
 
+def deduplicated_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T4, redelivery-tolerant form: dedup on the BUSINESS keys only,
+    state bounded by the watermark horizon.
+
+    :func:`deduplicated` appends the event-time column to the key set
+    (the state-eviction requirement of streaming ``dropDuplicates``),
+    which silently assumes every redelivery carries the SAME event
+    time. That assumption breaks whenever the timestamp is assigned
+    downstream of the duplication point — e.g. an ingest-time
+    ``current_timestamp()`` stamp is constant within a micro-batch
+    but differs across them, so two copies of one message split
+    across batches get different keys and BOTH pass (observed as a
+    load-dependent exactly-once violation in the pipeline soak test:
+    under contention the upstream stage lands a tick's files across
+    several commits and the downstream batches split the copies).
+
+    ``dropDuplicatesWithinWatermark`` is built for exactly this: keys
+    are only ``keys``, a duplicate is dropped whenever it arrives
+    within the watermark horizon of the first copy, and state still
+    evicts on the horizon. Use THIS form when event times of
+    duplicates can differ; use :func:`deduplicated` when the event
+    time is part of the message identity (replayed payloads).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def hourly_window_counts(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Tumbling 1-hour windows — the streaming twin of the batch
     ``events_hourly_rollup`` query (same output schema, same oracle)."""

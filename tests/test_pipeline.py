@@ -323,7 +323,9 @@ def test_full_pipeline_soak(spark, tmp_path):
         normalize_websocket_messages,
     )
     from solana_etl_pipeline_spark.serving import Dashboard
-    from solana_etl_pipeline_spark.streaming.ingest import deduplicated
+    from solana_etl_pipeline_spark.streaming.ingest import (
+        deduplicated_within_watermark,
+    )
     from tests.test_live_socket import _ingest, _msg
 
     landing = tmp_path / "landing"
@@ -346,15 +348,19 @@ def test_full_pipeline_soak(spark, tmp_path):
         )
         # stage B: bronze -> normalize -> ingest-time watermarked dedup
         # -> silver parquet. current_timestamp() is the batch timestamp
-        # (constant per micro-batch), so same-batch redeliveries dedup
-        # and the processing-time watermark keeps state bounded.
+        # (constant per micro-batch, DIFFERENT across batches), so the
+        # dedup must key on (mint, signature) only — the
+        # within-watermark form. The ts-appending `deduplicated` form
+        # used here previously let a redelivery pass whenever load
+        # split the two copies of a message across stage-B
+        # micro-batches (each copy stamped with its own batch time).
         raw = spark.readStream.schema("value string").parquet(bronze)
         silver_stream = (
             normalize_websocket_messages(raw, json_col="value")
             .withColumn("ingest_ts", F.current_timestamp())
         )
         q_silver = (
-            deduplicated(
+            deduplicated_within_watermark(
                 silver_stream,
                 keys=["mint", "signature"],
                 ts_col="ingest_ts",

@@ -114,6 +114,55 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert sorted(ids) == [1, 2]
 
 
+def test_deduplicated_within_watermark_drops_cross_batch_retry(spark, tmp_path):
+    """The engine's redelivery-tolerant dedup helper: a duplicate
+    business key whose event time DIFFERS (stamped downstream of the
+    duplication point, e.g. per-batch current_timestamp) is dropped
+    even when the copies land in different micro-batches — the
+    exactly-once violation the ts-appending `deduplicated` form
+    admits under load (see the pipeline soak's stage B)."""
+    from solana_etl_pipeline_spark.streaming.ingest import (
+        deduplicated_within_watermark,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = time.time()
+    _write_landing_file(
+        str(landing / "f1.json"),
+        [_event(7, 5, "2024-01-01T01:00:00.000Z")],
+        now - 20,
+    )
+    _write_landing_file(
+        str(landing / "f2.json"),
+        [
+            # same (user_id, event_id), later batch, later stamp
+            _event(7, 5, "2024-01-01T01:00:30.000Z"),
+            _event(8, 5, "2024-01-01T01:05:00.000Z"),
+        ],
+        now - 10,
+    )
+    stream = landing_stream(spark, str(landing), EVENTS, max_files_per_trigger=1)
+    deduped = deduplicated_within_watermark(
+        stream, ["user_id", "event_id"], ts_col="ts", watermark="10 minutes"
+    )
+    out = str(tmp_path / "out")
+    run_available_now_to_parquet(deduped, out, str(tmp_path / "ckpt"))
+    ids = [r.event_id for r in spark.read.parquet(out).collect()]
+    assert sorted(ids) == [7, 8]
+    # the ts-appending form, same input: BOTH copies of key 7 pass —
+    # the documented hazard this helper exists to close
+    stream2 = landing_stream(spark, str(landing), EVENTS, max_files_per_trigger=1)
+    leaky = deduplicated(
+        stream2, ["user_id", "event_id"], ts_col="ts", watermark="10 minutes"
+    )
+    out2 = str(tmp_path / "out2")
+    run_available_now_to_parquet(leaky, out2, str(tmp_path / "ckpt2"))
+    assert sorted(
+        r.event_id for r in spark.read.parquet(out2).collect()
+    ) == [7, 7, 8]
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Late-data policy: after the watermark advances past an event's
     timestamp (minus the delay), a late-arriving duplicate-keyed or

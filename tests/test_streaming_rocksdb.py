@@ -34,7 +34,9 @@ from solana_etl_pipeline_spark.session import rocksdb_state_store_confs
 from solana_etl_pipeline_spark.streaming.ingest import (
     deduplicated,
     landing_stream,
+    run_available_now,
     run_available_now_to_parquet,
+    stateful_running_totals,
 )
 
 
@@ -125,3 +127,57 @@ def test_rocksdb_dedup_restart_and_artifacts(spark, tmp_path):
     files = _state_files(ckpt)
     assert any(f.endswith(".changelog") for f in files), files
     assert not any(f.endswith(".delta") for f in files), files
+
+
+def test_rocksdb_bounded_memory_with_custom_stateful_op(spark, tmp_path):
+    """The ``applyInPandasWithState`` operator (a different state
+    encoding than dropDuplicates) under RocksDB with the
+    bounded-memory cap engaged: state carries across micro-batches
+    and the knobs are accepted by this build, not silently rejected
+    at query start."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = time.time()
+    _write_landing_file(
+        str(landing / "f1.json"),
+        [
+            dict(_event(1, 1, "2024-01-01T10:00:00.000Z"), value=10.0),
+            dict(_event(2, 2, "2024-01-01T10:01:00.000Z"), value=5.0),
+        ],
+        now - 20,
+    )
+    _write_landing_file(
+        str(landing / "f2.json"),
+        [dict(_event(3, 1, "2024-01-01T10:02:00.000Z"), value=7.5)],
+        now - 10,
+    )
+    confs = rocksdb_state_store_confs(max_memory_mb=256)
+    assert (
+        confs["spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"]
+        == "true"
+    )
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        stream = landing_stream(
+            spark, str(landing), EVENTS, max_files_per_trigger=1
+        )
+        t = run_available_now(
+            stateful_running_totals(stream), str(tmp_path / "ckpt"), "update"
+        )
+        final: dict[int, tuple[int, float]] = {}
+        for r in spark.table(t).collect():
+            cur = final.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                final[r.user_id] = (r.n_events, r.total_value)
+        # user 1's second-batch update proves state RESTORED under
+        # RocksDB between micro-batches (10.0 carried into +7.5)
+        assert final[1] == (2, 17.5)
+        assert final[2] == (1, 5.0)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
