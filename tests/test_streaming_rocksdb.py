@@ -33,9 +33,11 @@ from solana_etl_pipeline_spark.schemas import EVENTS
 from solana_etl_pipeline_spark.session import rocksdb_state_store_confs
 from solana_etl_pipeline_spark.streaming.ingest import (
     deduplicated,
+    deduplicated_within_watermark,
     landing_stream,
     run_available_now,
     run_available_now_to_parquet,
+    session_window_counts,
     stateful_running_totals,
 )
 
@@ -127,6 +129,99 @@ def test_rocksdb_dedup_restart_and_artifacts(spark, tmp_path):
     files = _state_files(ckpt)
     assert any(f.endswith(".changelog") for f in files), files
     assert not any(f.endswith(".delta") for f in files), files
+
+
+def test_rocksdb_transparent_for_session_windows_and_wm_dedup(spark, tmp_path):
+    """Provider transparency across the REMAINING state formats: the
+    session-window aggregation and dropDuplicatesWithinWatermark each
+    keep state in their own layout (not the dropDuplicates /
+    flatMapGroupsWithState formats the other tests cover). Identical
+    canonical output under the default and RocksDB providers on the
+    same landing data — a provider must never change semantics."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = time.time()
+    _write_landing_file(
+        str(landing / "f1.json"),
+        [
+            _event(1, 5, "2024-01-01T01:00:00.000Z"),
+            _event(2, 5, "2024-01-01T01:10:00.000Z"),
+            _event(3, 6, "2024-01-01T01:05:00.000Z"),
+        ],
+        now - 20,
+    )
+    _write_landing_file(
+        str(landing / "f2.json"),
+        [
+            # extends user 5's session; user 6 starts a new one (>gap);
+            # event 1 replayed with a retry's later stamp
+            _event(4, 5, "2024-01-01T01:25:00.000Z"),
+            _event(5, 6, "2024-01-01T02:30:00.000Z"),
+            _event(1, 5, "2024-01-01T01:00:30.000Z"),
+        ],
+        now - 10,
+    )
+
+    def run(label: str, rocksdb: bool) -> tuple[list, list]:
+        confs = (
+            rocksdb_state_store_confs()
+            if rocksdb
+            else {
+                "spark.sql.streaming.stateStore.providerClass":
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "HDFSBackedStateStoreProvider",
+            }
+        )
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            s1 = landing_stream(
+                spark, str(landing), EVENTS, max_files_per_trigger=1
+            )
+            t = run_available_now(
+                session_window_counts(s1, gap="30 minutes"),
+                str(tmp_path / f"ckpt_sw_{label}"),
+                "complete",
+            )
+            sessions = sorted(
+                (r.user_id, r.session_start, r.n_events)
+                for r in spark.table(t).collect()
+            )
+            s2 = landing_stream(
+                spark, str(landing), EVENTS, max_files_per_trigger=1
+            )
+            out = str(tmp_path / f"out_wm_{label}")
+            run_available_now_to_parquet(
+                deduplicated_within_watermark(
+                    s2, ["user_id", "event_id"], watermark="10 minutes"
+                ),
+                out,
+                str(tmp_path / f"ckpt_wm_{label}"),
+            )
+            deduped = sorted(
+                (r.user_id, r.event_id)
+                for r in spark.read.parquet(out).collect()
+            )
+            return sessions, deduped
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    default_rows = run("default", rocksdb=False)
+    rocksdb_rows = run("rocksdb", rocksdb=True)
+    assert default_rows == rocksdb_rows
+    # and the semantics themselves: one merged session for user 5
+    # (events 1,2,4 plus the replay, all within 30-min gaps — the
+    # session query does NOT dedup), two sessions for user 6, and the
+    # dedup query drops the replayed event 1 despite its differing
+    # retry stamp
+    sessions, deduped = default_rows
+    assert [(u, n) for u, _s, n in sessions] == [(5, 4), (6, 1), (6, 1)]
+    assert deduped == [(5, 1), (5, 2), (5, 4), (6, 3), (6, 5)]
 
 
 def test_rocksdb_bounded_memory_with_custom_stateful_op(spark, tmp_path):
