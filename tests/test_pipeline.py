@@ -364,7 +364,12 @@ def test_full_pipeline_soak(spark, tmp_path):
                 silver_stream,
                 keys=["mint", "signature"],
                 ts_col="ingest_ts",
-                watermark="2 seconds",
+                # 5 s horizon: wide enough that only a >10 s stall
+                # between the two copies' micro-batches could expire
+                # the first copy's dedup state before the redelivery
+                # arrives (at 2 s a ~4 s GC pause sufficed), narrow
+                # enough that eviction still happens within the soak
+                watermark="5 seconds",
             )
             .drop("ingest_ts")
             .writeStream.format("parquet")
@@ -424,9 +429,11 @@ def test_full_pipeline_soak(spark, tmp_path):
             fresh_gold = dash._snapshot()["gold"].count()
             assert fresh_gold == len(expected)
             gold_counts.append(fresh_gold)
-            # let the watermark horizon (2 s) pass so this tick's dedup
-            # state becomes evictable during the next tick's batches
-            _time.sleep(2.5)
+            # advance past the watermark horizon (5 s): a tick's dedup
+            # state (expiring at first-seen + 5 s, observed once the
+            # watermark = max stamp - 5 s passes it, i.e. ~10 s of
+            # batch-stamp progress) becomes evictable two ticks later
+            _time.sleep(6.0)
 
         # monotone gold growth across ticks
         assert gold_counts == sorted(gold_counts)

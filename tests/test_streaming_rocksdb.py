@@ -25,7 +25,6 @@ The same provider is exercised across a REAL executor-JVM boundary
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -42,22 +41,8 @@ from solana_etl_pipeline_spark.streaming.ingest import (
 )
 
 
-def _write_landing_file(path: str, rows: list[dict], mtime: float) -> None:
-    with open(path, "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.utime(path, (mtime, mtime))
-
-
-def _event(eid: int, uid: int, ts: str) -> dict:
-    return {
-        "event_id": eid,
-        "ts": ts,
-        "user_id": uid,
-        "event_type": "purchase",
-        "value": 1.0,
-        "props": "{}",
-    }
+# shared landing-file fixtures — one definition, no drift
+from tests.test_streaming import _event, _write_landing_file  # noqa: E402
 
 
 def _state_files(ckpt: str) -> list[str]:

@@ -32,8 +32,11 @@ import shutil
 import sys
 import tempfile
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -144,19 +147,24 @@ def main() -> None:
     for n in sizes:
         landing = os.path.join(workdir, f"landing_{n}")
         build_landing(spark, n, landing, args.files)
-        # untimed warm-up (JIT, file-source listing, codegen caches)
-        warm_ckpt = os.path.join(workdir, f"warm_{n}")
-        drain_once(spark, landing, warm_ckpt, rocksdb=False)
-        shutil.rmtree(warm_ckpt, ignore_errors=True)
+        # untimed warm-up of BOTH providers (JIT, file-source listing,
+        # codegen caches — and the rocksdbjni native-library load +
+        # first RocksDB instance init, which would otherwise bias the
+        # rocksdb leg's first timed run against it)
+        for warm_rocksdb in (False, True):
+            warm_ckpt = os.path.join(workdir, f"warm_{n}_{warm_rocksdb}")
+            drain_once(spark, landing, warm_ckpt, rocksdb=warm_rocksdb)
+            shutil.rmtree(warm_ckpt, ignore_errors=True)
         for i in range(args.repeat):
             for label, rocksdb in (("default", False), ("rocksdb", True)):
                 ckpt = os.path.join(workdir, f"ckpt_{n}_{label}_{i}")
                 wall = drain_once(spark, landing, ckpt, rocksdb)
                 results.setdefault((n, label), []).append(wall)
-                sizes_on_disk[(n, label)] = state_bytes(ckpt)
+                size = state_bytes(ckpt)
+                sizes_on_disk[(n, label)] = size
                 print(
                     f"{label} ({n}) run {i + 1}/{args.repeat}: "
-                    f"{wall:.1f}s  state={state_bytes(ckpt) / 1e6:.1f}MB",
+                    f"{wall:.1f}s  state={size / 1e6:.1f}MB",
                     flush=True,
                 )
                 shutil.rmtree(ckpt, ignore_errors=True)
@@ -168,7 +176,9 @@ def main() -> None:
         print(
             f"n={n}: default min {min(d):.1f}s (all {[f'{x:.1f}' for x in d]})"
             f"  rocksdb min {min(r):.1f}s (all {[f'{x:.1f}' for x in r]})"
-            f"  ratio {min(r) / min(d):.3f}",
+            f"  ratio {min(r) / min(d):.3f}"
+            f"  state {sizes_on_disk[(n, 'default')] / 1e6:.1f}"
+            f"/{sizes_on_disk[(n, 'rocksdb')] / 1e6:.1f}MB",
             flush=True,
         )
     if len(sizes) >= 2:
