@@ -21,7 +21,11 @@ swing) hits both alike; per-provider best-of-n is reported, plus the
 on-disk checkpoint state size (changelog vs delta formats).
 
 Run:  python tools/state_store_ab.py [--sizes 250000,1000000]
-          [--files 8] [--repeat 3] [--workdir D]
+          [--files 8] [--repeat 3] [--workdir D] [--span-hours H]
+
+``--span-hours`` switches grow mode (default, state accumulates to
+the full key count) to churn mode (time-ordered files + 1-hour
+watermark: every batch inserts AND evicts — the steady-state shape).
 """
 
 from __future__ import annotations
@@ -57,14 +61,37 @@ _DEFAULT_PROVIDER = (
 )
 
 
-def build_landing(spark, n: int, landing_dir: str, n_files: int) -> None:
-    """Land ``n`` JSON events: ~90 % distinct keys (the rest replay an
-    earlier key), event times spread over one hour so a '2 hours'
-    watermark evicts nothing and state grows to the full key count."""
+def build_landing(
+    spark, n: int, landing_dir: str, n_files: int, span_hours: float = 0.0
+) -> None:
+    """Land ``n`` JSON events, ~90 % distinct keys (the rest replay an
+    earlier key).
+
+    ``span_hours=0`` (grow mode): event times spread over one hour so
+    a '2 hours' watermark evicts nothing and state grows to the full
+    key count. ``span_hours>0`` (churn mode): event times advance
+    linearly over the span and files are RANGE-partitioned on time
+    (admitted oldest-first via mtime), so with a short watermark each
+    micro-batch both inserts its keys and EVICTS the horizon-expired
+    ones — the steady-state shape of a 100 TB stream, where eviction
+    throughput (tombstone/compaction work in RocksDB vs map removal
+    in heap) is part of the per-batch cost."""
     n_keys = int(n * 0.9)
-    (
-        spark.range(n)
-        .select(
+    if span_hours > 0:
+        ts = F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.col("id") * F.lit(span_hours * 3600.0 / n)
+        )
+        df = spark.range(n).select(
+            (F.col("id") % n_keys).alias("event_id"),
+            ts.alias("ts"),
+            ((F.col("id") % n_keys) % 9973).alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).repartitionByRange(n_files, "ts")
+    else:
+        df = spark.range(n).select(
             (F.col("id") % n_keys).alias("event_id"),
             F.timestamp_seconds(
                 F.lit(1704067200) + (F.col("id") % 3600)
@@ -73,11 +100,8 @@ def build_landing(spark, n: int, landing_dir: str, n_files: int) -> None:
             F.lit("purchase").alias("event_type"),
             F.lit(1.0).alias("value"),
             F.lit("{}").alias("props"),
-        )
-        .repartition(n_files)
-        .write.mode("overwrite")
-        .json(landing_dir)
-    )
+        ).repartition(n_files)
+    df.write.mode("overwrite").json(landing_dir)
     # the file source admits files in mtime order; make it stable
     now = time.time()
     parts = sorted(
@@ -88,7 +112,13 @@ def build_landing(spark, n: int, landing_dir: str, n_files: int) -> None:
         os.utime(path, (now - len(parts) + i,) * 2)
 
 
-def drain_once(spark, landing_dir: str, ckpt: str, rocksdb: bool) -> float:
+def drain_once(
+    spark,
+    landing_dir: str,
+    ckpt: str,
+    rocksdb: bool,
+    watermark: str = "2 hours",
+) -> float:
     """One cold availableNow drain (fresh checkpoint): returns wall
     seconds for all micro-batches, state built from empty."""
     confs = (
@@ -103,7 +133,7 @@ def drain_once(spark, landing_dir: str, ckpt: str, rocksdb: bool) -> float:
         spark.conf.set(k, v)
     stream = landing_stream(spark, landing_dir, EVENTS, max_files_per_trigger=1)
     deduped = deduplicated(
-        stream, ["user_id", "event_id"], watermark="2 hours"
+        stream, ["user_id", "event_id"], watermark=watermark
     )
     t0 = time.perf_counter()
     query = (
@@ -136,8 +166,16 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--span-hours", type=float, default=0.0,
+        help="0 = grow mode (all events inside the horizon, state "
+        "grows monotonically); >0 = churn mode (time-ordered files "
+        "over this span with a 1-hour watermark, so each batch "
+        "inserts AND evicts — steady-state shape)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    watermark = "1 hour" if args.span_hours > 0 else "2 hours"
     workdir = args.workdir or tempfile.mkdtemp(prefix="state_ab_")
 
     spark = build_session(app_name="state-store-ab")
@@ -146,19 +184,21 @@ def main() -> None:
     sizes_on_disk: dict[tuple[int, str], int] = {}
     for n in sizes:
         landing = os.path.join(workdir, f"landing_{n}")
-        build_landing(spark, n, landing, args.files)
+        build_landing(spark, n, landing, args.files, args.span_hours)
         # untimed warm-up of BOTH providers (JIT, file-source listing,
         # codegen caches — and the rocksdbjni native-library load +
         # first RocksDB instance init, which would otherwise bias the
         # rocksdb leg's first timed run against it)
         for warm_rocksdb in (False, True):
             warm_ckpt = os.path.join(workdir, f"warm_{n}_{warm_rocksdb}")
-            drain_once(spark, landing, warm_ckpt, rocksdb=warm_rocksdb)
+            drain_once(spark, landing, warm_ckpt, rocksdb=warm_rocksdb,
+                       watermark=watermark)
             shutil.rmtree(warm_ckpt, ignore_errors=True)
         for i in range(args.repeat):
             for label, rocksdb in (("default", False), ("rocksdb", True)):
                 ckpt = os.path.join(workdir, f"ckpt_{n}_{label}_{i}")
-                wall = drain_once(spark, landing, ckpt, rocksdb)
+                wall = drain_once(spark, landing, ckpt, rocksdb,
+                                  watermark=watermark)
                 results.setdefault((n, label), []).append(wall)
                 size = state_bytes(ckpt)
                 sizes_on_disk[(n, label)] = size
