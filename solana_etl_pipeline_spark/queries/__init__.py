@@ -84,68 +84,16 @@ for _mod in (
 # (2) never-witnessed queries (first-witness priority), (3) queries
 # promoted via --promote (plan-changed this round: a rewritten plan
 # needs a fresh witness regardless of staleness — VERDICT r11 task 1),
-# (4) remaining witnessed queries stalest-first. The round-14 ordering
-# below is the tool's verbatim output at r13 HEAD:
-#     python tools/staleness.py --budget 173 \
-#         --promote llm_image_header_stats,llm_media_header_stats
-# The two header queries are promoted because their parsers changed
-# this round (output-type bounds + the mvhd own-end bounds fix —
-# UDF-internal, but the re-witness convention covers any
-# result-bearing code change); then the 23 r10-witnessed queries at
-# staleness 3 (which would hit the bound of 4 next round — VERDICT
-# r13 task 1 names all 23), then the staleness-2/1/0 blocks
-# stalest-first.
+# (4) remaining witnessed queries stalest-first. The round-15 ordering
+# below is the tool's verbatim output at r14 HEAD:
+#     python tools/staleness.py --budget 173
+# No --promote this round: no registry query's physical plan changed
+# (the round-15 code changes are streaming/session/tool surface —
+# state-store conf emission, soak determinism, churn cadence probe).
+# The head of the prefix is the 25 r11-witnessed queries at staleness
+# 3 that would hit the bound of 4 next round (VERDICT r14 task 1
+# names all 25), then the staleness-2/1/0 blocks stalest-first.
 _PRIORITY = (
-    "llm_image_header_stats",
-    "llm_media_header_stats",
-    "llm_semantic_dedup",
-    "agg_histogram_quantiles",
-    "funnel_conversion_steps",
-    "streaming_sliding_windows",
-    "sink_parquet_partitioned",
-    "sink_csv_roundtrip",
-    "sink_json_roundtrip",
-    "enrich_risk_grouped_map",
-    "enrich_http_lookup",
-    "udtf_word_chunks",
-    "pivot_event_values",
-    "llm_exact_dedup",
-    "llm_text_stats",
-    "llm_token_count",
-    "llm_quality_banding",
-    "llm_lang_id",
-    "llm_fingerprint",
-    "llm_ngram_jaccard",
-    "llm_cosine_topk",
-    "llm_multimodal_featurize",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "events_hourly_rollup",
-    "events_value_banding",
-    "events_pst_rendering",
-    "token_detail_view",
-    "join_left_semi",
-    "join_fact_revenue",
     "window_lag_delta",
     "window_running_sum",
     "window_rank_customers",
@@ -269,6 +217,56 @@ _PRIORITY = (
     "llm_domain_rollup",
     "llm_ivfpq_cosine_topk",
     "llm_nb_source_classifier",
+    "llm_image_header_stats",
+    "llm_media_header_stats",
+    "llm_semantic_dedup",
+    "agg_histogram_quantiles",
+    "funnel_conversion_steps",
+    "streaming_sliding_windows",
+    "sink_parquet_partitioned",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "enrich_risk_grouped_map",
+    "enrich_http_lookup",
+    "udtf_word_chunks",
+    "pivot_event_values",
+    "llm_exact_dedup",
+    "llm_text_stats",
+    "llm_token_count",
+    "llm_quality_banding",
+    "llm_lang_id",
+    "llm_fingerprint",
+    "llm_ngram_jaccard",
+    "llm_cosine_topk",
+    "llm_multimodal_featurize",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "events_hourly_rollup",
+    "events_value_banding",
+    "events_pst_rendering",
+    "token_detail_view",
+    "join_left_semi",
+    "join_fact_revenue",
 )
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
