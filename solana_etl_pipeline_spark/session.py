@@ -79,7 +79,9 @@ def rocksdb_state_store_confs(
     ``changelog_checkpointing=True`` uploads per-batch changelogs to
     the checkpoint instead of full RocksDB snapshots — at large state
     sizes the snapshot upload otherwise dominates micro-batch latency
-    (background snapshots still bound replay length).
+    (background snapshots still bound replay length). The conf is
+    emitted for BOTH values, so applying ``False`` on a session that
+    previously enabled it genuinely turns it off.
 
     ``max_memory_mb`` additionally CAPS RocksDB's native usage
     (block cache + memtables, shared across all state-store
@@ -101,12 +103,14 @@ def rocksdb_state_store_confs(
     confs = {
         "spark.sql.streaming.stateStore.providerClass":
             ROCKSDB_STATE_STORE_PROVIDER,
+        # Always emitted (never omitted-when-False): applying these
+        # confs to a session where changelog checkpointing was
+        # previously enabled must actually DISABLE it, not silently
+        # inherit the stale setting (ADVICE r14).
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled":
+            str(bool(changelog_checkpointing)).lower(),
     }
-    if changelog_checkpointing:
-        confs[
-            "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled"
-        ] = "true"
     if max_memory_mb is not None:
         confs[
             "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"

@@ -37,3 +37,30 @@ def test_java_probe_parses_this_boxes_jdk():
     session._java_major_version.cache_clear()
     major = session._java_major_version()
     assert major is not None and major >= 17
+
+
+_CHANGELOG_KEY = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
+def test_rocksdb_confs_emit_changelog_key_for_both_values():
+    # The False case must EMIT "false", not omit the key: applying the
+    # returned confs to a session where changelog checkpointing was
+    # previously enabled has to actually disable it (ADVICE r14).
+    on = session.rocksdb_state_store_confs(changelog_checkpointing=True)
+    off = session.rocksdb_state_store_confs(changelog_checkpointing=False)
+    assert on[_CHANGELOG_KEY] == "true"
+    assert off[_CHANGELOG_KEY] == "false"
+    for confs in (on, off):
+        assert (
+            confs["spark.sql.streaming.stateStore.providerClass"]
+            == session.ROCKSDB_STATE_STORE_PROVIDER
+        )
+    # Bounded-memory knobs only appear when a cap is requested.
+    assert not any("MemoryUsage" in k for k in on)
+    capped = session.rocksdb_state_store_confs(max_memory_mb=256)
+    assert (
+        capped["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"]
+        == "256"
+    )

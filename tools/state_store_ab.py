@@ -160,6 +160,15 @@ def state_bytes(ckpt: str) -> int:
     return total
 
 
+def _size_span(sizes: "list[int]") -> str:
+    """Render per-run checkpoint bytes as MB — one number when all
+    runs agree (deterministic per (n, provider)), else min..max."""
+    lo, hi = min(sizes) / 1e6, max(sizes) / 1e6
+    if min(sizes) == max(sizes):
+        return f"{lo:.1f}"
+    return f"{lo:.1f}..{hi:.1f}"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="250000,1000000")
@@ -181,7 +190,10 @@ def main() -> None:
     spark = build_session(app_name="state-store-ab")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[tuple[int, str], list[float]] = {}
-    sizes_on_disk: dict[tuple[int, str], int] = {}
+    # Per-run, not last-run-wins: any per-run variance in checkpoint
+    # bytes (e.g. RocksDB snapshot-upload timing) must be visible in
+    # the summary instead of silently hidden (ADVICE r14).
+    sizes_on_disk: dict[tuple[int, str], list[int]] = {}
     for n in sizes:
         landing = os.path.join(workdir, f"landing_{n}")
         build_landing(spark, n, landing, args.files, args.span_hours)
@@ -201,7 +213,7 @@ def main() -> None:
                                   watermark=watermark)
                 results.setdefault((n, label), []).append(wall)
                 size = state_bytes(ckpt)
-                sizes_on_disk[(n, label)] = size
+                sizes_on_disk.setdefault((n, label), []).append(size)
                 print(
                     f"{label} ({n}) run {i + 1}/{args.repeat}: "
                     f"{wall:.1f}s  state={size / 1e6:.1f}MB",
@@ -217,8 +229,8 @@ def main() -> None:
             f"n={n}: default min {min(d):.1f}s (all {[f'{x:.1f}' for x in d]})"
             f"  rocksdb min {min(r):.1f}s (all {[f'{x:.1f}' for x in r]})"
             f"  ratio {min(r) / min(d):.3f}"
-            f"  state {sizes_on_disk[(n, 'default')] / 1e6:.1f}"
-            f"/{sizes_on_disk[(n, 'rocksdb')] / 1e6:.1f}MB",
+            f"  state {_size_span(sizes_on_disk[(n, 'default')])}"
+            f"/{_size_span(sizes_on_disk[(n, 'rocksdb')])}MB",
             flush=True,
         )
     if len(sizes) >= 2:
