@@ -186,8 +186,21 @@ def dispatch_and_flatten(raw: DataFrame, json_col: str = "raw") -> DataFrame:
     )
 
 
-def normalize_websocket_messages(raw: DataFrame, json_col: str = "raw") -> DataFrame:
+def normalize_websocket_messages(
+    raw: DataFrame,
+    json_col: str = "raw",
+    keep_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
     """Websocket landing messages → the same 15-column table.
+
+    ``keep_cols`` passes named INPUT columns through the projection
+    unchanged (appended after the 15 canonical columns). The silver
+    dedup stage needs this for ingest-time stamps derived from
+    arrival metadata (e.g. the landing file's ``_metadata`` — see
+    tests/test_pipeline.py::test_pipeline_exactly_once_event_time):
+    such a stamp cannot be reconstructed after the projection, and it
+    must NOT be embedded in the payload because the content-derived
+    signature below would then split redeliveries into distinct keys.
 
     The reference pads the 10 missing columns with ``""``/0 constants
     (``clean_data.py:210-226``, P4); ``unionByName(allowMissingColumns)``
@@ -222,4 +235,5 @@ def normalize_websocket_messages(raw: DataFrame, json_col: str = "raw") -> DataF
         m["solAmount"].try_cast("double").alias("token_amount"),
         _s(m["mint"]).alias("mint"),
         F.lit("").alias("token_standard"),
+        *[F.col(c) for c in keep_cols],
     )

@@ -463,3 +463,154 @@ def test_full_pipeline_soak(spark, tmp_path):
         for q in spark.streams.active:
             q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_pipeline_exactly_once_event_time_deterministic(spark, tmp_path):
+    """The soak's redelivery-leak semantics, pinned WITHOUT wall-clock:
+    event time is a synthetic monotone stamp derived from the landing
+    file's arrival sequence (``_metadata.file_name``), watermark
+    horizons are crossed by DATA (a 100 s stamp jump), and the
+    file→micro-batch split is forced with ``maxFilesPerTrigger=1`` +
+    ``availableNow``. No ``current_timestamp()``, no ``sleep`` — a
+    scheduler stall cannot change the outcome, and every batch is
+    replayable (VERDICT r14 task 2; the wall-clock soak above stays as
+    the load exhibit).
+
+    Pins, in one deterministic scenario:
+
+    * the r14 HAZARD: the ts-appending ``deduplicated`` form leaks a
+      redelivery whenever the two copies carry different ingest
+      stamps (here: copies land in different files);
+    * the FIX: ``deduplicated_within_watermark`` drops the same
+      redelivery because the business keys match within the horizon;
+    * state eviction driven purely by event-time progress
+      (``numRowsRemoved > 0`` after the stamp jump);
+    * the horizon contract: a redelivery arriving AFTER its first
+      copy's state expired passes again (bounded state has a price);
+      note eviction runs at the END of a micro-batch, so the expired
+      key must be evicted by an earlier batch than the redelivery's;
+    * checkpoint restart: state survives a stop/start and still
+      dedups a within-horizon redelivery delivered post-restart.
+    """
+    from solana_etl_pipeline_spark.pipelines.normalize import (
+        normalize_websocket_messages,
+    )
+    from solana_etl_pipeline_spark.streaming.ingest import (
+        deduplicated,
+        deduplicated_within_watermark,
+    )
+    from tests.test_live_socket import _msg
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(offset_s: int, msgs: list[dict]) -> None:
+        # file name IS the arrival stamp: a<seconds>.txt, zero-padded
+        # so lexicographic order == arrival order; mtime set to the
+        # offset so the file source's (mtime, path) ordering is pinned
+        path = landing / f"a{offset_s:05d}.txt"
+        path.write_text("\n".join(json.dumps(m) for m in msgs) + "\n")
+        os.utime(path, (1_700_000_000 + offset_s, 1_700_000_000 + offset_s))
+
+    m = [_msg(i) for i in range(12)]
+    land(0, m[0:4])                 # M0..M3 first copies      @ t+0
+    land(2, m[0:4] + m[4:8])        # M0..M3 REDELIVERED (+2 s,
+    #                                 inside the 5 s horizon) + M4..M7
+    land(100, m[8:10])              # stamp jump: watermark crosses
+    #                                 every earlier key's horizon
+    land(101, [m[10]])              # one more batch: eviction runs at
+    #                                 the END of a batch, so expired
+    #                                 state is dropped here...
+    land(102, [m[0]])               # ...and M0's BEYOND-horizon
+    #                                 redelivery passes in the next
+
+    base_epoch = 1_750_000_000
+
+    def stream(dedup_fn):
+        raw = (
+            spark.readStream.option("maxFilesPerTrigger", "1")
+            .text(str(landing))
+            .withColumn(
+                "ingest_ts",
+                F.timestamp_seconds(
+                    F.lit(base_epoch)
+                    + F.regexp_extract(
+                        F.col("_metadata.file_name"), r"a(\d+)", 1
+                    ).cast("long")
+                ),
+            )
+        )
+        silver = normalize_websocket_messages(
+            raw, json_col="value", keep_cols=("ingest_ts",)
+        )
+        return dedup_fn(
+            silver, keys=["mint", "signature"], ts_col="ingest_ts",
+            watermark="5 seconds",
+        ).drop("ingest_ts")
+
+    def drain(dedup_fn, name: str):
+        out = str(tmp_path / f"out_{name}")
+        q = (
+            stream(dedup_fn)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ops = [
+            op
+            for p in q.recentProgress if p
+            for op in (p.get("stateOperators") or [])
+        ]
+        return spark.read.parquet(out), ops
+
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        fixed, ops = drain(deduplicated_within_watermark, "fix")
+        per_mint = {
+            r["mint"]: r["n"]
+            for r in fixed.groupBy("mint").agg(F.count("*").alias("n")).collect()
+        }
+        # M0 appears twice — once at t+0, once at t+102 AFTER its state
+        # expired (horizon contract); every other mint exactly once.
+        assert per_mint == {**{f"MINT{i}": 1 for i in range(1, 11)}, "MINT0": 2}
+        # eviction happened on event-time progress alone
+        assert sum(op.get("numRowsRemoved", 0) for op in ops) > 0
+
+        # the HAZARD, batch-replayably: ts-appended keys split the
+        # within-horizon redelivery (different stamp => different key),
+        # leaking exactly the four t+2 copies of M0..M3
+        leaked, _ = drain(deduplicated, "hazard")
+        hazard_per_mint = {
+            r["mint"]: r["n"]
+            for r in leaked.groupBy("mint").agg(F.count("*").alias("n")).collect()
+        }
+        assert hazard_per_mint == {
+            **{f"MINT{i}": 1 for i in range(4, 11)},
+            **{f"MINT{i}": 2 for i in range(1, 4)},  # t+0 and leaked t+2
+            "MINT0": 3,  # t+0, leaked t+2, post-horizon t+102
+        }
+
+        # restart from the checkpoint: M8's state (stamped t+100) is
+        # restored, so its t+103 redelivery is dropped; M11 is new
+        land(103, [m[8], m[11]])
+        restarted, _ = drain(deduplicated_within_watermark, "fix")
+        per_mint2 = {
+            r["mint"]: r["n"]
+            for r in restarted.groupBy("mint").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_mint2 == {**per_mint, "MINT11": 1}
+        # exactly-once on the business keys modulo the one documented
+        # post-horizon readmission
+        dupes = (
+            restarted.groupBy("mint", "signature")
+            .count().filter("count > 1").collect()
+        )
+        assert [(r["mint"], r["count"]) for r in dupes] == [("MINT0", 2)]
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
