@@ -65,6 +65,7 @@ ROCKSDB_STATE_STORE_PROVIDER = (
 def rocksdb_state_store_confs(
     changelog_checkpointing: bool = True,
     max_memory_mb: int | None = None,
+    snapshot_cadence: int | None = None,
 ) -> dict[str, str]:
     """SQL confs selecting the RocksDB streaming state store.
 
@@ -93,6 +94,34 @@ def rocksdb_state_store_confs(
     JVM. Left off by default: the right number is a deployment
     decision (state size × executor density), not an engine one.
 
+    ``snapshot_cadence`` sets ``spark.sql.streaming.stateStore.
+    minDeltasForSnapshot`` (build default 10): with changelog
+    checkpointing on, the maintenance thread uploads a full snapshot
+    only every N versions, and a restart replays up to N changelogs
+    on top of the latest snapshot. None leaves the build default.
+
+    **Checkpoint-bytes capacity guidance** (measured at the 4 M-event
+    churn point, 24 micro-batches, ``tools/state_store_cadence.py``,
+    log ``tools/logs/state_store_cadence_r15.log``, 2026-08-16):
+    within the retention window (``minBatchesToRetain``, default 100
+    versions) checkpoint bytes decompose as
+
+    * changelogs: per-batch inserts AND evictions — under churn the
+      eviction tombstones ~double changelog volume vs grow-only state
+      (r14 churn A/B); 106.5 MB here, identical across cadences;
+    * snapshots: a full copy of live state every ``cadence`` versions
+      — 208 MB at cadence 2, 100 MB at the default 10, zero at
+      changelog-only (cadence > versions retained).
+
+    So MORE frequent snapshots cost checkpoint storage (319 vs 208 vs
+    107 MB total) and buy restart latency: replay length 1 / 5 / 25
+    changelogs, restart batch 1.9 / 1.9 / 3.0 s. The build default 10
+    was the balanced point; raise it only if checkpoint storage (not
+    executor memory) is the binding constraint and the recovery SLO
+    tolerates ``cadence × changelog-replay`` on restore. Budget
+    checkpoint capacity as ``retained_versions × churn_bytes_per_batch
+    + (retained_versions / cadence) × live_state_bytes``.
+
     Both confs are runtime-settable (``spark.conf.set``) and are read
     at streaming-query start, so an existing session can opt in
     per-query; keep the provider consistent across restarts of the
@@ -118,6 +147,10 @@ def rocksdb_state_store_confs(
         confs[
             "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"
         ] = str(max_memory_mb)
+    if snapshot_cadence is not None:
+        confs[
+            "spark.sql.streaming.stateStore.minDeltasForSnapshot"
+        ] = str(snapshot_cadence)
     return confs
 
 

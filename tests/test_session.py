@@ -64,3 +64,15 @@ def test_rocksdb_confs_emit_changelog_key_for_both_values():
         capped["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"]
         == "256"
     )
+
+
+def test_rocksdb_confs_snapshot_cadence():
+    confs = session.rocksdb_state_store_confs(snapshot_cadence=25)
+    assert (
+        confs["spark.sql.streaming.stateStore.minDeltasForSnapshot"] == "25"
+    )
+    # None leaves the build default untouched (key absent)
+    assert not any(
+        "minDeltasForSnapshot" in k
+        for k in session.rocksdb_state_store_confs()
+    )
