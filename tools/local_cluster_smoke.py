@@ -175,6 +175,104 @@ def _run_stateful(spark, work_dir: str, rocksdb: bool) -> list[tuple]:
     return _canonical(sink.select("event_id", "user_id", "ts", "value"))
 
 
+def _run_evicting(spark, work_dir: str, rocksdb: bool) -> list[tuple]:
+    """Churn shape in real executor JVMs: the watermark advances file
+    by file (event times an hour apart, 30-minute horizon,
+    ``maxFilesPerTrigger=1``), so dedup state is inserted AND EVICTED
+    inside the executor processes — with ``rocksdb=True`` the eviction
+    tombstones flow through rocksdbjni into per-batch changelogs.
+    The r14 A/B measured this path only driver-embedded (VERDICT r14
+    task 7). Asserts from the query's own progress metrics that
+    eviction ran and shrank live state (final < peak, removed > 0);
+    for the RocksDB leg, that changelog artifacts exist in the
+    checkpoint (and no ``.delta`` — the provider engaged). Returns
+    canonical sink rows for cross-mode comparison: all duplicates are
+    within-horizon, so output is eviction-timing-independent.
+    """
+    from solana_etl_pipeline_spark.schemas import EVENTS
+    from solana_etl_pipeline_spark.streaming.ingest import (
+        deduplicated,
+        landing_stream,
+    )
+
+    landing = os.path.join(work_dir, "landing")
+    os.makedirs(landing)
+    ckpt = os.path.join(work_dir, "ckpt")
+    out = os.path.join(work_dir, "out")
+
+    def event(eid, uid, hour, minute):
+        return {
+            "event_id": eid, "user_id": uid, "event_type": "purchase",
+            "value": 1.0, "props": "{}",
+            "ts": f"2024-01-01T{hour:02d}:{minute:02d}:00.000Z",
+        }
+
+    now = time.time()
+    for h in range(4):
+        rows = [event(10 * h + i, 7, h, 5 * i) for i in range(3)]
+        if h == 1:
+            rows.append(event(0, 7, 0, 0))  # within-horizon replay
+        path = os.path.join(landing, f"e{h}.json")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(path, (now - 40 + 10 * h,) * 2)
+
+    if rocksdb:
+        for k, v in rocksdb_state_store_confs().items():
+            spark.conf.set(k, v)
+    stream = landing_stream(spark, landing, EVENTS, max_files_per_trigger=1)
+    query = (
+        deduplicated(stream, ["user_id", "event_id"],
+                     watermark="30 minutes")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    if query.exception():
+        raise query.exception()
+    ops = [
+        op
+        for p in query.recentProgress if p
+        for op in (p.get("stateOperators") or [])
+        if op.get("numRowsTotal") is not None
+    ]
+    if not ops:
+        raise AssertionError("evicting run produced no state metrics")
+    peak = max(op["numRowsTotal"] for op in ops)
+    final = ops[-1]["numRowsTotal"]
+    removed = sum(op.get("numRowsRemoved", 0) for op in ops)
+    if removed <= 0 or final >= peak:
+        raise AssertionError(
+            f"watermark eviction did not run in this mode: "
+            f"peak={peak} final={final} removed={removed}"
+        )
+    print(
+        f"  eviction metrics: peak={peak} final={final} removed={removed}"
+    )
+    if rocksdb:
+        changelogs = glob.glob(
+            os.path.join(ckpt, "state", "**", "*.changelog"), recursive=True
+        )
+        deltas = glob.glob(
+            os.path.join(ckpt, "state", "**", "*.delta"), recursive=True
+        )
+        if not changelogs or deltas:
+            raise AssertionError(
+                f"rocksdb changelog artifacts wrong: "
+                f"{len(changelogs)} changelogs, {len(deltas)} deltas"
+            )
+    sink = spark.read.parquet(out)
+    keys = sorted(r.event_id for r in sink.collect())
+    if keys != sorted({10 * h + i for h in range(4) for i in range(3)}):
+        raise AssertionError(f"evicting run wrong keys: {keys}")
+    return _canonical(sink.select("event_id", "user_id", "ts", "value"))
+
+
 def _run_queries(spark, sf_dir: str) -> dict[str, list[tuple]]:
     from solana_etl_pipeline_spark.queries import QUERIES
 
@@ -237,6 +335,15 @@ def main(argv: list[str] | None = None) -> int:
             f"stateful dedup+restart (rocksdb): "
             f"{len(cluster_stateful)} rows on local-cluster"
         )
+        # Churn/eviction path in the executor JVMs (VERDICT r14
+        # task 7): watermark-driven state eviction, tombstones into
+        # RocksDB changelogs.
+        with tempfile.TemporaryDirectory() as wd:
+            cluster_evicting = _run_evicting(spark, wd, rocksdb=True)
+        print(
+            f"evicting dedup (rocksdb): "
+            f"{len(cluster_evicting)} rows on local-cluster"
+        )
     finally:
         spark.stop()
 
@@ -256,6 +363,8 @@ def main(argv: list[str] | None = None) -> int:
         # provider (heap vs RocksDB).
         with tempfile.TemporaryDirectory() as wd:
             local_stateful = _run_stateful(spark, wd, rocksdb=False)
+        with tempfile.TemporaryDirectory() as wd:
+            local_evicting = _run_evicting(spark, wd, rocksdb=False)
     finally:
         spark.stop()
 
@@ -266,6 +375,14 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"FAIL: stateful dedup diverges across modes "
             f"({cluster_stateful} vs {local_stateful})"
+        )
+        rc = 1
+    if cluster_evicting == local_evicting:
+        print("evicting dedup: local-cluster/rocksdb == local/default  OK")
+    else:
+        print(
+            f"FAIL: evicting dedup diverges across modes "
+            f"({cluster_evicting} vs {local_evicting})"
         )
         rc = 1
     for name in SMOKE_QUERIES:
