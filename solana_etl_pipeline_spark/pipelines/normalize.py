@@ -197,7 +197,7 @@ def normalize_websocket_messages(
     unchanged (appended after the 15 canonical columns). The silver
     dedup stage needs this for ingest-time stamps derived from
     arrival metadata (e.g. the landing file's ``_metadata`` — see
-    tests/test_pipeline.py::test_pipeline_exactly_once_event_time):
+    tests/test_pipeline.py::test_pipeline_exactly_once_event_time_deterministic):
     such a stamp cannot be reconstructed after the projection, and it
     must NOT be embedded in the payload because the content-derived
     signature below would then split redeliveries into distinct keys.

@@ -110,13 +110,15 @@ def rocksdb_state_store_confs(
       eviction tombstones ~double changelog volume vs grow-only state
       (r14 churn A/B); 106.5 MB here, identical across cadences;
     * snapshots: a full copy of live state every ``cadence`` versions
-      — 208 MB at cadence 2, 100 MB at the default 10, zero at
+      — 246 MB at cadence 2, 100 MB at the default 10, zero at
       changelog-only (cadence > versions retained).
 
-    So MORE frequent snapshots cost checkpoint storage (319 vs 208 vs
+    So MORE frequent snapshots cost checkpoint storage (357 vs 208 vs
     107 MB total) and buy restart latency: replay length 1 / 5 / 25
-    changelogs, restart batch 1.9 / 1.9 / 3.0 s. The build default 10
-    was the balanced point; raise it only if checkpoint storage (not
+    changelogs, restart batch 2.5 / 2.4 / 3.7 s (a real first batch:
+    snapshot load + changelog replay + fresh-key inserts). The build
+    default 10 was the balanced point; raise it only if checkpoint
+    storage (not
     executor memory) is the binding constraint and the recovery SLO
     tolerates ``cadence × changelog-replay`` on restore. Budget
     checkpoint capacity as ``retained_versions × churn_bytes_per_batch

@@ -559,7 +559,9 @@ def test_pipeline_exactly_once_event_time_deterministic(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError(f"drain({name}) exceeded 300s")
         ops = [
             op
             for p in q.recentProgress if p

@@ -112,25 +112,18 @@ def build_landing(
         os.utime(path, (now - len(parts) + i,) * 2)
 
 
-def drain_once(
+def drain_available_now(
     spark,
     landing_dir: str,
     ckpt: str,
-    rocksdb: bool,
     watermark: str = "2 hours",
 ) -> float:
-    """One cold availableNow drain (fresh checkpoint): returns wall
-    seconds for all micro-batches, state built from empty."""
-    confs = (
-        rocksdb_state_store_confs()
-        if rocksdb
-        else {
-            "spark.sql.streaming.stateStore.providerClass":
-                _DEFAULT_PROVIDER,
-        }
-    )
-    for k, v in confs.items():
-        spark.conf.set(k, v)
+    """One availableNow drain of the landing dir through the engine's
+    ``landing_stream → deduplicated`` path to a noop sink, using
+    whatever state-store confs are already on the session. Returns
+    wall seconds for all micro-batches. Shared by the provider A/B
+    (below) and the snapshot-cadence probe
+    (``tools/state_store_cadence.py``)."""
     stream = landing_stream(spark, landing_dir, EVENTS, max_files_per_trigger=1)
     deduped = deduplicated(
         stream, ["user_id", "event_id"], watermark=watermark
@@ -147,6 +140,28 @@ def drain_once(
     if query.exception():
         raise query.exception()
     return time.perf_counter() - t0
+
+
+def drain_once(
+    spark,
+    landing_dir: str,
+    ckpt: str,
+    rocksdb: bool,
+    watermark: str = "2 hours",
+) -> float:
+    """One cold availableNow drain (fresh checkpoint) under the given
+    provider: returns wall seconds, state built from empty."""
+    confs = (
+        rocksdb_state_store_confs()
+        if rocksdb
+        else {
+            "spark.sql.streaming.stateStore.providerClass":
+                _DEFAULT_PROVIDER,
+        }
+    )
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return drain_available_now(spark, landing_dir, ckpt, watermark)
 
 
 def state_bytes(ckpt: str) -> int:

@@ -15,9 +15,11 @@ newer changelog. So the cadence sets three coupled costs:
 
 This probe measures all three at the churn shape, per cadence, in one
 session: a cold availableNow drain over F files (= F micro-batches,
-each inserting AND evicting keys), then ONE more landing file and a
-restart drain — the restart wall time includes the snapshot load +
-changelog replay, which is the latency a recovering executor pays.
+each inserting AND evicting keys), then ONE more landing file of
+fresh keys stamped past the drained span and a restart drain — the
+restart wall time includes the snapshot load + changelog replay AND
+the batch's real state lookups/inserts, the latency a recovering
+executor pays for its first batch.
 
 The maintenance interval is dropped to 2 s (default 60 s) so snapshot
 uploads actually happen inside a short probe window; at production
@@ -48,16 +50,16 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-from solana_etl_pipeline_spark.schemas import EVENTS  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from solana_etl_pipeline_spark.session import (  # noqa: E402
     build_session,
     rocksdb_state_store_confs,
 )
-from solana_etl_pipeline_spark.streaming.ingest import (  # noqa: E402
-    deduplicated,
-    landing_stream,
+from tools.state_store_ab import (  # noqa: E402
+    build_landing,
+    drain_available_now,
 )
-from tools.state_store_ab import build_landing  # noqa: E402
 
 _VERSIONED = re.compile(r"^(\d+)\.(changelog|zip|delta|snapshot)$")
 
@@ -100,25 +102,27 @@ def checkpoint_breakdown(ckpt: str) -> dict:
     }
 
 
-def drain(spark, landing_dir: str, ckpt: str, watermark: str) -> float:
-    stream = landing_stream(
-        spark, landing_dir, EVENTS, max_files_per_trigger=1
+def build_restart_file(
+    spark, n: int, out_dir: str, start_epoch: int, span_s: float
+) -> None:
+    """One landing file of FRESH keys with event times starting at
+    ``start_epoch`` — i.e. after the drained span. Event time matters,
+    not just arrival mtime: the restored watermark is (span end - the
+    1-hour horizon), so events re-stamped inside the span would be
+    late-dropped before touching the state store and the restart batch
+    would measure replay only, never a recovering executor's real
+    lookup+insert work."""
+    df = spark.range(n).coalesce(1).select(
+        (F.lit(10_000_000_000) + F.col("id")).alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(start_epoch) + F.col("id") * F.lit(span_s / n)
+        ).alias("ts"),
+        (F.col("id") % 9973).alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
     )
-    deduped = deduplicated(
-        stream, ["user_id", "event_id"], watermark=watermark
-    )
-    t0 = time.perf_counter()
-    query = (
-        deduped.writeStream.format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    if query.exception():
-        raise query.exception()
-    return time.perf_counter() - t0
+    df.write.mode("overwrite").json(out_dir)
 
 
 def main() -> None:
@@ -132,10 +136,21 @@ def main() -> None:
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
     cadences = [int(c) for c in args.cadences.split(",")]
+    made_tmp = args.workdir is None
     workdir = args.workdir or tempfile.mkdtemp(prefix="state_cadence_")
 
     spark = build_session(app_name="state-store-cadence")
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        _run(spark, args, cadences, workdir)
+    finally:
+        spark.stop()
+        if made_tmp:
+            # a user-supplied --workdir is kept for inspection
+            shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _run(spark, args, cadences, workdir: str) -> None:
     for k, v in rocksdb_state_store_confs().items():
         spark.conf.set(k, v)
     # default 60 s would let a short availableNow run finish before a
@@ -149,13 +164,18 @@ def main() -> None:
     landing = os.path.join(workdir, "landing")
     build_landing(spark, args.n, landing, args.files, args.span_hours)
     extra = os.path.join(workdir, "landing_extra")
-    # the restart batch: same churn stream, one more file of events
-    # landing AFTER the drained span (admitted newest via mtime)
-    build_landing(spark, args.n // args.files, extra, 1, args.span_hours / args.files)
+    # the restart batch: fresh keys stamped just past the drained span
+    # (arrival mtime AND event time after it — late rows would bypass
+    # the state store entirely)
+    build_restart_file(
+        spark, args.n // args.files, extra,
+        start_epoch=1704067200 + int(args.span_hours * 3600),
+        span_s=args.span_hours * 3600 / args.files,
+    )
 
     # untimed warm-up (JIT, rocksdbjni load, file-source listing)
     warm = os.path.join(workdir, "ckpt_warm")
-    drain(spark, landing, warm, watermark="1 hour")
+    drain_available_now(spark, landing, warm, watermark="1 hour")
     shutil.rmtree(warm, ignore_errors=True)
 
     for cadence in cadences:
@@ -164,20 +184,23 @@ def main() -> None:
             str(cadence),
         )
         ckpt = os.path.join(workdir, f"ckpt_c{cadence}")
-        wall = drain(spark, landing, ckpt, watermark="1 hour")
+        wall = drain_available_now(spark, landing, ckpt, watermark="1 hour")
         # let the maintenance thread finish any in-flight snapshot
         # upload before sizing the checkpoint
         time.sleep(4.0)
         pre = checkpoint_breakdown(ckpt)
         # restart: copy the extra file into the landing dir so the
         # SAME source path gains one new file; the new query must
-        # load the snapshot + replay changelogs before its one batch
+        # load the snapshot + replay changelogs, then do the batch's
+        # real state lookups/inserts
         for f in os.listdir(extra):
             if f.endswith(".json"):
                 dst = os.path.join(landing, f"extra_{f}")
                 shutil.copy(os.path.join(extra, f), dst)
                 os.utime(dst, (time.time(),) * 2)
-        restart_wall = drain(spark, landing, ckpt, watermark="1 hour")
+        restart_wall = drain_available_now(
+            spark, landing, ckpt, watermark="1 hour"
+        )
         for f in os.listdir(landing):
             if f.startswith("extra_"):
                 os.remove(os.path.join(landing, f))
@@ -196,9 +219,6 @@ def main() -> None:
             flush=True,
         )
         shutil.rmtree(ckpt, ignore_errors=True)
-
-    shutil.rmtree(workdir, ignore_errors=True)
-    spark.stop()
 
 
 if __name__ == "__main__":
