@@ -118,11 +118,16 @@ def rocksdb_state_store_confs(
     changelogs, restart batch 2.5 / 2.4 / 3.7 s (a real first batch:
     snapshot load + changelog replay + fresh-key inserts). The build
     default 10 was the balanced point; raise it only if checkpoint
-    storage (not
-    executor memory) is the binding constraint and the recovery SLO
-    tolerates ``cadence × changelog-replay`` on restore. Budget
-    checkpoint capacity as ``retained_versions × churn_bytes_per_batch
-    + (retained_versions / cadence) × live_state_bytes``.
+    storage (not executor memory) is the binding constraint and the
+    recovery SLO tolerates ``cadence × changelog-replay`` on restore.
+    Budget checkpoint capacity as ``retained_versions ×
+    churn_bytes_per_batch + (retained_versions / cadence) ×
+    live_state_bytes``, where ``retained_versions`` is
+    ``spark.sql.streaming.minBatchesToRetain`` (default 100), NOT run
+    length: maintenance cleanup purging versions older than
+    (newest − retain) is verified by the probe's ``--retain`` mode
+    (60-batch run, retain 8 → versions 50..61 on disk, bytes
+    plateaued; same log).
 
     Both confs are runtime-settable (``spark.conf.set``) and are read
     at streaming-query start, so an existing session can opt in

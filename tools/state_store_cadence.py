@@ -76,6 +76,7 @@ def checkpoint_breakdown(ckpt: str) -> dict:
     bytes_by_ext: dict[str, int] = defaultdict(int)
     count_by_ext: dict[str, int] = defaultdict(int)
     newest: dict[str, int] = defaultdict(int)
+    oldest: dict[str, int] = {}
     newest_snap: dict[str, int] = defaultdict(int)
     for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
         for f in files:
@@ -91,6 +92,7 @@ def checkpoint_breakdown(ckpt: str) -> dict:
             if m:
                 v = int(m.group(1))
                 newest[root] = max(newest[root], v)
+                oldest[root] = min(oldest.get(root, v), v)
                 if m.group(2) in ("zip", "snapshot"):
                     newest_snap[root] = max(newest_snap[root], v)
     replay = [newest[r] - newest_snap.get(r, 0) for r in newest]
@@ -99,6 +101,8 @@ def checkpoint_breakdown(ckpt: str) -> dict:
         "counts": dict(count_by_ext),
         "replay_max": max(replay, default=0),
         "replay_mean": sum(replay) / len(replay) if replay else 0.0,
+        "newest_version": max(newest.values(), default=0),
+        "oldest_version": min(oldest.values(), default=0),
     }
 
 
@@ -133,6 +137,13 @@ def main() -> None:
                     help="minDeltasForSnapshot values; 1000 ~= "
                     "changelog-only (no snapshot inside the run)")
     ap.add_argument("--span-hours", type=float, default=4.0)
+    ap.add_argument("--retain", type=int, default=None,
+                    help="set spark.sql.streaming.minBatchesToRetain "
+                    "(build default 100): with --files well past it, "
+                    "verifies maintenance cleanup PURGES versions "
+                    "older than (newest - retain) so checkpoint bytes "
+                    "plateau instead of growing with run length — the "
+                    "retained_versions term of the capacity formula")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
     cadences = [int(c) for c in args.cadences.split(",")]
@@ -157,8 +168,13 @@ def _run(spark, args, cadences, workdir: str) -> None:
     # single maintenance pass; 2 s makes the VERSION cadence the only
     # variable under test
     spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "2s")
+    if args.retain is not None:
+        spark.conf.set(
+            "spark.sql.streaming.minBatchesToRetain", str(args.retain)
+        )
     print(f"probe: n={args.n} files={args.files} span={args.span_hours}h "
-          f"cadences={cadences} (churn shape, rocksdb+changelog)",
+          f"cadences={cadences} retain={args.retain} "
+          f"(churn shape, rocksdb+changelog)",
           flush=True)
 
     landing = os.path.join(workdir, "landing")
@@ -215,7 +231,9 @@ def _run(spark, args, cadences, workdir: str) -> None:
             f"state {sum(mb.values()):.1f}MB ({parts})  "
             f"replay max={pre['replay_max']} mean={pre['replay_mean']:.1f}  "
             f"restart-batch {restart_wall:.1f}s "
-            f"(post-restart replay max={post['replay_max']})",
+            f"(post-restart replay max={post['replay_max']})  "
+            f"versions retained {pre['oldest_version']}"
+            f"..{pre['newest_version']}",
             flush=True,
         )
         shutil.rmtree(ckpt, ignore_errors=True)
