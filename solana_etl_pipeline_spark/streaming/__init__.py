@@ -7,6 +7,7 @@ checkpointed streaming queries; see ``ingest`` for the mapping.
 
 from solana_etl_pipeline_spark.streaming.ingest import (
     deduplicated,
+    deduplicated_within_watermark,
     hourly_window_counts,
     landing_stream,
     run_available_now,
@@ -14,10 +15,12 @@ from solana_etl_pipeline_spark.streaming.ingest import (
     session_window_counts,
     sliding_window_counts,
     stateful_running_totals,
+    stateful_running_totals_tws,
 )
 
 __all__ = [
     "deduplicated",
+    "deduplicated_within_watermark",
     "hourly_window_counts",
     "landing_stream",
     "run_available_now",
@@ -25,4 +28,5 @@ __all__ = [
     "session_window_counts",
     "sliding_window_counts",
     "stateful_running_totals",
+    "stateful_running_totals_tws",
 ]
