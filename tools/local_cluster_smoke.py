@@ -270,6 +270,17 @@ def _run_evicting(spark, work_dir: str, rocksdb: bool) -> list[tuple]:
     keys = sorted(r.event_id for r in sink.collect())
     if keys != sorted({10 * h + i for h in range(4) for i in range(3)}):
         raise AssertionError(f"evicting run wrong keys: {keys}")
+    # the state data source reads the SAME checkpoint batch-side (ops
+    # surface over executor-written state): the live ledger after
+    # eviction is exactly the final hour's keys — matching the
+    # peak/final metrics asserted above
+    from solana_etl_pipeline_spark.sources import dedup_state_keys
+
+    live = {r.event_id for r in dedup_state_keys(spark, ckpt).collect()}
+    if live != {30, 31, 32}:
+        raise AssertionError(
+            f"state reader disagrees with eviction metrics: live={live}"
+        )
     return _canonical(sink.select("event_id", "user_id", "ts", "value"))
 
 
