@@ -197,3 +197,67 @@ def test_state_change_feed_shows_inserts_and_evictions(spark, tmp_path):
         for r in dedup_state_keys(spark, ckpt).collect()
     }
     assert live == {(8, 3), (8, 4)}
+
+
+def test_state_reader_join_buffers(spark, tmp_path):
+    """``join_side`` reads a stream-stream join's buffered state: the
+    left buffer holds the signups, the right the purchases — the
+    third state layout (after dedup keys and change feed) the ops
+    surface must handle."""
+    from solana_etl_pipeline_spark.streaming.ingest import (
+        stream_interval_join,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def _typed(eid, uid, ts, etype):
+        e = _event(eid, uid, ts)
+        e["event_type"] = etype
+        return e
+
+    _land(landing, "f1.json",
+          [_typed(1, 10, "2024-01-01T00:00:00.000Z", "signup"),
+           _typed(2, 11, "2024-01-01T00:00:00.000Z", "signup")], age=20)
+    _land(landing, "f2.json",
+          [_typed(3, 10, "2024-01-01T00:30:00.000Z", "purchase")], age=10)
+
+    def _side(etype, renames):
+        s = landing_stream(
+            spark, landing, EVENTS, max_files_per_trigger=1
+        ).filter(F.col("event_type") == etype)
+        return s.select(*[F.col(c).alias(a) for c, a in renames.items()])
+
+    joined = stream_interval_join(
+        _side("signup",
+              {"user_id": "user_id", "event_id": "signup_id", "ts": "ts"}),
+        _side("purchase",
+              {"user_id": "_r_user_id", "event_id": "purchase_id",
+               "ts": "p_ts"}),
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        within="1 hour",
+        watermark="2 hours",
+    ).select("user_id", "signup_id", "purchase_id")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    if q.exception():
+        raise q.exception()
+
+    md = read_state_metadata(spark, ckpt).collect()
+    assert any("join" in r.operatorName.lower() for r in md)
+
+    left = read_state_store(spark, ckpt, join_side="left")
+    right = read_state_store(spark, ckpt, join_side="right")
+    left_ids = {r["value"]["signup_id"] for r in left.collect()}
+    right_ids = {r["value"]["purchase_id"] for r in right.collect()}
+    assert left_ids == {1, 2}   # both signups buffered (watermark
+    #                             hasn't passed their interval yet)
+    assert right_ids == {3}
