@@ -24,6 +24,7 @@ of a ≤100-row display page — the driver never holds the working set.
 
 from __future__ import annotations
 
+import html
 import threading
 import time
 from collections.abc import Callable
@@ -76,6 +77,7 @@ class TTLCache:
         self._loaded_at: float | None = None
         self._retired = None
         self._loading = False
+        self._gen = 0  # bumped by invalidate(); loads install against it
         self._cond = threading.Condition(threading.Lock())
 
     def get(self, loader: Callable[[], object]):
@@ -97,6 +99,7 @@ class TTLCache:
                 # first-ever load in flight: nothing to serve, wait
                 self._cond.wait()
             self._loading = True
+            gen = self._gen
         try:
             value = loader()
         except BaseException:
@@ -108,7 +111,14 @@ class TTLCache:
             to_release = self._retired
             self._retired = self._value
             self._value = value
-            self._loaded_at = self.clock()
+            # An invalidate() that raced this load must not be
+            # swallowed: the loader may have read pre-invalidation
+            # inputs, so install the value (freshest available for
+            # stale-serving) but already expired — the next get()
+            # reloads instead of serving it as fresh for a full TTL.
+            self._loaded_at = (
+                self.clock() if self._gen == gen else float("-inf")
+            )
             self._loading = False
             self._cond.notify_all()
         if to_release is not None and self.releaser is not None:
@@ -116,8 +126,15 @@ class TTLCache:
         return value
 
     def invalidate(self) -> None:
+        """Force the next ``get`` to reload WITHOUT erasing presence:
+        ``_loaded_at`` becomes ``-inf`` (expired), not ``None``
+        (absent), so readers arriving while that reload is in flight
+        still take the serve-stale path instead of queueing behind
+        the loader — only the genuinely-first load ever blocks."""
         with self._cond:
-            self._loaded_at = None
+            self._gen += 1
+            if self._loaded_at is not None:
+                self._loaded_at = float("-inf")
 
 
 class Dashboard:
@@ -252,9 +269,16 @@ class Dashboard:
             if not rows:
                 return "<p>(empty)</p>"
             cols = list(rows[0])
-            head = "".join(f"<th>{c}</th>" for c in cols)
+            # Every cell is attacker-influenced (anyone can mint a
+            # token whose on-chain name is a <script> payload and it
+            # flows through silver into gold/recent) — escape it.
+            head = "".join(f"<th>{html.escape(str(c))}</th>" for c in cols)
             body = "".join(
-                "<tr>" + "".join(f"<td>{r[c]}</td>" for c in cols) + "</tr>"
+                "<tr>"
+                + "".join(
+                    f"<td>{html.escape(str(r[c]))}</td>" for c in cols
+                )
+                + "</tr>"
                 for r in rows
             )
             return f"<table><tr>{head}</tr>{body}</table>"
@@ -284,6 +308,14 @@ def serve_http(
             pass
 
         def do_GET(self):
+            # only the overview page exists; answering e.g.
+            # /favicon.ico with the full page would run the top-k +
+            # recent collects once more per browser refresh for
+            # output the client discards
+            if self.path.split("?", 1)[0] not in ("/", "/index.html"):
+                self.send_response(404)
+                self.end_headers()
+                return
             body = dashboard.overview_html(refresh_sec).encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
@@ -291,7 +323,5 @@ def serve_http(
             self.wfile.write(body)
 
     server = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
-    import threading
-
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server

@@ -84,6 +84,8 @@ def read_state_changes(
     end_batch_id: int | None = None,
     *,
     operator_id: int | None = None,
+    store_name: str | None = None,
+    join_side: str | None = None,
 ) -> DataFrame:
     """Change feed of a state store over a batch-id range:
     ``change_type`` (update/delete) per key per ``batch_id``.
@@ -103,6 +105,12 @@ def read_state_changes(
         reader = reader.option("changeEndBatchId", end_batch_id)
     if operator_id is not None:
         reader = reader.option("operatorId", operator_id)
+    # same store selectors as read_state_store — without them the
+    # change feed of a join buffer / non-default store is unreachable
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    if join_side is not None:
+        reader = reader.option("joinSide", join_side)
     return reader.load(checkpoint_dir)
 
 

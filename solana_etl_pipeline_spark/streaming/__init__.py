@@ -8,6 +8,7 @@ checkpointed streaming queries; see ``ingest`` for the mapping.
 from solana_etl_pipeline_spark.streaming.ingest import (
     deduplicated,
     deduplicated_within_watermark,
+    foreach_batch_refresh,
     hourly_window_counts,
     landing_stream,
     run_available_now,
@@ -16,11 +17,14 @@ from solana_etl_pipeline_spark.streaming.ingest import (
     sliding_window_counts,
     stateful_running_totals,
     stateful_running_totals_tws,
+    stream_interval_join,
+    with_observed_metrics,
 )
 
 __all__ = [
     "deduplicated",
     "deduplicated_within_watermark",
+    "foreach_batch_refresh",
     "hourly_window_counts",
     "landing_stream",
     "run_available_now",
@@ -29,4 +33,6 @@ __all__ = [
     "sliding_window_counts",
     "stateful_running_totals",
     "stateful_running_totals_tws",
+    "stream_interval_join",
+    "with_observed_metrics",
 ]

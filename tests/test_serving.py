@@ -4,6 +4,7 @@ HTTP refresh page)."""
 
 from __future__ import annotations
 
+import datetime
 import json
 import time
 import urllib.request
@@ -177,3 +178,128 @@ def test_ttl_cache_serves_stale_value_during_refresh():
         release_loader.set()
         refresher.join(timeout=30)
     assert cache.get(slow_loader) == "snap2"
+
+
+def test_ttl_cache_invalidate_keeps_serve_stale_path():
+    """invalidate() marks the snapshot expired WITHOUT erasing
+    presence: a reader arriving while the post-invalidate reload is
+    in flight is served the previous snapshot immediately — the old
+    ``_loaded_at = None`` form made every such reader block behind
+    the reload (review r15)."""
+    import threading
+
+    now = [0.0]
+    in_loader = threading.Event()
+    release_loader = threading.Event()
+    cache = TTLCache(ttl_sec=300.0, clock=lambda: now[0])
+    calls = [0]
+
+    def loader():
+        calls[0] += 1
+        if calls[0] > 1:
+            in_loader.set()
+            assert release_loader.wait(timeout=30)
+        return f"snap{calls[0]}"
+
+    assert cache.get(loader) == "snap1"
+    cache.invalidate()  # explicit refresh, NOT expiry
+
+    refresher = threading.Thread(target=cache.get, args=(loader,))
+    refresher.start()
+    try:
+        assert in_loader.wait(timeout=30)
+        t0 = time.monotonic()
+        assert cache.get(loader) == "snap1"  # stale served, no block
+        assert time.monotonic() - t0 < 5.0
+        assert calls[0] == 2
+    finally:
+        release_loader.set()
+        refresher.join(timeout=30)
+    assert cache.get(loader) == "snap2"
+
+
+def test_ttl_cache_invalidate_racing_load_is_not_lost():
+    """An invalidate() that lands while a load is in flight must not
+    be swallowed: the loader read pre-invalidation inputs, so its
+    result installs EXPIRED and the next get() reloads instead of
+    serving it as fresh for a full TTL (review r15)."""
+    import threading
+
+    now = [0.0]
+    in_loader = threading.Event()
+    release_loader = threading.Event()
+    cache = TTLCache(ttl_sec=300.0, clock=lambda: now[0])
+    calls = [0]
+
+    def loader():
+        calls[0] += 1
+        in_loader.set()
+        assert release_loader.wait(timeout=30)
+        in_loader.clear()
+        return f"snap{calls[0]}"
+
+    first = threading.Thread(target=cache.get, args=(loader,))
+    first.start()
+    try:
+        assert in_loader.wait(timeout=30)
+        cache.invalidate()  # lands mid-load
+    finally:
+        release_loader.set()
+        first.join(timeout=30)
+    # the raced load's value exists (stale-servable) but is NOT
+    # fresh: the next get reloads
+    release_loader.set()
+    assert cache.get(loader) == "snap2"
+    assert calls[0] == 2
+
+
+def test_overview_html_escapes_hostile_token_names(spark, tmp_path):
+    """Token names are attacker-controlled (anyone can mint a token
+    named ``<script>...``); the HTML overview must escape every cell
+    (review r15)."""
+    payload = "<script>alert(1)</script>"
+    silver = spark.createDataFrame(
+        [
+            Row(
+                description="", type="buy", source="websocket", fee=0,
+                fee_payer="", signature=f"s{i}", slot=0,
+                ts=datetime.datetime(2024, 1, 1, 0, i),
+                token_name=payload, token_symbol="X",
+                from_account="a", to_account="b", token_amount=1.0,
+                mint=f"mint{i}", token_standard="",
+            )
+            for i in range(3)
+        ]
+    )
+    path = str(tmp_path / "silver")
+    write_silver(silver, path, mode="overwrite")
+    dash = Dashboard(spark, path, working_set_rows=100)
+    page = dash.overview_html()
+    assert "<script>" not in page
+    assert "&lt;script&gt;alert(1)&lt;/script&gt;" in page
+
+
+def test_serve_http_404_for_non_root(spark, tmp_path):
+    """Only the overview page exists; /favicon.ico must not run the
+    full dashboard collects (review r15)."""
+    import urllib.error
+    import urllib.request
+
+    silver_path = _silver_fixture(spark, tmp_path)
+    dash = Dashboard(spark, silver_path, working_set_rows=1000)
+    server = serve_http(dash, port=0)
+    try:
+        host, port = server.server_address
+        page = urllib.request.urlopen(
+            f"http://{host}:{port}/", timeout=30
+        ).read().decode()
+        assert "Top 10 safest" in page
+        try:
+            urllib.request.urlopen(
+                f"http://{host}:{port}/favicon.ico", timeout=30
+            )
+            raise AssertionError("favicon.ico should 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
