@@ -126,10 +126,21 @@ async def websocket_connect(
     reader, writer = await asyncio.open_connection(u.hostname, port, ssl=ssl_ctx)
     try:
         key = base64.b64encode(os.urandom(16)).decode()
-        path = u.path or "/"
+        # keep the query string: the reference's endpoint family
+        # authenticates via `wss://host/?api-key=...` — dropping
+        # u.query turns every connect into a 401
+        path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+        # Host: bracket IPv6 literals (u.hostname strips the
+        # brackets), omit the default port (exact-match routing/SNI
+        # setups reject `example.com:443`)
+        hostname = u.hostname or ""
+        host = f"[{hostname}]" if ":" in hostname else hostname
+        default_port = 443 if u.scheme == "wss" else 80
+        if port != default_port:
+            host = f"{host}:{port}"
         request = (
             f"GET {path} HTTP/1.1\r\n"
-            f"Host: {u.hostname}:{port}\r\n"
+            f"Host: {host}\r\n"
             "Upgrade: websocket\r\n"
             "Connection: Upgrade\r\n"
             f"Sec-WebSocket-Key: {key}\r\n"
@@ -155,6 +166,10 @@ async def websocket_connect(
         # a reconnect-with-backoff loop would otherwise accumulate one
         # open socket per attempt until fd exhaustion
         writer.close()
+        try:
+            await writer.wait_closed()
+        except Exception:
+            pass  # teardown errors must not mask the handshake error
         raise
     return reader, writer
 
@@ -215,10 +230,25 @@ async def websocket_messages(
                 # appended to it and the joined garbage would kill the
                 # generator inside json.loads.
                 fragments = []
+            # a non-JSON text message (plain-text keepalive, relayed
+            # error page) must not kill the generator — skip it and
+            # keep the stream up; only parsed messages count toward
+            # max_messages
+            try:
+                message = json.loads(payload.decode())
+            except (UnicodeDecodeError, json.JSONDecodeError):
+                continue
             served += 1
-            yield json.loads(payload.decode())
+            yield message
     finally:
         writer.close()
+        try:
+            # complete TLS close_notify before the event loop goes
+            # away — close() alone only SCHEDULES teardown, producing
+            # "unclosed transport" noise and an abrupt RST under wss
+            await writer.wait_closed()
+        except Exception:
+            pass
 
 
 async def run_live_ingest(

@@ -30,6 +30,7 @@ Register + use::
 
 from __future__ import annotations
 
+import asyncio
 import json
 import os
 from collections.abc import AsyncIterator
@@ -42,9 +43,27 @@ from pyspark.sql.types import StructType
 
 
 class _ReplayStreamReader(SimpleDataSourceStreamReader):
-    """Offset = line number into the feed file. ``read`` serves at most
-    ``batch_size`` lines past the last offset; ``readBetweenOffsets``
-    re-serves a committed range verbatim on recovery (exactly-once)."""
+    """Offset = ``{"line": N, "pos": BYTES}`` into the feed file.
+    ``read`` serves at most ``batch_size`` parseable lines past the
+    last offset; ``readBetweenOffsets`` re-serves a committed range
+    verbatim on recovery (exactly-once).
+
+    Robustness contract (review r15):
+
+    * ``pos`` lets each batch ``seek`` straight to its start instead
+      of re-enumerating every previously-served line — without it a
+      long-running stream is O(n^2) in total lines. Offsets from
+      older checkpoints (no ``pos``) fall back to the line skip once,
+      then regain the byte offset.
+    * Blank or unparseable COMPLETE lines are skipped but consumed
+      (their bytes are immutable, so recovery replays the same skip)
+      — the previous behavior raised inside ``read`` and crash-looped
+      the query on the same offset forever.
+    * A torn TRAILING line (no newline yet — a live producer mid-
+      append) is NOT consumed: its content will change when the
+      append completes, so consuming it would make recovery replay
+      different rows than the original batch.
+    """
 
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
@@ -55,28 +74,59 @@ class _ReplayStreamReader(SimpleDataSourceStreamReader):
         self.fields = [f.name for f in schema.fields]
 
     def initialOffset(self) -> dict:
-        return {"line": 0}
+        return {"line": 0, "pos": 0}
 
-    def _read_lines(self, start: int, end: int | None):
-        rows = []
-        with open(self.path) as f:
-            for i, line in enumerate(f):
-                if i < start:
-                    continue
-                if end is not None and i >= end:
-                    break
-                if len(rows) >= self.batch_size and end is None:
-                    break
-                doc = json.loads(line)
-                rows.append(tuple(doc.get(c) for c in self.fields))
-        return rows, start + len(rows)
+    def _parse(self, line: bytes):
+        s = line.strip()
+        if not s:
+            return None
+        try:
+            doc = json.loads(s)
+        except json.JSONDecodeError:
+            return None
+        if not isinstance(doc, dict):
+            return None
+        return tuple(doc.get(c) for c in self.fields)
+
+    def _seek_to(self, f, start: dict) -> None:
+        pos = start.get("pos")
+        if pos is not None:
+            f.seek(pos)
+            return
+        for _ in range(start["line"]):  # pre-"pos" checkpoint offset
+            if not f.readline():
+                break
 
     def read(self, start: dict):
-        rows, next_line = self._read_lines(start["line"], None)
-        return iter(rows), {"line": next_line}
+        rows = []
+        line_no = start["line"]
+        with open(self.path, "rb") as f:
+            self._seek_to(f, start)
+            pos = f.tell()
+            while len(rows) < self.batch_size:
+                line = f.readline()
+                if not line or not line.endswith(b"\n"):
+                    break  # EOF or torn tail: next batch retries it
+                line_no += 1
+                pos = f.tell()
+                row = self._parse(line)
+                if row is not None:
+                    rows.append(row)
+        return iter(rows), {"line": line_no, "pos": pos}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        rows, _ = self._read_lines(start["line"], end["line"])
+        rows = []
+        line_no = start["line"]
+        with open(self.path, "rb") as f:
+            self._seek_to(f, start)
+            while line_no < end["line"]:
+                line = f.readline()
+                if not line:
+                    break
+                line_no += 1
+                row = self._parse(line)
+                if row is not None:
+                    rows.append(row)
         return iter(rows)
 
 
@@ -124,13 +174,19 @@ async def write_messages_to_landing(
                 start = max(start, int(name[plen:-5]) + 1)
             except ValueError:
                 continue
-    n = 0
-    async for msg in messages:
-        idx = start + n
+
+    def _write_one(idx: int, msg: dict) -> None:
         tmp = os.path.join(landing_dir, f".{prefix}-{idx:012d}.json.tmp")
         final = os.path.join(landing_dir, f"{prefix}-{idx:012d}.json")
         with open(tmp, "w") as f:
             json.dump(msg, f)
         os.rename(tmp, final)  # atomic: readers never see partial files
+
+    n = 0
+    async for msg in messages:
+        # off the event loop: a disk stall inside a synchronous write
+        # would otherwise block ping/pong servicing and get the socket
+        # dropped by heartbeat-enforcing servers (review r15)
+        await asyncio.to_thread(_write_one, start + n, msg)
         n += 1
     return n

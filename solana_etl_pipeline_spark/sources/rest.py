@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 from collections.abc import Callable, Iterable
 
@@ -98,9 +99,11 @@ def http_json_fetcher(
     - ``url_template`` is formatted with ``{key}`` (e.g.
       ``http://host/api/addresses/{key}/transactions?limit=100``).
     - ``paginate=True`` appends ``&page=N`` (or ``?page=N``) starting
-      at 0 and stops at the first EMPTY page — the generic form of the
-      reference's fetch-until-done loops. ``max_pages`` is a runaway
-      guard.
+      at 0 and stops at the first EMPTY page (empty array or empty
+      object); an object-per-page response carries no generic
+      progress signal, so its first page is taken and pagination
+      stops — the generic form of the reference's fetch-until-done
+      loops. ``max_pages`` is a runaway guard.
     - 429 and 5xx responses (and network errors) retry up to
       ``max_retries`` times with exponential backoff
       ``backoff_base_sec * 2^attempt``; a ``Retry-After`` header wins
@@ -117,11 +120,19 @@ def http_json_fetcher(
 
     def _get(url: str) -> tuple[int, bytes, dict]:
         req = urllib.request.Request(url, headers=headers or {})
+        # lowercase header keys: a plain dict .get("Retry-After") is
+        # case-sensitive, and proxies legally emit "retry-after"
+        # (review r15) — the HTTPMessage's own .get is
+        # case-insensitive but does not survive dict()
         try:
             with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
-                return resp.status, resp.read(), dict(resp.headers)
+                return resp.status, resp.read(), {
+                    k.lower(): v for k, v in resp.headers.items()
+                }
         except urllib.error.HTTPError as e:
-            return e.code, e.read(), dict(e.headers or {})
+            return e.code, e.read(), {
+                k.lower(): v for k, v in (e.headers or {}).items()
+            }
 
     def _get_with_retry(url: str) -> bytes:
         last_status = None
@@ -137,7 +148,7 @@ def http_json_fetcher(
             last_status = status
             if attempt < max_retries:
                 delay = _retry_after_seconds(
-                    hdrs.get("Retry-After"),
+                    hdrs.get("retry-after"),
                     backoff_base_sec * (2**attempt),
                 )
                 sleeper(delay)
@@ -147,7 +158,10 @@ def http_json_fetcher(
         )
 
     def fetcher(key: str) -> list[dict]:
-        base = url_template.format(key=key)
+        # keys come from data columns — percent-encode so reserved
+        # characters ('?', '&', '#', '/', space) cannot truncate the
+        # URL or inject query parameters (review r15)
+        base = url_template.format(key=urllib.parse.quote(str(key), safe=""))
         rows: list[dict] = []
         if not paginate:
             doc = json.loads(_get_with_retry(base))
@@ -155,10 +169,16 @@ def http_json_fetcher(
         sep = "&" if "?" in base else "?"
         for page in range(max_pages):
             doc = json.loads(_get_with_retry(f"{base}{sep}{page_param}={page}"))
-            page_rows = doc if isinstance(doc, list) else [doc]
-            if not page_rows:
+            if not doc:
+                break  # empty list OR empty object: exhausted
+            if not isinstance(doc, list):
+                # an object-per-page API gives the generic fetcher no
+                # progress signal ([doc] is never empty — the old code
+                # ran all max_pages and returned ~max_pages copies);
+                # take the one object and stop (review r15)
+                rows.append(doc)
                 break
-            rows.extend(page_rows)
+            rows.extend(doc)
         return rows
 
     return fetcher

@@ -438,3 +438,71 @@ def test_stale_fragment_buffer_cleared_by_complete_text_frame(tmp_path):
         with open(os.path.join(landing, f)) as fh:
             got.append(_json.load(fh)["mint"])
     assert got == ["mWhole", "mAfter"]
+
+
+def test_handshake_preserves_query_string_and_host_header():
+    """Review r15: the reference's endpoint family authenticates via
+    ``ws(s)://host/?api-key=...`` — the GET line must carry the query
+    string, and the Host header must include the (non-default) port;
+    a non-JSON text frame must be skipped, not kill the generator."""
+    import asyncio
+
+    from solana_etl_pipeline_spark.sources.live_socket import (
+        OP_TEXT,
+        _accept_key,
+        encode_frame,
+        websocket_messages,
+    )
+
+    captured: dict = {}
+
+    async def scenario():
+        async def handler(reader, writer):
+            key = None
+            lines = []
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b""):
+                    break
+                lines.append(line.decode().rstrip("\r\n"))
+                if line.lower().startswith(b"sec-websocket-key:"):
+                    key = line.split(b":", 1)[1].strip().decode()
+            captured["request_line"] = lines[0]
+            captured["headers"] = lines[1:]
+            writer.write(
+                (
+                    "HTTP/1.1 101 Switching Protocols\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+                ).encode()
+            )
+            await writer.drain()
+            # a plain-text keepalive, then a real message, then EOF
+            writer.write(encode_frame(b"pong", OP_TEXT, mask=False))
+            writer.write(
+                encode_frame(b'{"mint": "M1"}', OP_TEXT, mask=False)
+            )
+            await writer.drain()
+            writer.close()
+
+        server = await asyncio.start_server(handler, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        got = []
+        async for msg in websocket_messages(
+            f"ws://127.0.0.1:{port}/stream?api-key=SECRET"
+        ):
+            got.append(msg)
+        server.close()
+        await server.wait_closed()
+        return got, port
+
+    got, port = asyncio.run(scenario())
+    # the non-JSON keepalive was skipped, the JSON message served
+    assert got == [{"mint": "M1"}]
+    assert captured["request_line"] == (
+        "GET /stream?api-key=SECRET HTTP/1.1"
+    )
+    host_headers = [
+        h for h in captured["headers"] if h.lower().startswith("host:")
+    ]
+    assert host_headers == [f"Host: 127.0.0.1:{port}"]

@@ -258,3 +258,117 @@ def test_retry_after_http_date_forms_parse_to_delays():
     assert _retry_after_seconds(past, 9.0) == 0.0
     # garbage falls back to exponential backoff
     assert _retry_after_seconds("soon-ish", 9.0) == 9.0
+
+
+def test_replay_reader_skips_bad_lines_and_torn_tail(tmp_path):
+    """Review r15: a blank/malformed COMPLETE line is skipped but
+    consumed (recovery replays the same skip); a torn trailing line
+    (live producer mid-append) is NOT consumed and is served once its
+    newline lands; offsets carry a byte position so batches seek
+    instead of re-scanning the whole feed."""
+    from pyspark.sql.types import StructType
+
+    from solana_etl_pipeline_spark.sources.message_stream import (
+        _ReplayStreamReader,
+    )
+
+    feed = tmp_path / "feed.jsonl"
+    feed.write_bytes(
+        b'{"mint": "A", "solAmount": 1.0}\n'
+        b"\n"                       # blank: skip, consume
+        b"{not json}\n"             # malformed: skip, consume
+        b'{"mint": "B", "solAmount": 2.0}\n'
+        b'{"mint": "C", "solAm'     # torn tail: do NOT consume
+    )
+    schema = StructType.fromDDL(
+        "mint string, txType string, solAmount double, "
+        "name string, symbol string"
+    )
+    reader = _ReplayStreamReader(schema, {"path": str(feed)})
+
+    rows, off = reader.read(reader.initialOffset())
+    rows = list(rows)
+    assert [r[0] for r in rows] == ["A", "B"]
+    assert off["line"] == 4  # four COMPLETE lines consumed
+    assert off["pos"] > 0
+
+    # the torn line completes -> served by the next batch
+    with open(feed, "ab") as f:
+        f.write(b'ount": 3.0}\n')
+    rows2, off2 = reader.read(off)
+    assert [r[0] for r in rows2] == ["C"]
+    assert off2["line"] == 5
+
+    # recovery replays the committed range identically
+    replay = list(reader.readBetweenOffsets(reader.initialOffset(), off))
+    assert [r[0] for r in replay] == ["A", "B"]
+    # legacy checkpoint offsets (no byte pos) still resolve
+    legacy = list(reader.readBetweenOffsets({"line": 0}, {"line": 4}))
+    assert [r[0] for r in legacy] == ["A", "B"]
+    rows3, _ = reader.read({"line": 4})
+    assert [r[0] for r in list(rows3)] == ["C"]
+
+
+def test_http_fetcher_object_page_and_header_case_and_quoting():
+    """Review r15 trio: an object-per-page response stops pagination
+    after one page (no progress signal — the old code ran all
+    max_pages); a lowercase ``retry-after`` header is honored; keys
+    are percent-encoded so reserved characters cannot truncate the
+    URL."""
+    import http.server
+    import json as _json
+    import threading
+
+    from solana_etl_pipeline_spark.sources.rest import http_json_fetcher
+
+    state = {"requests": [], "throttled": False}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_GET(self):
+            state["requests"].append(self.path)
+            key = self.path.strip("/").split("/")[1].split("?")[0]
+            if key == "throttled-lc" and not state["throttled"]:
+                state["throttled"] = True
+                self.send_response(429)
+                # legal per RFC 7230; common behind h2 proxies
+                self.send_header("retry-after", "7")
+                self.end_headers()
+                return
+            body = _json.dumps({"note": key}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    sleeps: list[float] = []
+    try:
+        fetcher = http_json_fetcher(
+            f"http://127.0.0.1:{port}/k/{{key}}",
+            paginate=True,
+            max_retries=2,
+            backoff_base_sec=0.01,
+            sleeper=sleeps.append,
+        )
+        # object page: exactly one request, one record, stop
+        n_before = len(state["requests"])
+        rows = fetcher("plain")
+        assert rows == [{"note": "plain"}]
+        assert len(state["requests"]) == n_before + 1
+
+        # lowercase retry-after wins over the 0.01s backoff
+        rows = fetcher("throttled-lc")
+        assert rows == [{"note": "throttled-lc"}]
+        assert sleeps == [7.0]
+
+        # reserved characters in the key are percent-encoded
+        fetcher("a b#c")
+        assert any("/k/a%20b%23c?" in r for r in state["requests"])
+    finally:
+        server.shutdown()
+        server.server_close()
