@@ -436,6 +436,40 @@ def minhash_signatures_agg(
     )
 
 
+
+def band_rows(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band_idx, band_hash): skinny LSH bucket rows from full
+    MinHash signatures — one xxhash64 over each band's slice of the
+    ``sig`` array.
+
+    SINGLE SOURCE of the band-hash scheme: the incremental store
+    (``llm/incremental.py``) PERSISTS these hashes in its ``bands/``
+    table and probes them on later batches, so batch and incremental
+    mode must always hash identically — keep every edit here (review
+    r15; the signature representation has the same pin via
+    ``_SIG_IMPL``)."""
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -495,25 +529,7 @@ def minhash_near_dup_pairs(
     # Band rows carry ONLY (id, band_idx, band_hash) — never the full
     # signature: the bucket join shuffles bands*|docs| skinny rows, and
     # signatures re-join only for the (few) surviving candidate pairs.
-    band_entries = sigs.select(
-        F.col(id_col),
-        F.posexplode_outer(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    band_entries = band_rows(sigs, id_col, bands, rows_per_band)
 
     if max_bucket is not None:
         # The guard adds three more consumers of the band projection

@@ -40,7 +40,10 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from solana_etl_pipeline_spark.llm.dedup import minhash_signatures
+from solana_etl_pipeline_spark.llm.dedup import (
+    band_rows as _band_rows,
+    minhash_signatures,
+)
 
 #: Signature value-representation version. MinHash minima are only
 #: comparable when produced by the same base hash / permutation family
@@ -55,26 +58,11 @@ def band_entries(
     sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
     """(id, band_idx, band_hash): skinny LSH bucket rows from full
-    signatures (one xxhash64 per band over its signature slice)."""
-    return sigs.select(
-        F.col(id_col),
-        F.posexplode_outer(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    signatures. Thin alias of :func:`...llm.dedup.band_rows` — the
+    ONE band-hash scheme: these hashes are persisted in the store's
+    ``bands/`` table, so batch and incremental mode must hash
+    identically (review r15)."""
+    return _band_rows(sigs, id_col, bands, rows_per_band)
 
 
 def _est_jaccard(a: str, b: str) -> Column:
@@ -262,10 +250,16 @@ def incremental_near_dup_batch(
         )
         if max_probe_per_bucket is not None:
             k = max_probe_per_bucket
-            # salted two-phase min-k per bucket: partials keep <= k
-            # candidates per (bucket, salt) — map-side combinable, the
-            # hot bucket never converges on one task — then the merge
-            # sorts <= 64k structs per bucket
+            # salted two-phase min-k per bucket. What the salt DOES
+            # bound: a hot bucket's rows spread over 64 (bucket, salt)
+            # groups on distinct tasks, and the final merge sorts at
+            # most 64*k ids per bucket — no one-task funnel. What it
+            # does NOT bound (review r15): collect_list's aggregation
+            # buffer still concatenates each (bucket, salt) group's
+            # FULL id list before the slice (no true partial min-k in
+            # DataFrame aggs), so a 10^8-id mega-bucket holds
+            # ~bucket/64 ids in one buffer; memory per task shrinks
+            # 64x, it is not capped at k.
             partial = old_bands.groupBy(
                 "band_idx",
                 "band_hash",

@@ -42,6 +42,13 @@ def apply_changes(
     ``(key, seq)`` must be unique or latest-wins is ambiguous),
     ``op_col`` ∈ {'upsert', 'delete'}, and every non-key column of
     ``base`` (payload for upserts; ignored for deletes).
+
+    Any other op code (or a null op) FAILS LOUD at execution via
+    ``raise_error`` inside the filter — the previous shape silently
+    DELETED such keys (removed by the anti-join, then dropped by the
+    ``== 'upsert'`` filter), turning a typo'd op into data loss
+    (review r15). The guard is a JVM-side expression: no extra pass
+    over the feed.
     """
     payload = [c for c in base.columns if c != key]
     latest = changes.groupBy(key).agg(
@@ -50,7 +57,19 @@ def apply_changes(
         ).alias("_c")
     )
     untouched = base.join(latest.select(key), key, "left_anti")
-    upserts = latest.filter(F.col("_c._op") == OP_UPSERT).select(
+    op = F.col("_c._op")
+    upserts = latest.filter(
+        F.when(op == OP_UPSERT, F.lit(True))
+        .when(op == OP_DELETE, F.lit(False))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_changes: unknown op code: "),
+                    F.coalesce(op, F.lit("NULL")),
+                )
+            ).cast("boolean")
+        )
+    ).select(
         key, *[F.col(f"_c.{c}").alias(c) for c in payload]
     )
     return untouched.unionByName(upserts)

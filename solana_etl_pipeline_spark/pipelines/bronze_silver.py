@@ -50,10 +50,42 @@ def build_silver(
     return merged.dropDuplicates(list(dedup_keys))
 
 
-def write_silver(silver: DataFrame, path: str, mode: str = "append") -> None:
+def write_silver(
+    silver: DataFrame,
+    path: str,
+    mode: str = "append",
+    dedup_against_existing: bool = False,
+    spark: "SparkSession | None" = None,
+    dedup_keys: tuple[str, str] = ("mint", "signature"),
+) -> None:
     """Materialize the silver table partitioned by event date (null
     dates — websocket rows carry no timestamp — land in the Hive
-    default partition and stay queryable)."""
+    default partition and stay queryable).
+
+    ``build_silver`` dedups only WITHIN its batch, so plain appends
+    re-introduce ``(mint, signature)`` duplicates when a later run
+    replays a message or an export re-fetches a transaction (review
+    r15). ``dedup_against_existing=True`` closes the cross-run hole
+    with a left-anti join against the keys already in ``path``
+    (needs ``spark``; a missing/empty table is treated as no keys).
+    The probe reads ONLY the key columns (column-pruned scan) and is
+    the batch twin of the streaming path's watermarked dedup state —
+    use the streaming path when the feed is continuous; this flag
+    when batch appends can overlap. Off by default: pure-append
+    callers (non-overlapping exports) shouldn't pay a key scan.
+    """
+    if dedup_against_existing:
+        if spark is None:
+            raise ValueError(
+                "dedup_against_existing=True requires the spark session"
+            )
+        keys = list(dedup_keys)
+        try:
+            existing = read_silver(spark, path).select(*keys)
+        except Exception:
+            existing = None  # first write: nothing to dedup against
+        if existing is not None:
+            silver = silver.join(existing, keys, "left_anti")
     write_parquet(
         silver.withColumn("event_date", F.to_date("ts")),
         path,

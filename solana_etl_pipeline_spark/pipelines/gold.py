@@ -51,16 +51,31 @@ def build_risk_gold(
         excluded_keys=EXCLUDED_MINTS,
         approximate=approximate,
     )
-    names = silver.groupBy("mint").agg(
-        F.min_by("token_name", "signature").alias("token_name")
-    )
-    gold = scored.join(names, "mint", "left")
     if token_names is not None:
-        gold = gold.drop("token_name")
-        gold = broadcast_enrich(
-            gold, token_names, key="mint", value_col="token_name"
+        # the dim wins outright — don't build (and shuffle) the
+        # full-silver names aggregation just to drop its one column
+        # (review r15)
+        return broadcast_enrich(
+            scored, token_names, key="mint", value_col="token_name"
         )
-    return gold
+    # first-seen name per mint, with a REAL name preferred over the
+    # bare-shape "" pad: order by (is-empty, ts, signature) and take
+    # the minimum — plain min_by(token_name, signature) could pick ""
+    # from a lexicographically-small signature over an actual name
+    # (review r15). Null ts (websocket rows) sorts after dated rows.
+    name_order = F.struct(
+        (F.coalesce(F.col("token_name"), F.lit("")) == "")
+        .cast("int")
+        .alias("is_empty"),
+        F.coalesce(
+            F.col("ts"), F.lit("9999-12-31 00:00:00").cast("timestamp")
+        ).alias("ts"),
+        F.col("signature").alias("sig"),
+    )
+    names = silver.groupBy("mint").agg(
+        F.min_by("token_name", name_order).alias("token_name")
+    )
+    return scored.join(names, "mint", "left")
 
 
 def top_tokens(gold: DataFrame, k: int = 10) -> DataFrame:
@@ -98,9 +113,16 @@ def refresh_gold(
     gold_path: str,
     token_names: DataFrame | None = None,
 ) -> DataFrame:
-    """One dashboard refresh cycle: read silver, score, write gold."""
+    """One dashboard refresh cycle: read silver, score, write gold.
+
+    Returns a read of the just-written gold table, NOT the build
+    plan: the build was unpersisted after the write, so returning it
+    would make every caller use (``.collect()``, a dashboard render)
+    re-run the full silver scan + risk aggregation — the small
+    freshly-written table serves the same rows from disk (review
+    r15)."""
     from solana_etl_pipeline_spark.pipelines.bronze_silver import read_silver
 
     gold = build_risk_gold(read_silver(spark, silver_path), token_names)
     write_gold(gold, gold_path)
-    return gold
+    return spark.read.parquet(gold_path)

@@ -44,13 +44,30 @@ def compact_parquet(
     """
     n = plan_target_files(spark, path, target_bytes)
     df = spark.read.parquet(path)
-    writer = df.repartition(n).write.mode("overwrite")
-    if partition_cols:
-        # repartition by partition columns so each output partition
-        # writes contiguous files
-        df2 = spark.read.parquet(path).repartition(n, *[F.col(c) for c in partition_cols])
-        writer = df2.write.mode("overwrite").partitionBy(*partition_cols)
-    writer.parquet(out_path)
+    if not partition_cols:
+        df.repartition(n).write.mode("overwrite").parquet(out_path)
+        return n
+    # Partitioned: hash-partitioning on ONLY the partition columns
+    # would collapse each partition value into a single task/file —
+    # one 50 GB day rewritten by one task, target_bytes ignored
+    # (review r15). Spread each partition value over
+    # ceil(n / n_partition_values) deterministic shards instead, so
+    # total files ≈ n and every value's rewrite parallelizes. (Sizing
+    # is by the GLOBAL average — per-leaf byte sizing is
+    # sinks.compact_parquet_dir's job.)
+    pcols = [F.col(c) for c in partition_cols]
+    n_values = max(1, df.select(*pcols).distinct().count())
+    shards = max(1, -(-n // n_values))  # ceil
+    sharded = df.withColumn(
+        "_shard", F.pmod(F.xxhash64(*df.columns), F.lit(shards))
+    )
+    (
+        sharded.repartition(n, *pcols, F.col("_shard"))
+        .drop("_shard")
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(out_path)
+    )
     return n
 
 

@@ -129,13 +129,19 @@ def flatten_wrapped_documents(raw: DataFrame, json_col: str = "raw") -> DataFram
         "md", "tx", F.explode_outer(F.col("tx")["tokenTransfers"]).alias("transfer")
     )
     md, tx = F.col("md"), F.col("tx")
+    # same label rule as dispatch_and_flatten: 'Helius' only when the
+    # metadata struct actually parsed; an object doc WITHOUT metadata
+    # keeps its transactions' own source field — the two exported
+    # paths must not produce different silver rows for one input
+    # (review r15)
+    source = F.when(md.isNotNull(), F.lit("Helius")).otherwise(_s(tx["source"]))
     return exploded.select(
         *_flatten_one_transaction(
             tx,
             token_name=md["token_name"],
             token_symbol=md["token_symbol"],
             mint_fallback=md["mint"],
-            source_label=F.lit("Helius"),
+            source_label=source,
         )
     )
 

@@ -86,14 +86,22 @@ for _mod in (
 # needs a fresh witness regardless of staleness — VERDICT r11 task 1),
 # (4) remaining witnessed queries stalest-first. The round-15 ordering
 # below is the tool's verbatim output at r14 HEAD:
-#     python tools/staleness.py --budget 173
-# No --promote this round: no registry query's physical plan changed
-# (the round-15 code changes are streaming/session/tool surface —
-# state-store conf emission, soak determinism, churn cadence probe).
-# The head of the prefix is the 25 r11-witnessed queries at staleness
-# 3 that would hit the bound of 4 next round (VERDICT r14 task 1
-# names all 25), then the staleness-2/1/0 blocks stalest-first.
+#     python tools/staleness.py --budget 173 \
+#         --promote cdc_apply_documents,llm_incremental_near_dup
+# cdc_apply_documents is promoted because its result-bearing code
+# changed this round (unknown op codes now fail loud via raise_error
+# instead of silently deleting the key — the fixture feed has only
+# valid ops, so the oracle is unchanged, but the rewritten filter
+# needs a fresh witness); llm_incremental_near_dup because the
+# band-hash construction moved to the shared dedup.band_rows helper
+# (expression-identical — promoted under the same convention).
+# They are followed by the 25 r11-witnessed queries at staleness 3
+# that would hit the bound of 4 next round (VERDICT r14 task 1 names
+# all 25 — still inside the 50-row driver window at positions 3-27),
+# then the staleness-2/1/0 blocks stalest-first.
 _PRIORITY = (
+    "cdc_apply_documents",
+    "llm_incremental_near_dup",
     "window_lag_delta",
     "window_running_sum",
     "window_rank_customers",
@@ -124,7 +132,6 @@ _PRIORITY = (
     "llm_simhash_near_dup",
     "llm_embedding_near_dup",
     "llm_near_dup_survivors",
-    "llm_incremental_near_dup",
     "graph_pagerank_parts",
     "order_fulfillment_latency",
     "events_seasonal_anomalies",
@@ -141,7 +148,6 @@ _PRIORITY = (
     "session_paths_topk",
     "events_gapfill_locf",
     "events_time_weighted_avg",
-    "cdc_apply_documents",
     "drift_psi_report",
     "llm_pmi_bigrams",
     "llm_weighted_sample",

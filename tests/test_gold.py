@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.pipelines.bronze_silver import (
     build_silver,
+    silver_schema_columns,
     write_silver,
 )
 from solana_etl_pipeline_spark.pipelines.gold import (
@@ -134,3 +135,72 @@ def test_dropmalformed_json_rows(spark, tmp_path):
     df = read_json_dir(spark, str(landing), EVENTS, mode="DROPMALFORMED")
     ids = sorted(r.event_id for r in df.collect())
     assert ids == [1, 2]
+
+
+def test_gold_prefers_real_name_over_empty_pad(spark):
+    """Review r15: a bare-shape row pads token_name with "" — the
+    name aggregation must prefer a real name over the pad regardless
+    of signature ordering (min_by(token_name, signature) could pick
+    "" from a lexicographically smaller signature)."""
+    import datetime as _dt
+
+    cols = silver_schema_columns()
+
+    def row(sig, name, ts):
+        base = {c: "" for c in cols}
+        base.update(
+            mint="M", signature=sig, token_name=name, ts=ts,
+            fee=0, slot=0, token_amount=1.0, type="buy",
+            from_account="f", to_account="t",
+        )
+        return Row(**{c: base[c] for c in cols})
+
+    silver = spark.createDataFrame(
+        [
+            # "0sig" sorts before "zsig": the old min_by picked ""
+            row("0sig", "", _dt.datetime(2024, 1, 1)),
+            row("zsig", "RealName", _dt.datetime(2024, 1, 2)),
+        ]
+    )
+    gold = build_risk_gold(silver)
+    assert {r.token_name for r in gold.collect()} == {"RealName"}
+
+
+def test_compact_parquet_partitioned_parallelizes_each_value(
+    spark, tmp_path
+):
+    """Review r15: with partition_cols, hash-partitioning on only the
+    partition columns collapsed each value to ONE task/file; each
+    value must instead spread over multiple shards when the byte
+    target asks for more files than there are values."""
+    src = str(tmp_path / "psrc")
+    (
+        spark.range(20000)
+        .withColumn("day", (F.col("id") % 2).cast("string"))
+        .withColumn("v", F.col("id") * 2)
+        .repartition(16)
+        .write.partitionBy("day")
+        .parquet(src)
+    )
+    out = str(tmp_path / "pout")
+    # tiny target -> many files; 2 partition values must not cap the
+    # output at 2 files
+    n = compact_parquet(
+        spark, src, out, partition_cols=["day"], target_bytes=16 * 1024
+    )
+    assert n > 2
+    per_day = {}
+    for day in ("0", "1"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, f"day={day}"))
+            if f.endswith(".parquet")
+        ]
+        per_day[day] = len(files)
+    assert all(c > 1 for c in per_day.values()), per_day
+    back = spark.read.parquet(out)
+    assert back.count() == 20000
+    assert (
+        back.agg(F.sum("v")).collect()[0][0]
+        == spark.read.parquet(src).agg(F.sum("v")).collect()[0][0]
+    )

@@ -616,3 +616,33 @@ def test_pipeline_exactly_once_event_time_deterministic(spark, tmp_path):
         for q in spark.streams.active:
             q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_write_silver_dedup_against_existing(spark, tmp_path):
+    """Review r15: build_silver dedups only within a batch, so a
+    second run appending a replayed message duplicated its
+    (mint, signature) in silver. dedup_against_existing anti-joins
+    the new batch against keys already on disk."""
+    ws1 = spark.createDataFrame([Row(raw=WS_MSG)])
+    empty = spark.createDataFrame([], "raw string")
+    path = str(tmp_path / "silver")
+
+    from solana_etl_pipeline_spark.pipelines.bronze_silver import build_silver
+
+    write_silver(build_silver(empty, ws1), path,
+                 dedup_against_existing=True, spark=spark)
+    # run 2: exact redelivery of the same message + one new message
+    ws2 = spark.createDataFrame(
+        [Row(raw=WS_MSG),
+         Row(raw=json.dumps({"mint": "mintQ", "txType": "buy",
+                             "solAmount": 2.0, "name": "Q",
+                             "symbol": "Q"}))]
+    )
+    write_silver(build_silver(empty, ws2), path,
+                 dedup_against_existing=True, spark=spark)
+    back = read_silver(spark, path)
+    assert back.count() == 2  # replay NOT duplicated
+    assert back.select("mint", "signature").distinct().count() == 2
+    # without the flag the replay WOULD duplicate (hazard stays visible)
+    write_silver(build_silver(empty, ws1), path)
+    assert read_silver(spark, path).count() == 3

@@ -309,3 +309,26 @@ def test_streaming_cdc_foreach_batch_upsert(spark, tmp_path):
     )
     foreach_batch_refresh(stream2, upsert, str(tmp_path / "ckpt"))
     assert state["version"] == v_before
+
+
+def test_apply_changes_rejects_unknown_op(spark):
+    """Review r15: a typo'd/unknown op code must fail loud, not
+    silently delete the key (the anti-join removes it from base and
+    the upsert filter used to drop it too)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from solana_etl_pipeline_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    changes = spark.createDataFrame(
+        [Row(k=1, op="update", seq=1, v="a2")]  # not a valid op code
+    )
+    with pytest.raises(Exception, match="unknown op code: update"):
+        apply_changes(base, changes, key="k").collect()
+    # null op fails loud too
+    changes2 = spark.createDataFrame(
+        [(2, None, 1, "b2")], "k bigint, op string, seq bigint, v string"
+    )
+    with pytest.raises(Exception, match="unknown op code"):
+        apply_changes(base, changes2, key="k").collect()
