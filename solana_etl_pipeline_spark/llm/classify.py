@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm import tokenize
@@ -54,6 +54,10 @@ from solana_etl_pipeline_spark.llm import tokenize
 # single-slot discipline — see dedup.single_slot_persist).
 _UNSCOPED_LOCK = threading.Lock()
 _UNSCOPED_MODEL: list[DataFrame] = []
+# Same discipline for a caller-shared token frame (fit+score over the
+# same corpus tokenize once — see tokens=... below).
+_UNSCOPED_TOKS_LOCK = threading.Lock()
+_UNSCOPED_TOKS: list[DataFrame] = []
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -68,20 +72,37 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shared_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Persisted ``(doc, _h)`` token-occurrence frame for passing as
+    ``tokens=`` to BOTH :func:`nb_fit` and :func:`nb_score` when they
+    run over the same corpus — one tokenize+explode pass instead of
+    two (r16, guide §2.4: the explode is this pipeline's widest
+    map stage). Single-slot persisted (bounded unscoped cache)."""
+    from solana_etl_pipeline_spark.llm.dedup import single_slot_persist
+
+    return single_slot_persist(
+        _tokens(df, id_col, text_col), _UNSCOPED_TOKS, _UNSCOPED_TOKS_LOCK
+    )
+
+
 def nb_fit(
     df: DataFrame,
     label_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Train: ``(label, _h, c)`` token-occurrence counts per label.
 
     Per-label totals (N_l), the vocabulary size (V), and document
     priors are all derivable from this frame plus a per-label doc
     count — :func:`nb_score` computes them; nothing is collected.
+    ``tokens`` forwards a precomputed :func:`shared_tokens` frame.
     """
     return (
-        _tokens(df, id_col, text_col)
+        (tokens if tokens is not None else _tokens(df, id_col, text_col))
         .join(
             df.select(
                 F.col(id_col).alias("doc"), F.col(label_col).alias("label")
@@ -110,6 +131,7 @@ def nb_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     include_raw: bool = False,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Classify every target document: ``(id, predicted, nb_score)``.
     ``include_raw`` appends the winner's UNROUNDED score as ``_raw``
@@ -153,7 +175,7 @@ def nb_score(
         )
     )
 
-    toks = _tokens(target, id_col, text_col)
+    toks = tokens if tokens is not None else _tokens(target, id_col, text_col)
     # matched-term sums: inner join (unmatched tokens contribute ln(1)=0)
     matched = (
         toks.join(model.select("_h", "label", "c"), "_h")
@@ -180,18 +202,27 @@ def nb_score(
         "doc", "label", F.round(score, 6).alias("_score"),
         score.alias("_raw_score"),
     )
-    w = Window.partitionBy("doc").orderBy(
-        F.desc("_score"), F.asc("label")
-    )
+    # r16: argmax as ONE hash aggregate (map-side partial) instead of a
+    # row_number window — the window forces a per-doc sort and cannot
+    # partial-aggregate, so every (doc × label) row shuffles; min(
+    # struct(-score, label, ...)) is the same (desc score, asc label)
+    # order with the winner's payload riding the struct. Scores are
+    # finite (ln of positive exact counts), so negation is exact and
+    # null-free; (score, label) is unique per doc, so the winner is
+    # the row row_number() = 1 selected.
+    winner = F.min(
+        F.struct(
+            (-F.col("_score")).alias("_neg"),
+            F.col("label").alias("predicted"),
+            F.col("_score").alias("nb_score"),
+            F.col("_raw_score").alias("_raw"),
+        )
+    ).alias("_w")
     cols = [
         F.col("doc").alias(id_col),
-        F.col("label").alias("predicted"),
-        F.col("_score").alias("nb_score"),
+        F.col("_w.predicted").alias("predicted"),
+        F.col("_w.nb_score").alias("nb_score"),
     ]
     if include_raw:
-        cols.append(F.col("_raw_score").alias("_raw"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*cols)
-    )
+        cols.append(F.col("_w._raw").alias("_raw"))
+    return scored.groupBy("doc").agg(winner).select(*cols)

@@ -306,6 +306,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_len: int = 3,
     shingles: DataFrame | None = None,
+    keep_shingles: bool = False,
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash signature per document.
 
@@ -366,10 +367,21 @@ def minhash_signatures(
         def _sig(shs: pd.Series) -> pd.Series:
             return pd.Series([_sig_of(sh) for sh in shs], dtype=object)
 
+        # keep_shingles: signatures are a pure projection of the
+        # shingle frame, so carrying ``_sh`` through is a column
+        # append, never a join — the fused verify pass
+        # (minhash_verified_pairs) reads both from one cache.
+        extra = [F.col("_sh")] if keep_shingles else []
         keyed = shingles.select(
-            F.col("_id").alias(id_col), _sig(F.col("_sh")).alias("sig")
+            F.col("_id").alias(id_col),
+            _sig(F.col("_sh")).alias("sig"),
+            *extra,
         )
     else:
+        if keep_shingles:
+            raise ValueError(
+                "keep_shingles requires a precomputed shingles frame"
+            )
         # no shingle consumer downstream: fuse shingling + signing into
         # ONE Arrow stage (one scan, one Python round-trip)
         @F.pandas_udf(ArrayType(LongType()))
@@ -618,6 +630,141 @@ def minhash_near_dup_pairs(
         candidates.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_len: int = 3,
+    est_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Fused LSH-candidate + exact-verify pass: the composition
+    ``minhash_near_dup_pairs → ngram_jaccard_for_pairs`` in ONE
+    pipeline with HALF the candidate re-joins (r16 optimization,
+    guide §2.4 "remove shuffles outright").
+
+    The composed form joins surviving pair ids back to the signature
+    table twice (est-Jaccard) and then to the shingle table twice
+    (exact Jaccard) — four id-equi-joins, four exchanges of the pair
+    ids. But signatures are a pure projection OF the shingle sets, so
+    one persisted ``(_id, _sh, sig)`` frame serves both stages and the
+    pair ids join it once per side: est and exact Jaccard evaluate in
+    the same projection, and the est filter still short-circuits the
+    (costlier) exact array intersection for non-candidates via
+    predicate ordering. Two joins, one cache, identical output rows:
+    ``(id_a, id_b, jaccard)`` with ``jaccard`` the 1e-6-rounded exact
+    n-gram Jaccard, filtered at ``est_jaccard >= est_threshold`` (the
+    LSH semantics) AND ``jaccard >= jaccard_threshold`` (the verify) —
+    bit-identical to the composed form because both filters and both
+    roundings are unchanged.
+
+    At 100 TB the same fusion halves the number of times the pair-id
+    table shuffles; the memory trade is that the verify-side cache
+    carries shingle arrays alongside signatures (the composed form
+    cached them in two separate tables of the same total size).
+    ``max_bucket`` is the mega-bucket star cap, forwarded unchanged.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = shingle_sets(df, id_col, text_col, shingle_len)
+    # one cache, both stages: (id, sig, _sh) in a single projection of
+    # the shingle frame (keep_shingles appends the column — no join).
+    combined = _scoped_persist(
+        minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_len,
+            shingles=sh, keep_shingles=True,
+        ),
+        eager=True,
+    )
+    sig_side = combined.select(F.col(id_col), "sig")
+
+    band_entries = band_rows(sig_side, id_col, bands, rows_per_band)
+    if max_bucket is not None:
+        band_entries = _scoped_persist(band_entries)
+        oversize = F.broadcast(
+            _scoped_persist(
+                band_entries.groupBy("band_idx", "band_hash")
+                .agg(
+                    F.count(F.lit(1)).alias("_bsz"),
+                    F.min(id_col).alias("_rep"),
+                )
+                .filter(F.col("_bsz") > max_bucket)
+                .select("band_idx", "band_hash", "_rep")
+            )
+        )
+        flagged = _scoped_persist(
+            band_entries.join(oversize, ["band_idx", "band_hash"], "left")
+        )
+        small = flagged.filter(F.col("_rep").isNull()).drop("_rep")
+        star = (
+            flagged.filter(
+                F.col("_rep").isNotNull() & (F.col(id_col) != F.col("_rep"))
+            )
+            .select(
+                F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+    else:
+        small = band_entries
+        star = None
+
+    left = small.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    right = small.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    pair_ids = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if star is not None:
+        pair_ids = pair_ids.unionByName(star)
+    pair_ids = pair_ids.dropDuplicates(["id_a", "id_b"])
+
+    cand = pair_ids.join(
+        combined.select(
+            F.col(id_col).alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            F.col("_sh").alias("sh_a"),
+        ),
+        "id_a",
+    ).join(
+        combined.select(
+            F.col(id_col).alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            F.col("_sh").alias("sh_b"),
+        ),
+        "id_b",
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a",
+                "sig_b",
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes)
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -208,38 +208,48 @@ def incremental_near_dup_batch(
             F.lit(None).cast("string").alias("scope"),
         )
 
-    def _verdicts(cand: DataFrame, old_sigs: DataFrame, scope: str) -> DataFrame:
+    # r16 (guide §2.4): ONE merged probe join instead of two separate
+    # candidate joins + two separate verdict subtrees. The probe side
+    # unions this batch's band rows (scope 'batch', earlier-id-wins)
+    # with the store's (scope 'index'); one equi-join, one distinct,
+    # one pair of signature joins — the previous shape ran the whole
+    # chain twice (once per scope), doubling the exchanges and the
+    # serial AQE stage-jobs of the verdicts write. A ``_store`` flag
+    # rides the probe rows so the two scopes keep their exact
+    # semantics: a doc_id indexed earlier AND arriving again yields
+    # BOTH verdicts, and each verdict joins the signature from its own
+    # side (store signature for 'index', batch signature for 'batch').
+    nb = new_bands.select(F.col(id_col).alias("new_id"), "band_idx", "band_hash")
+
+    def _verdicts(cand: DataFrame, dup_sigs: DataFrame) -> DataFrame:
+        """cand: (new_id, dup_of, _store); dup_sigs: (dup_of, _store,
+        old_sig) — joined on BOTH keys so an id present in batch and
+        store verifies against the right signature per scope."""
         joined = (
             cand.join(
                 new_sigs.select(F.col(id_col).alias("new_id"),
                                 F.col("sig").alias("new_sig")),
                 "new_id",
             )
-            .join(
-                old_sigs.select(F.col(id_col).alias("dup_of"),
-                                F.col("sig").alias("old_sig")),
-                "dup_of",
-            )
+            .join(dup_sigs, ["dup_of", "_store"])
             .withColumn("est_jaccard",
                         F.round(_est_jaccard("new_sig", "old_sig"), 6))
             .filter(F.col("est_jaccard") >= threshold)
         )
         return joined.select(
-            "new_id", "dup_of", "est_jaccard", F.lit(scope).alias("scope")
+            "new_id", "dup_of", "est_jaccard",
+            F.when(F.col("_store"), "index").otherwise("batch")
+            .alias("scope"),
         )
 
-    nb = new_bands.select(F.col(id_col).alias("new_id"), "band_idx", "band_hash")
-    within_cand = (
-        nb.join(
-            nb.select(F.col("new_id").alias("dup_of"),
-                      "band_idx", "band_hash"),
-            ["band_idx", "band_hash"],
-        )
-        .filter(F.col("dup_of") < F.col("new_id"))  # earlier doc wins
-        .select("new_id", "dup_of")
-        .distinct()
+    probe_bands = nb.select(
+        F.col("new_id").alias("dup_of"), "band_idx", "band_hash",
+        F.lit(False).alias("_store"),
     )
-    out = _verdicts(within_cand, new_sigs, "batch")
+    dup_sigs = new_sigs.select(
+        F.col(id_col).alias("dup_of"), F.lit(False).alias("_store"),
+        F.col("sig").alias("old_sig"),
+    )
     if have_store:
         # batch_id < N: a half-written partition from a failed attempt
         # at THIS batch must never probe against itself
@@ -284,21 +294,51 @@ def incremental_near_dup_batch(
         old_sigs = spark.read.parquet(sig_path).filter(
             F.col("batch_id") < batch_id
         )
-        cross_cand = (
-            nb.join(old_bands, ["band_idx", "band_hash"])
-            .select("new_id", "dup_of")
-            .distinct()
+        probe_bands = probe_bands.unionByName(
+            old_bands.withColumn("_store", F.lit(True))
         )
-        out = out.unionByName(_verdicts(cross_cand, old_sigs, "index"))
+        dup_sigs = dup_sigs.unionByName(
+            old_sigs.select(
+                F.col(id_col).alias("dup_of"), F.lit(True).alias("_store"),
+                F.col("sig").alias("old_sig"),
+            )
+        )
+    cand = (
+        nb.join(probe_bands, ["band_idx", "band_hash"])
+        # within-batch: earlier doc wins; store probes: all candidates
+        .filter(F.col("_store") | (F.col("dup_of") < F.col("new_id")))
+        .select("new_id", "dup_of", "_store")
+        .distinct()
+    )
+    out = _verdicts(cand, dup_sigs)
 
     stamped = out.withColumn("batch_id", F.lit(batch_id))
-    _write_partition(stamped, verdict_path)
-    _write_partition(
-        new_sigs.withColumn("batch_id", F.lit(batch_id)), sig_path
+    # r16 (guide §2.6): the three store writes are independent jobs
+    # (distinct roots; crash-retry gates on BOTH sigs and bands
+    # existing, and each write dynamically overwrites its own batch_id
+    # partition, so any interleaving a crash exposes is the same set
+    # of states the previous serial order could leave). Submitting
+    # them from a small thread pool lets the scheduler back-fill the
+    # tail of one write with the next one's tasks instead of draining
+    # the cluster three times.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    writes = (
+        lambda: _write_partition(stamped, verdict_path),
+        lambda: _write_partition(
+            new_sigs.withColumn("batch_id", F.lit(batch_id)), sig_path
+        ),
+        lambda: _write_partition(
+            new_bands.withColumn("batch_id", F.lit(batch_id)), band_path
+        ),
     )
-    _write_partition(
-        new_bands.withColumn("batch_id", F.lit(batch_id)), band_path
-    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [
+            pool.submit(inheritable_thread_target(w)) for w in writes
+        ]:
+            fut.result()
     new_sigs.unpersist()
     # read the just-written rows back instead of returning the lazy
     # plan — evaluating the plan would re-run the signing and both

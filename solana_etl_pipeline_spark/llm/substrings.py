@@ -69,6 +69,20 @@ def duplicate_span_report(
         F.col(id_col).alias("_id"),
         tokenize.words(F.col(text_col)).alias("_ws"),
     )
+    # r16 (guide §2.3 narrower types / per-task work): hash every
+    # token ONCE into a parallel long array and build the window
+    # digests over slices of LONGS. The previous shape sliced the
+    # string array and xxhash64'd the strings per window — each token's
+    # bytes were re-hashed W=20 times (once per window containing it);
+    # now each token hashes once and windows hash 20 fixed-width longs.
+    # Equivalence classes are identical up to xxhash64 collisions —
+    # the same convention (2) the pair-digest already relies on, and
+    # keep-first ties stay on (doc_id, pos), never on the hash.
+    hashed = toks.select(
+        "_id",
+        "_ws",
+        F.transform("_ws", lambda t: F.xxhash64(t)).alias("_hs"),
+    )
 
     # 1. W-token windows, map-side and JVM-only. Window SLICES of the
     # token array are built with a higher-order transform and hashed
@@ -106,13 +120,13 @@ def duplicate_span_report(
     # short docs must short-circuit to an empty slice list (they have
     # no windows, matching the pass-through contract).
     slices = F.when(
-        F.size("_ws") >= window,
+        F.size("_hs") >= window,
         F.transform(
-            F.sequence(F.lit(0), F.size("_ws") - window),
-            lambda i: F.slice("_ws", i + 1, window),
+            F.sequence(F.lit(0), F.size("_hs") - window),
+            lambda i: F.slice("_hs", i + 1, window),
         ),
-    ).otherwise(F.array().cast("array<array<string>>"))
-    wins = toks.select(
+    ).otherwise(F.array().cast("array<array<bigint>>"))
+    wins = hashed.select(
         "_id", F.posexplode(slices).alias("pos", "_win")
     ).select(
         "_id",
@@ -167,9 +181,16 @@ def duplicate_span_report(
             w_doc.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # r16: per-island window counts ride the span aggregate, so
+    # n_dup_windows (= total dup rows per doc = Σ island sizes) comes
+    # out of the SAME chain instead of a second groupBy directly on
+    # ``dups`` — which, being a second consumer of that subtree,
+    # re-executed the whole window explode + keep-first join once more
+    # (Spark reuses only identical exchanges, not shared lineage).
     spans = marked.groupBy("_id", "_isl").agg(
         F.min("pos").alias("s"),
         (F.max("pos") + window).alias("e"),
+        F.count(F.lit(1)).alias("_n_wins"),
     )
     # One doc-keyed aggregate carries the stats AND the span list;
     # merged islands are disjoint, so the list is small (≤ spans per
@@ -177,10 +198,8 @@ def duplicate_span_report(
     span_agg = spans.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+        F.sum("_n_wins").alias("n_dup_windows"),
         F.collect_list(F.struct("s", "e")).alias("_spans"),
-    )
-    dup_counts = dups.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_dup_windows")
     )
 
     # 5. survivors: token positions not covered by any span —
@@ -201,8 +220,7 @@ def duplicate_span_report(
         ),
     )
     return (
-        toks.join(dup_counts, "_id", "left")
-        .join(span_agg, "_id", "left")
+        toks.join(span_agg, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             F.size("_ws").alias("n_tokens"),

@@ -446,36 +446,50 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part pairs co-occurring in ≥ 2 orders, support / confidence / lift
     from exact BIGINT counts; top-20 by lift.
 
-    Scale posture: the pair generator is a SELF-EQUI-JOIN on
-    l_orderkey with p1 < p2 — per-order fan-out is bounded by
-    lines-per-order² (TPC-H ≤ 7 lines ⇒ ≤ 21 pairs), so it scales
-    linearly in orders, never parts². Item frequencies join in on the
-    pair's part keys (|parts|-sized side); the 1-row basket total
-    rides a broadcast scalar combine; ratios derive from exact BIGINTs
-    and round at 1e-6."""
+    Scale posture (r16 rewrite, guide §2.3 "aggregate before you
+    shuffle" / §3.3 "explode after the join"): ONE shuffle of
+    (orderkey, partkey) into per-order sorted distinct item arrays
+    (bounded by lines-per-order, TPC-H ≤ 7), then the p1 < p2 pairs
+    GENERATE map-side from each array (≤ 21 per order) straight into
+    the pair aggregate — the old self-equi-join shuffled the item
+    table twice more and joined it against itself for the same ≤ 21
+    pairs per order. Item frequencies and the basket count read the
+    same persisted basket frame (explode / count — no extra scan).
+    The 1-row basket total rides a broadcast scalar combine; ratios
+    derive from exact BIGINTs and round at 1e-6."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Persist the distinct basket-item frame: both pair-join sides,
-    # the frequency table, and the basket count consume it, and the
-    # self-join aliasing defeats ReusedExchange here (measured: the
-    # persist is neutral-to-better, 2.9 s → 2.7 s at sf0.1, and drops
-    # the lineitem scan count from 5 to 1).
-    items = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
-    ).distinct().persist()
-    n_orders = items.select("okey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    # one shuffle: per-order sorted distinct item array; persisted —
+    # the pair stage, the frequency table, and the basket count all
+    # consume it (one lineitem scan total).
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .persist()
     )
-    a, b = items.alias("a"), items.alias("b")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    # in-order pair generation over the sorted array: (ps[i], ps[j])
+    # for i < j ⇒ exactly the old a.p < b.p pair set, once each
+    ps = F.col("ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.greatest(F.size(ps) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "okey")
-        .where(F.col("a.p") < F.col("b.p"))
+        baskets.select(F.explode(pair_arr).alias("pr"))
         .groupBy(
-            F.col("a.p").alias("p1"), F.col("b.p").alias("p2")
+            F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")
         )
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .where(F.col("pair_cnt") >= BASKET_MIN_PAIR)
     )
-    freq = items.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     scored = (
         pairs.join(
             freq.select(F.col("p").alias("p1"), F.col("cnt").alias("c1")),
@@ -510,7 +524,11 @@ RFM_TILES = 5
 
 
 def _value_quantile_tiles(
-    metrics: DataFrame, value_col: str, tile_col: str, ascending: bool
+    metrics: DataFrame,
+    value_col: str,
+    tile_col: str,
+    ascending: bool,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Value-cohesive n-tile assignment: every row with the same
     metric value gets the same tile (tile of the value's LAST global
@@ -518,10 +536,13 @@ def _value_quantile_tiles(
     single-partition window over users — is ever needed. The cumsum
     window runs over the DISTINCT-VALUE rollup only (bounded: recency
     is whole days, frequency small integers, monetary pre-banded to
-    whole units), and the tile map broadcasts back onto users."""
-    counts = metrics.groupBy(value_col).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    whole units), and the tile map broadcasts back onto users.
+    ``counts`` forwards a precomputed ``(value_col, cnt)`` rollup
+    (r16: the three RFM rollups come out of ONE grouping-sets pass)."""
+    if counts is None:
+        counts = metrics.groupBy(value_col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     order = (
         Window.orderBy(F.asc(value_col))
         if ascending
@@ -590,12 +611,44 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured 2.3 s → 1.4 s at sf0.1).
         .persist()
     )
+    # r16 (guide §2.4): the three distinct-value rollups compute in
+    # ONE grouping-sets aggregation (Expand ×3 over the persisted
+    # per-user frame) instead of three separate groupBy passes — one
+    # shuffle, one set of stages; grouping_id() splits the result back
+    # into the per-metric count tables (a genuinely-NULL metric value
+    # stays distinguishable from an aggregated-away column, so the
+    # counts are exactly the per-metric groupBy counts, null groups
+    # included — those keep shifting later tiles via the cumsum just
+    # as before while never joining back, the inner-join semantics the
+    # old path had).
+    rfm_cols = ("recency_days", "frequency", "monetary_band")
+    rollups = per_user.groupingSets(
+        [[c] for c in rfm_cols], *[F.col(c) for c in rfm_cols]
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("_gid")
+    ).persist()
+
+    def _counts_for(col: str) -> DataFrame:
+        # grouping_id bit = 1 where the column is aggregated away; the
+        # set keeping ONLY `col` has every other bit set
+        gid = sum(
+            1 << (len(rfm_cols) - 1 - i)
+            for i, c in enumerate(rfm_cols)
+            if c != col
+        )
+        return rollups.filter(F.col("_gid") == gid).select(col, "cnt")
+
     tiled = _value_quantile_tiles(
-        per_user, "recency_days", "r_tile", ascending=True
+        per_user, "recency_days", "r_tile", ascending=True,
+        counts=_counts_for("recency_days"),
     )
-    tiled = _value_quantile_tiles(tiled, "frequency", "f_tile", ascending=False)
     tiled = _value_quantile_tiles(
-        tiled, "monetary_band", "m_tile", ascending=False
+        tiled, "frequency", "f_tile", ascending=False,
+        counts=_counts_for("frequency"),
+    )
+    tiled = _value_quantile_tiles(
+        tiled, "monetary_band", "m_tile", ascending=False,
+        counts=_counts_for("monetary_band"),
     )
     return (
         tiled.groupBy("r_tile", "f_tile", "m_tile")

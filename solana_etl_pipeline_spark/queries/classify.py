@@ -30,6 +30,7 @@ from solana_etl_pipeline_spark.llm.classify import (
     nb_fit,
     nb_label_stats,
     nb_score,
+    shared_tokens,
 )
 from solana_etl_pipeline_spark.llm.similarity import kmeans_fit, semantic_dedup
 from solana_etl_pipeline_spark.queries.base import QuerySpec
@@ -50,9 +51,12 @@ def llm_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out generalization (that is a quality question, pinned by
     pytest on a separable crafted corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    model = nb_fit(docs, label_col="source")
+    # r16: fit and score share ONE tokenize+explode pass (the widest
+    # map stage here) via the persisted shared_tokens frame.
+    toks = shared_tokens(docs)
+    model = nb_fit(docs, label_col="source", tokens=toks)
     stats = nb_label_stats(docs, label_col="source")
-    return nb_score(docs, model, stats)
+    return nb_score(docs, model, stats, tokens=toks)
 
 
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

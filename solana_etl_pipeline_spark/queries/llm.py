@@ -31,13 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solana_etl_pipeline_spark.llm.dedup import (
-    _scoped_persist,
     edit_distance_near_dup,
     embedding_near_dup_pairs,
     exact_dedup_groups,
-    minhash_near_dup_pairs,
+    minhash_verified_pairs,
     ngram_jaccard_for_pairs,
-    shingle_sets,
     simhash_candidate_pairs,
 )
 from solana_etl_pipeline_spark.llm.cluster import near_dup_dedup
@@ -227,22 +225,15 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the exact one here and the oracle still pins the
     full ground truth."""
     docs = load_table(spark, sf_dir, "documents")
-    # one corpus text parse: the persisted shingle sets feed BOTH the
-    # signature stage and the exact-Jaccard verify
-    # Lazy persist: the sigs eager-count inside
-    # minhash_near_dup_pairs computes this lineage and fills BOTH
-    # caches in one job (sh is its only pre-count consumer, so there
-    # is no race), replacing the separate sh.count() barrier the r11
-    # plan paid (~0.4 s/query at sf0.1, see COVERAGE.md).
-    sh = _scoped_persist(shingle_sets(docs, "doc_id", "text", 3))
-    cand = minhash_near_dup_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
-        shingles=sh, max_bucket=MAX_BUCKET,
+    # r16: fused candidate+verify pass — one (shingles, signature)
+    # cache, the pair ids join it once per side instead of twice
+    # (est joins + verify joins), identical filters and roundings.
+    # See minhash_verified_pairs docstring; parity with the composed
+    # form is pinned by tests/test_llm.py.
+    return minhash_verified_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16,
+        est_threshold=0.5, jaccard_threshold=0.5, max_bucket=MAX_BUCKET,
     )
-    verified = ngram_jaccard_for_pairs(
-        docs, cand.select("id_a", "id_b"), "doc_id", "text", shingles=sh
-    )
-    return verified.filter(F.col("jaccard") >= 0.5)
 
 
 def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,19 +248,11 @@ def llm_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     output bit-identical; the star/CC-equivalence argument is exactly
     what this query's survivor oracle then re-checks end-to-end)."""
     docs = load_table(spark, sf_dir, "documents")
-    # Lazy persist: the sigs eager-count inside
-    # minhash_near_dup_pairs computes this lineage and fills BOTH
-    # caches in one job (sh is its only pre-count consumer, so there
-    # is no race), replacing the separate sh.count() barrier the r11
-    # plan paid (~0.4 s/query at sf0.1, see COVERAGE.md).
-    sh = _scoped_persist(shingle_sets(docs, "doc_id", "text", 3))
-    cand = minhash_near_dup_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
-        shingles=sh, max_bucket=MAX_BUCKET,
+    # r16: fused candidate+verify pass (see llm_minhash_near_dup).
+    pairs = minhash_verified_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16,
+        est_threshold=0.5, jaccard_threshold=0.5, max_bucket=MAX_BUCKET,
     )
-    pairs = ngram_jaccard_for_pairs(
-        docs, cand.select("id_a", "id_b"), "doc_id", "text", shingles=sh
-    ).filter(F.col("jaccard") >= 0.5)
     survivors = near_dup_dedup(docs, pairs, "doc_id")
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_survivors"),
@@ -373,19 +356,11 @@ def llm_megabucket_star_survivors(
         F.col("doc_id") < MEGABUCKET_SLICE
     )
     corpus = _plant_clone_cluster(docs)
-    # Lazy persist: the sigs eager-count inside
-    # minhash_near_dup_pairs computes this lineage and fills BOTH
-    # caches in one job (sh is its only pre-count consumer, so there
-    # is no race), replacing the separate sh.count() barrier the r11
-    # plan paid (~0.4 s/query at sf0.1, see COVERAGE.md).
-    sh = _scoped_persist(shingle_sets(corpus, "doc_id", "text", 3))
-    cand = minhash_near_dup_pairs(
-        corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
-        shingles=sh, max_bucket=MAX_BUCKET,
+    # r16: fused candidate+verify pass (see llm_minhash_near_dup).
+    pairs = minhash_verified_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=16,
+        est_threshold=0.5, jaccard_threshold=0.5, max_bucket=MAX_BUCKET,
     )
-    pairs = ngram_jaccard_for_pairs(
-        corpus, cand.select("id_a", "id_b"), "doc_id", "text", shingles=sh
-    ).filter(F.col("jaccard") >= 0.5)
     survivors = near_dup_dedup(corpus, pairs, "doc_id")
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_survivors"),

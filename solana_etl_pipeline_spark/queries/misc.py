@@ -172,9 +172,19 @@ def nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         "value",
     )
-    dim = spark.createDataFrame(
-        [(None, "missing")] + [(i, f"bucket_{i}") for i in range(5)],
-        "k bigint, bucket string",
+    # range+expressions, not createDataFrame-from-list: a Python-list
+    # frame executes as a Python-RDD scan spawning a worker per
+    # partition (measured ~2 s of this query's wall at sf0.1 — the
+    # same pathology documented at llm/incremental.py:111); range is
+    # a pure-JVM local relation. Row 0 is the (NULL, 'missing') row.
+    dim = spark.range(6).select(
+        F.when(F.col("id") > 0, F.col("id") - 1).alias("k"),
+        F.when(
+            F.col("id") > 0,
+            F.concat(F.lit("bucket_"), (F.col("id") - 1).cast("string")),
+        )
+        .otherwise(F.lit("missing"))
+        .alias("bucket"),
     )
     return (
         keyed.join(F.broadcast(dim), keyed.k.eqNullSafe(dim.k))

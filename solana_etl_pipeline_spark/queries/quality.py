@@ -225,30 +225,66 @@ def data_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's rebuild-everything flow (``clean_data.py:292-365``)
     has no equivalent of.
 
-    Scale posture: each relationship is ONE left-anti equi-join —
-    dimension parents (nation, customer, supplier, part) broadcast;
-    the lineitem→orders anti-join shuffles on the shared orderkey.
-    The six 1-row aggregates union into a 6-row report (no scalar
-    cross joins — the counts aggregate per branch)."""
-    reports = []
+    Scale posture (r16 one-pass-per-child rewrite, guide §2.4): each
+    CHILD table is scanned once — all of its FK relationships resolve
+    as left joins against the (distinct) parent key sets in a single
+    plan, and ONE aggregate counts total rows plus per-FK orphan rows
+    (parent key NULL after the left join ≡ the old left-anti count,
+    exactly, because parent keys are primary keys and the join is on
+    distinct key sets — no fan-out is possible). The per-relationship
+    report rows then explode map-side from the 1-row aggregate. The
+    old shape ran TWO aggregates per relationship (12 child scans, 24
+    exchanges, 34 jobs measured); this one runs 4 child scans and one
+    aggregate each. Dimension parents broadcast; lineitem→orders is
+    the one genuinely shuffled join at scale, now paid once instead
+    of per-relationship."""
+    by_child: dict[str, list[tuple[str, str, str]]] = {}
     for child, fk, parent, pk in _FK_RELATIONS:
+        by_child.setdefault(child, []).append((fk, parent, pk))
+    reports = []
+    for child, rels in by_child.items():
         c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(
-            F.col(pk).alias("__pk")
-        )
-        orphans = c.join(
-            p, c[fk] == p["__pk"], "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        totals = c.agg(F.count(F.lit(1)).alias("n_rows"))
-        reports.append(
-            totals.crossJoin(orphans).select(
-                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias(
-                    "relationship"
-                ),
-                "n_rows",
-                "n_orphans",
-                (F.col("n_orphans") == 0).alias("intact"),
+        joined = c.select(*[F.col(fk) for fk, _, _ in rels])
+        for i, (fk, parent, pk) in enumerate(rels):
+            p = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk{i}"))
+                .distinct()
             )
+            joined = joined.join(
+                p, joined[fk] == p[f"__pk{i}"], "left"
+            )
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for i in range(len(rels)):
+            # coalesce: sum over an EMPTY child is NULL where the old
+            # left-anti count() was 0 — keep the 0
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.col(f"__pk{i}").isNull().cast("bigint")),
+                    F.lit(0),
+                ).alias(f"n_orphans{i}")
+            )
+        one = joined.agg(*aggs)
+        reports.append(
+            one.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(
+                                    f"{child}.{fk} -> {parent}.{pk}"
+                                ).alias("relationship"),
+                                F.col("n_rows").alias("n_rows"),
+                                F.col(f"n_orphans{i}").alias("n_orphans"),
+                                (F.col(f"n_orphans{i}") == 0).alias(
+                                    "intact"
+                                ),
+                            )
+                            for i, (fk, parent, pk) in enumerate(rels)
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.*")
         )
     out = reports[0]
     for r in reports[1:]:
@@ -275,40 +311,49 @@ def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     and typed min/max (numeric as DOUBLE, temporal as a formatted
     string, text as-is).
 
-    Scale posture: ONE aggregation pass computes every statistic
-    (Spark plans the multi-distinct via Expand — rows × 6, the
-    standard exact shape; swap in approx_count_distinct when an
-    estimate suffices at 100 TB); the per-column report rows unpivot
-    from the single 1-row aggregate via ``stack``, map-side."""
+    Scale posture (r16 split, guide §2.3): the multi-distinct and the
+    plain statistics aggregate in SEPARATE passes combined by a 1-row
+    broadcast cross join. Spark plans mixed distinct+plain aggregates
+    as ONE Expand of rows × (n_distinct_cols + 1) with every plain-agg
+    column duplicated onto each expanded row — measured 2.2-7.2 s at
+    sf0.1 vs 1.1-1.5 s split, and at 100 TB the expanded shuffle
+    (7× rows carrying all columns) dwarfs the second columnar scan
+    the split costs. The distinct pass still uses the standard exact
+    Expand (×6, skinny rows); swap in approx_count_distinct when an
+    estimate suffices at 100 TB. Per-column report rows unpivot from
+    the combined 1-row aggregate map-side."""
     ev = load_table(spark, sf_dir, "events")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    plain = [F.count(F.lit(1)).alias("n_rows")]
     for col, kind in _PROFILE_COLUMNS:
-        aggs.append(
+        plain.append(
             F.sum(F.col(col).isNull().cast("bigint")).alias(f"nl_{col}")
         )
-        aggs.append(F.count_distinct(F.col(col)).alias(f"nd_{col}"))
         if kind == "num":
-            aggs.append(
+            plain.append(
                 F.round(F.min(col).cast("double"), 6).alias(f"mn_{col}")
             )
-            aggs.append(
+            plain.append(
                 F.round(F.max(col).cast("double"), 6).alias(f"mx_{col}")
             )
         elif kind == "time":
-            aggs.append(
+            plain.append(
                 F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss").alias(
                     f"mn_{col}"
                 )
             )
-            aggs.append(
+            plain.append(
                 F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss").alias(
                     f"mx_{col}"
                 )
             )
         else:
-            aggs.append(F.min(col).alias(f"mn_{col}"))
-            aggs.append(F.max(col).alias(f"mx_{col}"))
-    one = ev.agg(*aggs)
+            plain.append(F.min(col).alias(f"mn_{col}"))
+            plain.append(F.max(col).alias(f"mx_{col}"))
+    distincts = [
+        F.count_distinct(F.col(col)).alias(f"nd_{col}")
+        for col, _ in _PROFILE_COLUMNS
+    ]
+    one = ev.agg(*plain).crossJoin(F.broadcast(ev.agg(*distincts)))
     stack_args = []
     for col, kind in _PROFILE_COLUMNS:
         is_num = kind == "num"

@@ -33,6 +33,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r16 (guide §3.1/§9): let the planner pick shuffled-hash join when
+    # its build-side size conditions hold — skips the per-partition
+    # sorts a sort-merge join pays. The planner still falls back to
+    # SMJ when no side can build a local hash map, AQE skew handling
+    # applies to both, and join RESULTS are strategy-independent.
+    # Interleaved sf0.1 A/B over the SMJ-bearing queries (snapshot
+    # diff, dsir, q9, hll overlap, simhash, embedding near-dup):
+    # min-run improvement 5-15%, no regressions at the min.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # Local/driver-session sizing: 32 shuffle partitions matches the
     # local[32] core budget (AQE coalesces further). On a cluster,
     # override to ~2-3x total executor cores at session build time.

@@ -68,6 +68,36 @@ def test_minhash_finds_planted_near_dups(spark, planted_docs):
     assert not any(3 in p for p in found)  # unrelated doc never pairs
 
 
+def test_minhash_verified_pairs_matches_composed_form(spark, planted_docs):
+    """r16 fusion pin: the fused candidate+verify pass
+    (minhash_verified_pairs) must emit row-identical output to the
+    composed form (minhash_near_dup_pairs → ngram_jaccard_for_pairs →
+    jaccard filter) it replaced in the registry queries — same filters,
+    same roundings, half the candidate re-joins."""
+    from solana_etl_pipeline_spark.llm.dedup import (
+        minhash_verified_pairs,
+        ngram_jaccard_for_pairs,
+    )
+
+    for cap in (None, 2):
+        cand = minhash_near_dup_pairs(
+            planted_docs, "doc_id", "text",
+            num_hashes=64, bands=16, threshold=0.5, max_bucket=cap,
+        )
+        composed = ngram_jaccard_for_pairs(
+            planted_docs, cand.select("id_a", "id_b"), "doc_id", "text"
+        ).filter(F.col("jaccard") >= 0.5)
+        fused = minhash_verified_pairs(
+            planted_docs, "doc_id", "text",
+            num_hashes=64, bands=16,
+            est_threshold=0.5, jaccard_threshold=0.5, max_bucket=cap,
+        )
+        assert composed.columns == fused.columns
+        assert sorted(map(tuple, composed.collect())) == sorted(
+            map(tuple, fused.collect())
+        ), f"fused != composed at max_bucket={cap}"
+
+
 def test_minhash_bucket_cap_identity_when_not_triggered(spark, planted_docs):
     """With every bucket under the cap, max_bucket must be a pure
     no-op: identical pairs and estimates as the uncapped path."""
