@@ -41,6 +41,16 @@ from solana_etl_pipeline_spark.llm import tokenize
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# r16 optimization note: persisting the token/tf frames here and
+# deriving doc_freq from tf (one tokenize pass instead of two) was
+# MEASURED SLOWER at sf0.1 in interleaved A/Bs (tfidf min 1.17 →
+# 1.38 s, bm25 0.89 → 1.32 s, pmi 1.13 → 1.59 s): the persist
+# materialization barrier exceeds the saved explode at this corpus
+# size, unlike the heavier reused subtrees where the same pattern
+# won (llm/dsir.py gram buckets, llm/export.py corpus_filter gate,
+# llm/classify.py shared tokens). At 100 TB the equivalent reuse is
+# a WRITTEN token/count table, not a cache — left to the deployment.
+
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per (doc, token) under the repo-wide tokenization
@@ -311,6 +321,12 @@ def pmi_bigrams(
         .select("p.w1", "p.w2")
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
+    # r16 note: persisting the count tables and deriving the totals
+    # from them (one explode pass each) was MEASURED SLOWER here
+    # (interleaved A/B min 1.13 → 1.59 s at sf0.1): the two persist
+    # materialization barriers cost more than the second explode. The
+    # two-pass shape stands; at 100 TB the equivalent reuse is a
+    # written count table, not a cache.
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
     totals = toks.agg(F.count(F.lit(1)).alias("t_tokens")).crossJoin(
         big.agg(F.count(F.lit(1)).alias("b_bigrams"))

@@ -458,6 +458,7 @@ def ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    _collected=None,
 ) -> DataFrame:
     """(id, vec, cluster_id): assign each vector to its ``nprobe``
     nearest centroids by cosine (IVF coarse quantizer; rows fan out
@@ -479,8 +480,14 @@ def ivf_assignments(
     the generator, mirroring the SRP/PQ NULL-signature convention);
     zero-norm vectors assign deterministically (all-zero sims →
     cluster of the lowest id) and are left for the callers' own norm
-    guards."""
-    cids, cmat, cnorm = _collect_centroids(centroids, vec_col)
+    guards. ``_collected`` forwards an already-collected
+    ``_collect_centroids`` triple so composed searches (corpus +
+    query assignments, r16) run ONE collect job per codebook."""
+    cids, cmat, cnorm = (
+        _collected
+        if _collected is not None
+        else _collect_centroids(centroids, vec_col)
+    )
     dim = cmat.shape[1]
     n = min(nprobe, len(cids))
 
@@ -529,12 +536,17 @@ def ivf_cosine_topk(
     neighbor lives across a centroid boundary; raising nprobe probes
     neighboring cells (only the query side fans out — the corpus
     keeps exactly one cell per vector)."""
-    ca = ivf_assignments(corpus, centroids, id_col, vec_col).select(
+    collected = _collect_centroids(centroids, vec_col)  # one collect
+    ca = ivf_assignments(
+        corpus, centroids, id_col, vec_col, _collected=collected
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cvec"),
         "cluster_id",
     )
-    qa = ivf_assignments(queries, centroids, id_col, vec_col, nprobe).select(
+    qa = ivf_assignments(
+        queries, centroids, id_col, vec_col, nprobe, _collected=collected
+    ).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qvec"),
         "cluster_id",
@@ -903,6 +915,7 @@ def _ivfpq_index(
     codebook: list,
     id_col: str,
     vec_col: str,
+    _collected=None,
 ) -> DataFrame:
     """(neighbor_id, cvec, cluster_id, codes): the stored form of an
     IVF-PQ index, built in ONE Arrow pass.
@@ -917,7 +930,11 @@ def _ivfpq_index(
     row (the ivf_assignments / PQ NULL conventions combined)."""
     import numpy as np
 
-    cids, cmat, cnorm = _collect_centroids(centroids, vec_col)
+    cids, cmat, cnorm = (
+        _collected
+        if _collected is not None
+        else _collect_centroids(centroids, vec_col)
+    )
     cbook = np.asarray(codebook, dtype=np.float64)  # (m, ksub, dsub)
     m, _, dsub = cbook.shape
     dim = cmat.shape[1]
@@ -1008,10 +1025,15 @@ def ivfpq_cosine_topk(
     import numpy as np
 
     m = np.asarray(codebook, dtype=np.float64).shape[0]
-    enc = _ivfpq_index(corpus, centroids, codebook, id_col, vec_col)
+    collected = _collect_centroids(centroids, vec_col)  # one collect
+    enc = _ivfpq_index(
+        corpus, centroids, codebook, id_col, vec_col, _collected=collected
+    )
     # lut rides each (query, probed-cell) row directly — joining a
     # lut-only frame back on query_id would square the nprobe fan-out
-    qa = ivf_assignments(queries, centroids, id_col, vec_col, nprobe)
+    qa = ivf_assignments(
+        queries, centroids, id_col, vec_col, nprobe, _collected=collected
+    )
     q = qa.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qvec"),

@@ -84,8 +84,13 @@ def pagerank(
     # iteration's plan re-runs the distinct and the degree join from
     # the raw input, turning 3 iterations into ~3× redundant work and
     # an ever-deeper lineage (same discipline as llm/cluster.py:52).
+    # r16 (guide §3.1): when the caller asserts |V| is
+    # dimension-bounded (broadcast_ranks=True), the |V|-sized degree
+    # table broadcasts into this join too — the edge set then never
+    # shuffles even once to pick up degrees (previously this join
+    # hash-shuffled the full symmetrized edge set on src).
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edged = und.join(deg, "src")
+    edged = und.join(F.broadcast(deg) if broadcast_ranks else deg, "src")
     record_pre_checkpoint("pagerank:edged", edged)
     edged = edged.localCheckpoint(eager=True)
 
