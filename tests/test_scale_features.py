@@ -160,6 +160,13 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # skew report: the 1-row (total, n_keys) scalar broadcasts
         # onto the 10 surviving top-k rows
         "data_skew_report",
+        # column profile (r16): the plain-stats and multi-distinct
+        # aggregates run as separate passes combined by a 1-row ×
+        # 1-row broadcast scalar cross join — the mixed form planned
+        # one Expand ×7 with every plain agg duplicated onto the
+        # expanded rows (measured 2-3× slower and a 7×-row shuffle at
+        # scale)
+        "profile_events_columns",
     }
     offenders = []
     for name, spec in QUERIES.items():
