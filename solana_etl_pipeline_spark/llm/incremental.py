@@ -313,20 +313,27 @@ def incremental_near_dup_batch(
     out = _verdicts(cand, dup_sigs)
 
     stamped = out.withColumn("batch_id", F.lit(batch_id))
-    # r16 (guide §2.6): the three store writes are independent jobs
-    # (distinct roots; crash-retry gates on BOTH sigs and bands
-    # existing, and each write dynamically overwrites its own batch_id
-    # partition, so any interleaving a crash exposes is the same set
-    # of states the previous serial order could leave). Submitting
-    # them from a small thread pool lets the scheduler back-fill the
-    # tail of one write with the next one's tasks instead of draining
-    # the cluster three times.
+    # r17 (ADVICE r16): verdicts write FIRST, alone — the crash-retry
+    # gate (``have_store`` requires BOTH sigs and bands for a batch)
+    # assumes verdict-monotonicity: a batch whose sigs+bands are
+    # visible has its verdicts visible too, so a non-replaying caller
+    # never indexes documents whose duplicate verdicts were silently
+    # lost. Parallelizing all three (r16) made {sigs, bands,
+    # no-verdicts} a reachable crash state; restoring the
+    # verdicts-first barrier closes it again. The two INDEX writes
+    # (sigs/bands — mutually unordered: a crash between them leaves
+    # the batch unindexed either way, exactly as under the old serial
+    # order) still submit from a 2-thread pool so the scheduler
+    # back-fills one write's task tail with the other's (guide §2.6),
+    # which is where the r16 win actually was: the verdicts job can't
+    # overlap anything downstream of itself anyway, because the
+    # caller's read-back depends on it.
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
 
-    writes = (
-        lambda: _write_partition(stamped, verdict_path),
+    _write_partition(stamped, verdict_path)
+    index_writes = (
         lambda: _write_partition(
             new_sigs.withColumn("batch_id", F.lit(batch_id)), sig_path
         ),
@@ -334,9 +341,9 @@ def incremental_near_dup_batch(
             new_bands.withColumn("batch_id", F.lit(batch_id)), band_path
         ),
     )
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         for fut in [
-            pool.submit(inheritable_thread_target(w)) for w in writes
+            pool.submit(inheritable_thread_target(w)) for w in index_writes
         ]:
             fut.result()
     new_sigs.unpersist()

@@ -78,6 +78,21 @@ def duplicate_span_report(
     # Equivalence classes are identical up to xxhash64 collisions —
     # the same convention (2) the pair-digest already relies on, and
     # keep-first ties stay on (doc_id, pos), never on the hash.
+    #
+    # Collision-bound note (ADVICE r16): this narrows the PER-TOKEN
+    # key from the token bytes to 64 bits, and both halves of the
+    # 128-bit window-digest pair consume the SAME pre-hashed longs —
+    # so a single token-level xxhash64 collision makes two distinct
+    # windows equal under BOTH digests (the pair protects against
+    # window-digest collisions, not token-hash collisions). The
+    # exposure is the DISTINCT-TOKEN count, not the window count:
+    # birthday-plausible only at multi-billion distinct tokens
+    # (p ≈ n²/2^65 — at 10^9 distinct tokens p ≈ 3%), and the failure
+    # mode is one false duplicate span, not data loss. At corpora
+    # whose vocabulary approaches that range, restore per-token width
+    # by carrying a second salt-differentiated token-hash array (the
+    # h1/h2 convention below) and feeding the two digest halves from
+    # different arrays.
     hashed = toks.select(
         "_id",
         "_ws",

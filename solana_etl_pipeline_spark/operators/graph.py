@@ -89,6 +89,23 @@ def pagerank(
     # table broadcasts into this join too — the edge set then never
     # shuffles even once to pick up degrees (previously this join
     # hash-shuffled the full symmetrized edge set on src).
+    # r17: the broadcast degree build is its OWN plan subtree, so the
+    # r16 form executed the symmetrized(+distinct) edge plan TWICE —
+    # once for the degree aggregate's broadcast build, once for the
+    # probe side (the r15 shuffle join paid neither: Catalyst reused
+    # the probe side's src-exchange for the aggregate). Checkpointing
+    # ``und`` first restores single execution AND keeps the edge set
+    # unshuffled: degree aggregates over the materialized partitions
+    # and broadcast-joins back map-side. Interleaved 5-rep A/B at
+    # cpus=32 (tools/pagerank_ab.py, tools/logs/r17_pagerank_ab.out):
+    # r15 shuffle min 2.64 / med 3.00, r16 broadcast min 2.06 / med
+    # 2.65, this form min 2.07 / med 2.52 — locally equal to r16's,
+    # and at 100 TB it removes a full second scan+distinct of the
+    # edge table (the duplicate subtree grows with data; the extra
+    # checkpoint barrier does not).
+    if broadcast_ranks:
+        record_pre_checkpoint("pagerank:und", und)
+        und = und.localCheckpoint(eager=True)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edged = und.join(F.broadcast(deg) if broadcast_ranks else deg, "src")
     record_pre_checkpoint("pagerank:edged", edged)

@@ -38,9 +38,20 @@ RUNTIME_CONFS: dict[str, str] = {
     # sorts a sort-merge join pays. The planner still falls back to
     # SMJ when no side can build a local hash map, AQE skew handling
     # applies to both, and join RESULTS are strategy-independent.
-    # Interleaved sf0.1 A/B over the SMJ-bearing queries (snapshot
-    # diff, dsir, q9, hll overlap, simhash, embedding near-dup):
-    # min-run improvement 5-15%, no regressions at the min.
+    # r17 validation at the driver's core count (VERDICT r16 item 2):
+    # interleaved 5-pair A/B at cpus=32 over 14 SMJ-bearing queries
+    # (dsir, q9, q16, q2, q11, hll overlap, simhash… — tools/conf_ab.py,
+    # tools/logs/r17_smj_ab.json): geomean min-ratio false/true = 0.982,
+    # worst single query +7.7% (within that session's noise band), so
+    # the posture KEEPS. Robustness trade (ADVICE r16): SHJ builds an
+    # in-memory hash map per build-side partition and cannot
+    # sort-spill through a mis-estimated or skewed build side the way
+    # SMJ can — at 100 TB a planner misestimate becomes task-OOM risk
+    # rather than slow-but-done. The planner's size conditions plus
+    # AQE skew splitting bound that exposure; deployments that would
+    # rather pay the SMJ sorts for worst-case robustness should flip
+    # this back to true and force SHJ per-join via SHUFFLE_HASH hints
+    # where measured.
     "spark.sql.join.preferSortMergeJoin": "false",
     # Local/driver-session sizing: 32 shuffle partitions matches the
     # local[32] core budget (AQE coalesces further). On a cluster,
@@ -267,6 +278,25 @@ def build_session(
             os.environ.get("SPARK_EXECUTOR_JAVA_OPTS", gc_java_opts()),
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # r17 (guide §1 "empirical loop" + VERDICT r16 item 5): Spark's
+        # whole-stage-codegen class cache is a STATIC conf defaulting
+        # to 100 entries; a session serving this engine's 173-query
+        # registry emits far more than 100 distinct codegen units per
+        # sweep, so the default evicts everything before any query
+        # repeats and every execution pays Janino compile + fresh JIT
+        # again. Measured (tools/codegen_cache_probe.py, cpus=32,
+        # 40-query subset, 3 sweeps in one session): warm sweeps
+        # 31.6-33.8 s at 100 entries vs 24.2-24.5 s at 5000 (−23%,
+        # ~0.19 s/query of recompilation). This caches COMPILED CODE,
+        # never data or results — every execution still computes from
+        # the parquet inputs. Memory cost is metaspace-resident class
+        # objects (~100 KB/unit worst case); size to the distinct
+        # query count × ~10 units. Overridable for small-heap
+        # deployments via SPARK_GRAFT_CODEGEN_CACHE.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
