@@ -21,10 +21,13 @@ def main() -> None:
     names = sys.argv[2:]
     spark = build_session(app_name="perf-ab")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up
-    QUERIES["risk_scores_topk"].spark(spark, sf_dir).write.format(
+    # warm-up with the first requested query (not the flagship: the
+    # sf_dir may be a partial fixture, e.g. the TPC-H-only sf1
+    # rehearsal dir, where the flagship's events table is absent)
+    QUERIES[names[0]].spark(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    spark.catalog.clearCache()
     for name in names:
         runs = []
         for _ in range(3):
